@@ -194,6 +194,200 @@ def q_tile_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Point-in-polygon joins (SURVEY §2.3 — build_polygon.go:218-243)
+# =====================================================================
+# Deterministic rectangles derived from supplier keys; corners offset by
+# 0.0005 deg so no 3-decimal point ever sits on an edge (ray-cast and
+# BETWEEN then agree exactly). Ray-cast kernel is the verbatim reference
+# formula; the oracle uses interval logic — agreement on rectangles is
+# the cross-engine check, general polygons are pytest-fixture-covered.
+
+_RECT_SQL = """
+    rect AS (
+      SELECT s_suppkey AS poly_id,
+             CAST(s_suppkey * 6151 % 140000 AS DOUBLE) / 1000.0 - 70.0 AS clat,
+             CAST(s_suppkey * 9277 % 340000 AS DOUBLE) / 1000.0 - 170.0 AS clon,
+             0.5 + CAST(s_suppkey % 7 AS DOUBLE) AS hlat,
+             0.5 + CAST(s_suppkey % 11 AS DOUBLE) AS hlon
+      FROM supplier WHERE s_suppkey < 40)
+"""
+
+_PIP_ORACLE = f"""
+    WITH {_RECT_SQL}
+    SELECT d.doc_id, r.poly_id
+    FROM documents d, rect r
+    WHERE {pages.GEO_LAT_SQL} > r.clat - r.hlat + 0.0005
+      AND {pages.GEO_LAT_SQL} < r.clat + r.hlat + 0.0005
+      AND {pages.GEO_LON_SQL} > r.clon - r.hlon + 0.0005
+      AND {pages.GEO_LON_SQL} < r.clon + r.hlon + 0.0005
+    """
+
+
+def _rect_polygons_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangles as (poly_id, xs, ys, xmin..ymax) ring rows."""
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 40)
+    k = F.col("s_suppkey")
+    clat = (k * 6151 % 140000).cast("double") / 1000.0 - 70.0
+    clon = (k * 9277 % 340000).cast("double") / 1000.0 - 170.0
+    hlat = F.lit(0.5) + (k % 7).cast("double")
+    hlon = F.lit(0.5) + (k % 11).cast("double")
+    lat0, lat1 = clat - hlat + 0.0005, clat + hlat + 0.0005
+    lon0, lon1 = clon - hlon + 0.0005, clon + hlon + 0.0005
+    return s.select(
+        k.alias("poly_id"),
+        F.array(lon0, lon1, lon1, lon0, lon0).alias("xs"),
+        F.array(lat0, lat0, lat1, lat1, lat0).alias("ys"),
+        lon0.alias("xmin"),
+        lon1.alias("xmax"),
+        lat0.alias("ymin"),
+        lat1.alias("ymax"),
+    )
+
+
+@register("pip_broadcast", _PIP_ORACLE)
+def q_pip_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast PIP join: small polygon side shipped to every task,
+    ray-cast refine fully vectorized per Arrow batch — zero shuffle."""
+    from osm_spark.geo import pip
+
+    polys = [
+        (r.poly_id, r.xs, r.ys)
+        for r in _rect_polygons_df(spark, sf_dir).collect()
+    ]
+    pts = pages.page_points(spark, sf_dir)
+    return pip.pip_join_broadcast(pts, polys).select("doc_id", "poly_id")
+
+
+@register("pip_cells", _PIP_ORACLE)
+def q_pip_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path PIP join: polygons explode to covering z6 tiles, equi
+    join on (tile, salt) — theta join turned equi, skew split 4 ways —
+    then the same ray-cast refine."""
+    from osm_spark.geo import pip
+
+    pts = pages.page_points(spark, sf_dir)
+    polys = _rect_polygons_df(spark, sf_dir)
+    return pip.pip_join_cells(pts, polys, zoom=6, salt=4).select("doc_id", "poly_id")
+
+
+# =====================================================================
+# Temporal as-of annotation (SURVEY §2.3/§3.2 — annotate core)
+# =====================================================================
+# Element histories modeled from events: children = non-purchase events
+# per user (version = rank by ts, visible = not 'error'); parents = the
+# purchase events. All timestamps are post-CommitInfoStart, so this
+# checks the fast path end-to-end THROUGH THE REAL KERNEL (annotate_refs
+# cogroup/applyInPandas); the eps path is pytest-fixture-covered
+# (golden way fixtures + edgecases suite).
+
+_ASOF_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, value,
+         (event_type <> 'error') AS visible,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ver
+  FROM events WHERE event_type <> 'purchase'),
+par AS (
+  SELECT user_id, ts, event_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS pver,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events WHERE event_type = 'purchase'),
+pick AS (
+  SELECT p.*,
+    (SELECT max(e.ver) FROM ev e WHERE e.user_id=p.user_id AND e.ts <= p.ts) AS cur_ver,
+    (SELECT max(e.ver) FROM ev e WHERE e.user_id=p.user_id AND e.ts <  p.ts) AS vb_at,
+    (SELECT max(e.ver) FROM ev e WHERE e.user_id=p.user_id AND e.ts <= p.next_ts) AS n_ver,
+    (SELECT max(e.ver) FROM ev e WHERE e.user_id=p.user_id AND e.ts <  p.next_ts) AS vb_next,
+    (SELECT max(e.ver) FROM ev e WHERE e.user_id=p.user_id) AS last_ver
+  FROM par p),
+pick2 AS (
+  SELECT pk.*, ce.visible AS cur_vis, ce.ts AS cur_ts, ne.visible AS n_vis, ne.ts AS n_ts
+  FROM pick pk
+  LEFT JOIN ev ce ON ce.user_id=pk.user_id AND ce.ver=pk.cur_ver
+  LEFT JOIN ev ne ON ne.user_id=pk.user_id AND ne.ver=pk.n_ver),
+bounds AS (
+  SELECT *,
+    CASE WHEN cur_ver IS NOT NULL AND cur_vis THEN cur_ver END AS pick_ver,
+    CASE
+      WHEN next_ts IS NULL THEN last_ver
+      WHEN n_ver IS NOT NULL AND n_vis
+        THEN (CASE WHEN n_ts < next_ts THEN n_ver ELSE n_ver - 1 END)
+      WHEN cur_ver IS NOT NULL AND cur_vis AND NOT (next_ts > cur_ts) THEN 0
+      ELSE coalesce(vb_next, 0)
+    END AS upper_ver,
+    CASE WHEN cur_ver IS NOT NULL AND cur_vis THEN cur_ver
+         ELSE coalesce(vb_at, 0) END AS start_exc
+  FROM pick2
+  WHERE last_ver IS NOT NULL)
+SELECT b.user_id, b.pver, 'set' AS kind, CAST(e.ver AS INT) AS child_version,
+       e.event_id AS changeset, e.value AS lat, -e.value AS lon,
+       NULL::BIGINT AS uts_us
+FROM bounds b JOIN ev e ON e.user_id=b.user_id AND e.ver=b.pick_ver
+UNION ALL
+SELECT b.user_id, b.pver, 'update', CAST(e.ver AS INT), e.event_id, e.value, -e.value,
+       epoch_us(e.ts)
+FROM bounds b JOIN ev e
+  ON e.user_id=b.user_id AND e.ver > b.start_exc AND e.ver <= b.upper_ver AND e.visible
+"""
+
+
+def _asof_inputs(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    children = (
+        ev.filter(F.col("event_type") != "purchase")
+        .withColumn("version", F.row_number().over(wv))
+        .select(
+            F.col("user_id").alias("ref"),
+            "version",
+            (F.col("event_type") != "error").alias("visible"),
+            F.col("event_id").alias("changeset"),
+            "ts",
+            F.col("ts").alias("committed"),
+            F.col("value").alias("lat"),
+            (-F.col("value")).alias("lon"),
+        )
+    )
+    parents = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("version", F.row_number().over(wv))
+        .select(
+            F.col("user_id").alias("pid"),
+            "version",
+            F.lit(True).alias("visible"),
+            F.col("event_id").alias("changeset"),
+            "ts",
+            F.col("ts").alias("committed"),
+            F.array(F.struct(F.col("user_id").alias("ref"))).alias("refs"),
+        )
+    )
+    return parents, children
+
+
+@register("asof_annotate", _ASOF_ORACLE)
+def q_asof_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of annotation join (annotate.Ways semantics) through the
+    real cogroup kernel: for each parent version pick the child version
+    visible at its commit time (kind='set') and emit the minor-version
+    updates between parent versions (kind='update')."""
+    from osm_spark.temporal.annotate import annotate_refs
+
+    parents, children = _asof_inputs(spark, sf_dir)
+    out = annotate_refs(parents, children)
+    return out.select(
+        F.col("pid").alias("user_id"),
+        F.col("parent_version").alias("pver"),
+        "kind",
+        "child_version",
+        F.col("child_changeset").alias("changeset"),
+        "lat",
+        "lon",
+        F.unix_micros("uts").alias("uts_us"),
+    )
+
+
+# =====================================================================
 # Packed-id family (SURVEY §1.2, §2.8 — feature.go/element.go bit math)
 # =====================================================================
 
