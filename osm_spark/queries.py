@@ -42,6 +42,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _us(c) -> "F.Column":
+    """epoch micros from a (possibly NTZ) timestamp column."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.unix_micros(col.cast("timestamp"))
+
+
+
 # =====================================================================
 # Tile math family (SURVEY §1.5, §2.8 — orb/maptile semantics)
 # =====================================================================
@@ -451,3 +458,381 @@ def q_ids_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = orders.unionByName(cust).unionByName(supp)
     return u.groupBy(ids.type_of("fid").alias("typ")).agg(F.count("*").alias("n"))
+
+
+# =====================================================================
+# Polygon heuristic (SURVEY §2.2 — polygon.go:14-53 condition table)
+# =====================================================================
+# Synthetic ways from `part`: tag key/value picked by partkey arithmetic,
+# closed-ness by p_size. Spark side evaluates the REAL map-typed column
+# expression (way_is_polygon); the oracle encodes the expected decisions.
+
+@register(
+    "way_polygon",
+    """
+    WITH w AS (
+      SELECT p_partkey, p_size,
+             CASE p_partkey % 5 WHEN 0 THEN 'yes' WHEN 1 THEN 'no'
+                  WHEN 2 THEN 'station' WHEN 3 THEN 'cutline'
+                  ELSE 'services' END AS val
+      FROM part)
+    SELECT p_partkey,
+           (p_size % 3 <> 0) AND (
+             CASE WHEN p_partkey % 11 = 0
+                  THEN p_partkey % 2 <> 0
+                  ELSE CASE p_partkey % 7
+                    WHEN 0 THEN val <> 'no'
+                    WHEN 1 THEN val = 'station'
+                    WHEN 2 THEN val <> 'no' AND val NOT IN ('cutline','embankment','pipeline')
+                    WHEN 3 THEN val <> 'no'
+                    WHEN 4 THEN val = 'services'
+                    WHEN 5 THEN FALSE
+                    ELSE val <> 'no'
+                  END
+             END) AS is_polygon
+    FROM w
+    """,
+)
+def q_way_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Way.Polygon() heuristic evaluated as one column expression over a
+    map<string,string> tags column (polygon.go:14-53 + condition table)."""
+    from osm_spark.functions.polygon import way_is_polygon
+
+    part = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    key = (
+        F.when(k % 7 == 0, "building")
+        .when(k % 7 == 1, "railway")
+        .when(k % 7 == 2, "man_made")
+        .when(k % 7 == 3, "natural")
+        .when(k % 7 == 4, "highway")
+        .when(k % 7 == 5, "waterway")
+        .otherwise("tourism")
+    )
+    val = (
+        F.when(k % 5 == 0, "yes")
+        .when(k % 5 == 1, "no")
+        .when(k % 5 == 2, "station")
+        .when(k % 5 == 3, "cutline")
+        .otherwise("services")
+    )
+    tags = F.when(
+        k % 11 == 0,
+        F.map_concat(
+            F.create_map(key, val),
+            F.create_map(F.lit("area"), F.when(k % 2 == 0, "no").otherwise("yes")),
+        ),
+    ).otherwise(F.create_map(key, val))
+    closed_refs = F.expr(
+        "array(struct(1L as ref),struct(2L as ref),struct(3L as ref),struct(1L as ref))"
+    )
+    open_refs = F.expr(
+        "array(struct(1L as ref),struct(2L as ref),struct(3L as ref),struct(4L as ref))"
+    )
+    nodes = F.when(F.col("p_size") % 3 != 0, closed_refs).otherwise(open_refs)
+    return part.select(
+        "p_partkey",
+        way_is_polygon(nodes, tags).alias("is_polygon"),
+    )
+
+
+# =====================================================================
+# Aggregations (SURVEY §2.4 — planet stats, rollups)
+# =====================================================================
+
+@register(
+    "planet_stats",
+    """
+    SELECT l_returnflag AS flag, count(*) AS n,
+           min(epoch_us(l_shipdate)) AS min_ship_us,
+           max(epoch_us(l_shipdate)) AS max_ship_us,
+           CAST(max(CAST(l_quantity AS BIGINT) * 10000000 + l_orderkey) AS BIGINT)
+             AS qty_argmax
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_planet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planet-stats style scan+aggregate (osmpbf/example_stats_test.go:
+    16-195): counts, min/max, deterministic argmax via composite key
+    (ties on quantity resolved by orderkey — max_by alone is
+    nondeterministic on ties in BOTH engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").alias("n"),
+        F.min(_us("l_shipdate")).alias("min_ship_us"),
+        F.max(_us("l_shipdate")).alias("max_ship_us"),
+        F.max(
+            F.col("l_quantity").cast("long") * 10000000 + F.col("l_orderkey")
+        ).alias("qty_argmax"),
+    )
+
+
+@register(
+    "q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1997-09-02 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — partial-agg + single shuffle.
+    Money terms quantized to cents BEFORE summing so the distributed
+    (unordered) sum is exact and order-independent."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1997-09-02 00:00:00").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100)).alias("sum_base_cents"),
+        F.sum(F.floor(disc * 100)).alias("sum_disc_cents"),
+        F.sum(F.floor(charge * 100)).alias("sum_charge_cents"),
+        F.count("*").alias("n"),
+    )
+
+
+# =====================================================================
+# Window functions (SURVEY §2.5 — version indexing, lag/lead)
+# =====================================================================
+
+@register(
+    "version_index",
+    """
+    SELECT event_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+                AS INT) AS vidx
+    FROM events
+    """,
+)
+def q_version_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VersionIndex assignment (annotate/datasource.go:114-149):
+    0-based rank within each element's history."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", (F.row_number().over(w) - 1).cast("int").alias("vidx")
+    )
+
+
+@register(
+    "prev_version",
+    """
+    SELECT event_id,
+           lag(event_id) OVER w AS prev_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_prev_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """findPrevious* (annotate/change.go:187-275) as window lag."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = _us("ts")
+    return ev.select(
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+@register(
+    "updates_upto",
+    """
+    SELECT user_id, count(*) AS n,
+           min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+    FROM events
+    WHERE ts <= TIMESTAMP '2024-06-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q_updates_upto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Updates.UpTo(t) (update.go:36-48): history filtered to ts<=t,
+    summarized per element."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts") <= F.lit("2024-06-01 00:00:00").cast("timestamp")
+    )
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.min(_us("ts")).alias("first_us"),
+        F.max(_us("ts")).alias("last_us"),
+    )
+
+
+# =====================================================================
+# Set operations (SURVEY §2.7 — Change create/modify/delete merge)
+# =====================================================================
+
+@register(
+    "change_merge",
+    """
+    SELECT event_id, 'create' AS action, TRUE AS visible
+    FROM events WHERE event_type = 'signup'
+    UNION ALL
+    SELECT event_id, 'modify', TRUE
+    FROM events WHERE event_type IN ('purchase','click','view')
+    UNION ALL
+    SELECT event_id, 'delete', FALSE
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def q_change_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """osm.Change merge (change.go:10-62): create/modify/delete
+    sub-documents unioned with forced Visible true/true/false."""
+    ev = _t(spark, sf_dir, "events")
+    create = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", F.lit("create").alias("action"), F.lit(True).alias("visible")
+    )
+    modify = ev.filter(
+        F.col("event_type").isin("purchase", "click", "view")
+    ).select("event_id", F.lit("modify").alias("action"), F.lit(True).alias("visible"))
+    delete = ev.filter(F.col("event_type") == "error").select(
+        "event_id", F.lit("delete").alias("action"), F.lit(False).alias("visible")
+    )
+    return create.unionByName(modify).unionByName(delete)
+
+
+# =====================================================================
+# Geometry aggregations (SURVEY §2.4 — way centroid, ring orientation)
+# =====================================================================
+# "Ways" modeled as per-nation customer point sequences (ordered by
+# custkey). Weighted terms are quantized to int64 BEFORE the group sum
+# so the distributed aggregation is exact and order-free.
+
+from osm_spark.geo import distance as _dist
+
+_CUST_PTS_SQL = """
+    pts AS (
+      SELECT c_nationkey, c_custkey,
+             CAST(c_custkey * 6151 % 140000 AS DOUBLE) / 1000.0 - 70.0 AS lat,
+             CAST(c_custkey * 9277 % 340000 AS DOUBLE) / 1000.0 - 170.0 AS lon
+      FROM customer)
+"""
+
+_HAV = _dist.haversine_m_sql("lat", "lon", "lat2", "lon2")
+
+@register(
+    "way_centroid",
+    f"""
+    WITH {_CUST_PTS_SQL},
+    seg AS (
+      SELECT c_nationkey, lat, lon,
+             lead(lat) OVER w AS lat2, lead(lon) OVER w AS lon2
+      FROM pts WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)),
+    t AS (
+      SELECT c_nationkey,
+             CAST(floor((lat + lat2) / 2.0 * {_HAV} * 1000.0) AS BIGINT) AS wlat,
+             CAST(floor((lon + lon2) / 2.0 * {_HAV} * 1000.0) AS BIGINT) AS wlon,
+             CAST(floor({_HAV} * 1000.0) AS BIGINT) AS w
+      FROM seg WHERE lat2 IS NOT NULL)
+    SELECT c_nationkey,
+           CAST(sum(wlat) AS BIGINT) AS sum_wlat,
+           CAST(sum(wlon) AS BIGINT) AS sum_wlon,
+           CAST(sum(w) AS BIGINT) AS sum_w
+    FROM t GROUP BY 1
+    """,
+)
+def q_way_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted segment-midpoint centroid (annotate/geo.go:31-53):
+    consecutive pairs via window lead, haversine weights (orb
+    geo.Distance), exact int64-quantized sums."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        "c_nationkey",
+        "c_custkey",
+        ((k * 6151 % 140000).cast("double") / 1000.0 - 70.0).alias("lat"),
+        ((k * 9277 % 340000).cast("double") / 1000.0 - 170.0).alias("lon"),
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    seg = pts.select(
+        "c_nationkey",
+        "lat",
+        "lon",
+        F.lead("lat").over(w).alias("lat2"),
+        F.lead("lon").over(w).alias("lon2"),
+    ).filter(F.col("lat2").isNotNull())
+    d = _dist.haversine_m("lat", "lon", "lat2", "lon2")
+    t = seg.select(
+        "c_nationkey",
+        F.floor((F.col("lat") + F.col("lat2")) / 2.0 * d * 1000.0).alias("wlat"),
+        F.floor((F.col("lon") + F.col("lon2")) / 2.0 * d * 1000.0).alias("wlon"),
+        F.floor(d * 1000.0).alias("w"),
+    )
+    return t.groupBy("c_nationkey").agg(
+        F.sum("wlat").alias("sum_wlat"),
+        F.sum("wlon").alias("sum_wlon"),
+        F.sum("w").alias("sum_w"),
+    )
+
+
+@register(
+    "ring_orientation",
+    f"""
+    WITH {_CUST_PTS_SQL},
+    o AS (
+      SELECT c_nationkey, lat, lon,
+             first_value(lat) OVER w AS olat, first_value(lon) OVER w AS olon,
+             lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+      FROM pts WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)),
+    t AS (
+      SELECT c_nationkey,
+             CAST(floor(((coalesce(plon, lon) - olon) * (lat - olat)
+                       - (lon - olon) * (coalesce(plat, lat) - olat)) * 1000000.0)
+                  AS BIGINT) AS term
+      FROM o)
+    SELECT c_nationkey,
+           CASE WHEN sum(term) > 0 THEN 1 ELSE -1 END AS orient,
+           CAST(sum(term) AS BIGINT) AS area2_e6
+    FROM t GROUP BY 1
+    """,
+)
+def q_ring_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace orientation with origin offset (mputil.go:104-124):
+    area += (prev-o) x (p-o); CCW if positive. Terms int64-quantized for
+    an exact unordered sum."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        "c_nationkey",
+        "c_custkey",
+        ((k * 6151 % 140000).cast("double") / 1000.0 - 70.0).alias("lat"),
+        ((k * 9277 % 340000).cast("double") / 1000.0 - 170.0).alias("lon"),
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    o = pts.select(
+        "c_nationkey",
+        "lat",
+        "lon",
+        F.first("lat").over(w).alias("olat"),
+        F.first("lon").over(w).alias("olon"),
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    )
+    term = F.floor(
+        (
+            (F.coalesce("plon", "lon") - F.col("olon")) * (F.col("lat") - F.col("olat"))
+            - (F.col("lon") - F.col("olon")) * (F.coalesce("plat", "lat") - F.col("olat"))
+        )
+        * 1000000.0
+    )
+    return o.select("c_nationkey", term.alias("term")).groupBy("c_nationkey").agg(
+        F.when(F.sum("term") > 0, 1).otherwise(-1).alias("orient"),
+        F.sum("term").alias("area2_e6"),
+    )
