@@ -836,3 +836,273 @@ def q_ring_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.sum("term") > 0, 1).otherwise(-1).alias("orient"),
         F.sum("term").alias("area2_e6"),
     )
+
+
+# =====================================================================
+# Training-data text ops: dedup / quality / lang-id / fingerprints
+# =====================================================================
+
+from osm_spark.text import dedup as _dd
+from osm_spark.text import quality as _q
+
+# deterministic near/exact-dup injection shared by both engines
+_DOCS2_SQL = """
+    docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 200000, text || ' zz9 extra tail' FROM documents
+      WHERE doc_id % 10 = 0)
+"""
+
+
+def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 10 == 0)
+    return (
+        d.unionByName(dup.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+        .unionByName(
+            dup.select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat("text", F.lit(" zz9 extra tail")).alias("text"),
+            )
+        )
+    )
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH {_DOCS2_SQL}
+    SELECT md5(text) AS digest, count(*) AS n, min(doc_id) AS keep_id
+    FROM docs2 GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-digest hash groupBy, keeper = min id."""
+    return _dd.exact_dedup(_docs2(spark, sf_dir))
+
+
+_SH3 = _dd.shingles_sql("text", 3)
+_SIG_COLS = ",\n           ".join(
+    f"min(md5('{i}|' || sh)) AS s{i}" for i in range(8)
+)
+_BANDS_SQL = "\n      UNION ALL\n      ".join(
+    f"SELECT doc_id, {b} AS band, s{2*b} || '|' || s{2*b+1} AS band_key FROM sig"
+    for b in range(4)
+)
+
+@register(
+    "minhash_lsh",
+    f"""
+    WITH {_DOCS2_SQL},
+    sh AS (SELECT doc_id, unnest({_SH3}) AS sh FROM docs2),
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY 1),
+    bands AS ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+    shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS inter
+      FROM cand c
+      JOIN shd x ON x.doc_id = c.a
+      JOIN shd y ON y.doc_id = c.b AND y.sh = x.sh
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, count(DISTINCT sh) AS ns FROM sh GROUP BY 1)
+    SELECT c.a, c.b,
+           CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+           CAST(sa.ns + sb.ns - coalesce(i.inter, 0) AS BIGINT) AS uni
+    FROM cand c
+    LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+    JOIN sizes sa ON sa.doc_id = c.a
+    JOIN sizes sb ON sb.doc_id = c.b
+    """,
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) -> LSH(4 bands x 2 rows) -> candidate pairs -> exact
+    shingle-jaccard verification. The full near-dup pipeline."""
+    docs = _docs2(spark, sf_dir)
+    sig = _dd.minhash_signature(docs, "doc_id", "text", k=8)
+    cand = _dd.lsh_candidates(sig, "doc_id", k=8, rows_per_band=2)
+    jac = _dd.pair_jaccard(docs, cand, "doc_id", "text")
+    return jac.select(
+        "a", "b", F.col("inter").cast("long").alias("inter"),
+        F.col("uni").cast("long").alias("uni"),
+    )
+
+
+@register(
+    "token_quality",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             length(text) AS n_chars,
+             (length(text) - length(replace(text, '.', '')))
+               + (length(text) - length(replace(text, ',', ''))) AS n_punct,
+             len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the','a','of','and','to'))) AS n_stop
+      FROM documents)
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_punct AS BIGINT) AS n_punct, CAST(n_stop AS BIGINT) AS n_stop,
+           CAST(floor((0.5 * least(1.0, CAST(n_tok AS DOUBLE) / 100.0)
+                 + 0.3 * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE)) * 5.0
+                 + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)))
+                 * 1000000.0) AS BIGINT) AS score_e6
+    FROM m
+    """,
+)
+def q_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + punctuation/stopword ratios + composite quality
+    score (single narrow scan-project, no shuffle)."""
+    out = _q.quality_metrics(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_punct").cast("long").alias("n_punct"),
+        F.col("n_stop").cast("long").alias("n_stop"),
+        "score_e6",
+    )
+
+
+_LANG_COUNTS = ",\n           ".join(
+    "len(list_filter(string_split(text, ' '), w -> w IN ({}))) AS c_{}".format(
+        ",".join(f"'{m}'" for m in _q.LANG_MARKERS[lang]), lang
+    )
+    for lang in _q.LANG_ORDER
+)
+
+@register(
+    "lang_id",
+    f"""
+    WITH m AS (SELECT doc_id, {_LANG_COUNTS} FROM documents)
+    SELECT doc_id,
+           CASE
+             WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+             WHEN c_de > 0 AND c_de > c_en AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+             WHEN c_fr > 0 AND c_fr > c_en AND c_fr > c_de AND c_fr >= c_es THEN 'fr'
+             WHEN c_es > 0 AND c_es > c_en AND c_es > c_de AND c_es > c_fr THEN 'es'
+             ELSE 'und'
+           END AS pred_lang,
+           CAST(c_en AS BIGINT) AS c_en, CAST(c_de AS BIGINT) AS c_de,
+           CAST(c_fr AS BIGINT) AS c_fr, CAST(c_es AS BIGINT) AS c_es
+    FROM m
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword-marker language id with deterministic tie-break."""
+    out = _q.lang_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "pred_lang",
+        *[F.col(f"c_{l}").cast("long").alias(f"c_{l}") for l in _q.LANG_ORDER],
+    )
+
+
+_NIBS = ",\n           ".join(
+    f"strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 AS n{i}" for i in range(4)
+)
+_VOTES = ",\n           ".join(
+    f"sum((CAST(floor(n{b // 4} / {1 << (b % 4)}) AS BIGINT) % 2) * 2 - 1) AS v{b}"
+    for b in range(16)
+)
+_SIMSUM = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+
+@register(
+    "simhash",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    hs AS (SELECT doc_id, md5(t) AS h FROM tok),
+    nib AS (SELECT doc_id, {_NIBS} FROM hs),
+    votes AS (SELECT doc_id, {_VOTES} FROM nib GROUP BY 1)
+    SELECT doc_id, CAST({_SIMSUM} AS BIGINT) AS simhash FROM votes
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash from md5-nibble token hashes (column HOFs only)."""
+    out = _dd.simhash16(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select("doc_id", F.col("simhash").cast("long").alias("simhash"))
+
+
+_SH5 = _dd.shingles_sql("text", 5)
+
+@register(
+    "doc_fingerprint",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len({_SH5}) + 1),
+                    i -> {{'pos': i - 1, 'g': ({_SH5})[i]}})) AS u
+      FROM documents),
+    p AS (SELECT doc_id, (u).pos % 4 AS bucket, md5((u).g) AS h FROM g)
+    SELECT doc_id, CAST(bucket AS INT) AS bucket, min(h) AS fp
+    FROM p GROUP BY 1, 2
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprints: min 5-gram digest per position
+    bucket (rolling-hash document sketch)."""
+    out = _q.fingerprints(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select("doc_id", F.col("bucket").cast("int").alias("bucket"), "fp")
+
+
+# =====================================================================
+# Embedding similarity search
+# =====================================================================
+
+from osm_spark.similarity import ann as _ann
+
+@register(
+    "embedding_topk",
+    """
+    WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    q AS (SELECT * FROM c WHERE vec_id < 10),
+    s AS (SELECT q.vec_id AS q, c.vec_id AS neighbor,
+                 list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos
+          FROM q, c WHERE c.vec_id <> q.vec_id),
+    r AS (SELECT q, neighbor,
+                 CAST(row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS INT) AS rank
+          FROM s)
+    SELECT q, rank, neighbor FROM r WHERE rank <= 5
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors: queries broadcast,
+    numpy matmul per Arrow batch, rank-only output (float-robust)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 10).collect()
+    ]
+    return _ann.brute_force_topk(emb, queries, k=5)
+
+
+def _plane_sql_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(f"{v!r}" for v in plane) + "]"
+
+
+_PLANES = _ann.hyperplanes(8, 64)
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(e, {_plane_sql_literal(p)}) > 0 THEN {1 << i} ELSE 0 END)"
+    for i, p in enumerate(_PLANES)
+)
+
+@register(
+    "embedding_lsh_bucket",
+    f"""
+    WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings)
+    SELECT vec_id, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM c
+    """,
+)
+def q_embedding_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing with deterministic integer hyperplanes — the
+    scale path that replaces all-pairs scoring with a bucket equi-join."""
+    out = _ann.random_hyperplane_bucket(_t(spark, sf_dir, "embeddings"), dim=64)
+    return out.select("vec_id", F.col("bucket").cast("long").alias("bucket"))

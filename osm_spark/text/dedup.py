@@ -1,0 +1,151 @@
+"""Deduplication operators over document tables.
+
+Web-scale dedup suite (engine extension beyond the reference; sits on the
+same Spark-first discipline — column HOFs, no per-row Python):
+
+- exact_dedup:    md5(text) hash-groupBy. One shuffle keyed by digest.
+- minhash:        word-shingle MinHash signatures. The "hash family" is
+  ``min(md5(i || '|' || shingle))`` for i in 0..k-1 — md5 is available
+  and bit-identical in every engine, and MinHash only needs a family of
+  independent total orders, not numeric hashes, so min-over-hex-strings
+  works and is trivially cross-checkable.
+- lsh_candidates: band signatures -> self-join on (band_idx, band_key).
+  At 10^12 docs this is THE scalable near-dup plan: shuffle volume is
+  |docs| x bands, hot buckets split by AQE skew join.
+- ngram_jaccard:  exact shingle-set jaccard for candidate verification.
+- simhash:        16-bit simhash from md5-nibble token hashes.
+
+All shingling/hashing is Spark column HOFs (split/transform/aggregate) —
+JVM-side, no UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def words(text) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def shingles(text, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (1-based element_at)."""
+    w = words(text)
+    k = F.size(w) - (n - 1)
+    mk = lambda i: F.concat_ws(
+        " ", *[F.element_at(w, i + j) for j in range(n)]
+    )
+    return F.when(k >= 1, F.transform(F.sequence(F.lit(1), k), mk)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_sql(text: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`shingles` (lists are 1-based there too)."""
+    w = f"string_split({text}, ' ')"
+    joined = " || ' ' || ".join(f"{w}[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({w}) >= {n} THEN "
+        f"list_transform(range(1, len({w}) - {n - 1} + 1), i -> {joined}) "
+        f"ELSE [] END"
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: md5 digest -> (digest, n, keeper id)."""
+    return (
+        docs.select(F.md5(text_col).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def minhash_signature(docs: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """(id, sig_0..sig_{k-1}) — min over md5(i|shingle) per hash index."""
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(text_col)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidates(
+    sig: DataFrame, id_col: str, k: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature, self-join on band key -> candidate pairs a<b.
+
+    Plan: explode to |docs| x bands rows, shuffle on (band_idx, key),
+    per-bucket pair generation via self-join. Hot buckets (boilerplate
+    text) are the skew risk — AQE skew join splits them.
+    """
+    n_bands = k // rows_per_band
+    bands = []
+    for b in range(n_bands):
+        key = F.concat_ws(
+            "|", *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        bands.append(
+            sig.select(
+                F.col(id_col), F.lit(b).alias("band"), key.alias("band_key")
+            )
+        )
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    left = allb.withColumnRenamed(id_col, "a")
+    right = allb.withColumnRenamed(id_col, "b")
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def pair_jaccard(
+    docs: DataFrame, pairs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact distinct-shingle jaccard for (a, b) pairs -> inter/union."""
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(shingles(text_col)).alias("sh"),
+    )
+    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "a")
+        .join(b, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size(F.array_union("sh_a", "sh_b")).alias("uni"),
+        )
+    )
+
+
+def _hexval(ch: Column) -> Column:
+    return F.instr(F.lit("0123456789abcdef"), ch) - 1
+
+
+def simhash16(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash: per token take 4 md5 hex nibbles (16 bits); each
+    bit votes +1/-1 weighted by token multiplicity; simhash bit = sign."""
+    tok = docs.select(F.col(id_col), F.explode(words(text_col)).alias("t"))
+    h = F.md5("t")
+    nib = [_hexval(F.substring(h, i + 1, 1)) for i in range(4)]
+    bit_aggs = []
+    for b in range(16):
+        bit = F.floor(nib[b // 4] / (1 << (b % 4))) % 2
+        bit_aggs.append(F.sum(bit * 2 - 1).alias(f"v{b}"))
+    votes = tok.groupBy(id_col).agg(*bit_aggs)
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select(F.col(id_col), sim.alias("simhash"))
