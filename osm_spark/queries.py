@@ -1106,3 +1106,116 @@ def q_embedding_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path that replaces all-pairs scoring with a bucket equi-join."""
     out = _ann.random_hyperplane_bucket(_t(spark, sf_dir, "embeddings"), dim=64)
     return out.select("vec_id", F.col("bucket").cast("long").alias("bucket"))
+
+
+# =====================================================================
+# Multipolygon assembly (SURVEY §3.3 — build_polygon + mputil.Join)
+# =====================================================================
+# Relations built from supplier rectangles: the outer ring arrives SPLIT
+# INTO TWO WAY SEGMENTS (the second closing one), exercising the greedy
+# endpoint join; the inner hole is a single CW ring assigned by ray-cast
+# containment. The expected rings are fully predictable, so the oracle
+# regenerates them point-by-point in SQL.
+
+@register(
+    "multipolygon_assembly",
+    """
+    WITH rect AS (
+      SELECT s_suppkey AS rel_id,
+             CAST(s_suppkey * 6151 % 140000 AS DOUBLE) / 1000.0 - 70.0 AS clat,
+             CAST(s_suppkey * 9277 % 340000 AS DOUBLE) / 1000.0 - 170.0 AS clon,
+             0.5 + CAST(s_suppkey % 7 AS DOUBLE) AS hlat,
+             0.5 + CAST(s_suppkey % 11 AS DOUBLE) AS hlon
+      FROM supplier WHERE s_suppkey < 20),
+    c AS (
+      SELECT rel_id,
+             clat - hlat + 0.0005 AS lat0, clat + hlat + 0.0005 AS lat1,
+             clon - hlon + 0.0005 AS lon0, clon + hlon + 0.0005 AS lon1,
+             clat - hlat + 0.0005 + hlat / 2.0 AS ilat0,
+             clat + hlat + 0.0005 - hlat / 2.0 AS ilat1,
+             clon - hlon + 0.0005 + hlon / 2.0 AS ilon0,
+             clon + hlon + 0.0005 - hlon / 2.0 AS ilon1
+      FROM rect),
+    pos(ring_idx, point_idx, code) AS (VALUES
+      (0,0,'NE'),(0,1,'NW'),(0,2,'SW'),(0,3,'SE'),(0,4,'NE'),
+      (1,0,'SWi'),(1,1,'NWi'),(1,2,'NEi'),(1,3,'SEi'),(1,4,'SWi'))
+    SELECT c.rel_id, 0 AS poly_idx, p.ring_idx, p.point_idx,
+           CAST(floor(CASE p.code
+             WHEN 'NE' THEN lon1 WHEN 'NW' THEN lon0 WHEN 'SW' THEN lon0
+             WHEN 'SE' THEN lon1 WHEN 'SWi' THEN ilon0 WHEN 'NWi' THEN ilon0
+             WHEN 'NEi' THEN ilon1 WHEN 'SEi' THEN ilon1 END * 1000000.0)
+             AS BIGINT) AS lon_e6,
+           CAST(floor(CASE p.code
+             WHEN 'NE' THEN lat1 WHEN 'NW' THEN lat1 WHEN 'SW' THEN lat0
+             WHEN 'SE' THEN lat0 WHEN 'SWi' THEN ilat0 WHEN 'NWi' THEN ilat1
+             WHEN 'NEi' THEN ilat1 WHEN 'SEi' THEN ilat0 END * 1000000.0)
+             AS BIGINT) AS lat_e6
+    FROM c, pos p
+    """,
+)
+def q_multipolygon_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ring assembly through the real applyInPandas kernel:
+    split outer segments joined greedily, inner hole assigned via
+    ray-cast PIP, winding normalized (outer CCW, inner CW)."""
+    from osm_spark.geom.assembly import assemble_multipolygons_df
+
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 20)
+    k = F.col("s_suppkey")
+    clat = (k * 6151 % 140000).cast("double") / 1000.0 - 70.0
+    clon = (k * 9277 % 340000).cast("double") / 1000.0 - 170.0
+    hlat = F.lit(0.5) + (k % 7).cast("double")
+    hlon = F.lit(0.5) + (k % 11).cast("double")
+    lat0, lat1 = clat - hlat + 0.0005, clat + hlat + 0.0005
+    lon0, lon1 = clon - hlon + 0.0005, clon + hlon + 0.0005
+    ilat0, ilat1 = lat0 + hlat / 2.0, lat1 - hlat / 2.0
+    ilon0, ilon1 = lon0 + hlon / 2.0, lon1 - hlon / 2.0
+
+    def pt(lo, la):
+        return F.struct(lo.alias("lon"), la.alias("lat"))
+
+    base = s.select(
+        k.alias("rel_id"),
+        # outer split into two joinable segments: A=[SW,SE,NE], B=[NE,NW,SW]
+        F.array(pt(lon0, lat0), pt(lon1, lat0), pt(lon1, lat1)).alias("lineA"),
+        F.array(pt(lon1, lat1), pt(lon0, lat1), pt(lon0, lat0)).alias("lineB"),
+        # inner hole, already CW: [SWi, NWi, NEi, SEi, SWi]
+        F.array(
+            pt(ilon0, ilat0), pt(ilon0, ilat1), pt(ilon1, ilat1),
+            pt(ilon1, ilat0), pt(ilon0, ilat0),
+        ).alias("lineC"),
+    )
+    mk_member = lambda ref, role: F.struct(
+        F.lit("way").alias("type"), ref.alias("ref"), F.lit(role).alias("role"),
+        F.lit(0).alias("orientation"),
+    )
+    rels = base.select(
+        "rel_id",
+        F.array(
+            mk_member(F.col("rel_id") * 10 + 1, "outer"),
+            mk_member(F.col("rel_id") * 10 + 2, "outer"),
+            mk_member(F.col("rel_id") * 10 + 3, "inner"),
+        ).alias("members"),
+    )
+    ways = (
+        base.select((F.col("rel_id") * 10 + 1).alias("ref"), F.col("lineA").alias("line"))
+        .unionByName(
+            base.select((F.col("rel_id") * 10 + 2).alias("ref"), F.col("lineB").alias("line"))
+        )
+        .unionByName(
+            base.select((F.col("rel_id") * 10 + 3).alias("ref"), F.col("lineC").alias("line"))
+        )
+    )
+    rings = assemble_multipolygons_df(rels, ways)
+    return rings.select(
+        "rel_id",
+        "poly_idx",
+        "ring_idx",
+        F.posexplode("ring").alias("point_idx", "p"),
+    ).select(
+        "rel_id",
+        "poly_idx",
+        "ring_idx",
+        "point_idx",
+        F.floor(F.col("p.lon") * 1e6).alias("lon_e6"),
+        F.floor(F.col("p.lat") * 1e6).alias("lat_e6"),
+    )
