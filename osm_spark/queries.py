@@ -858,7 +858,13 @@ _DOCS2_SQL = """
 
 
 def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # the seed parquet is a single split; spread the corpus before the
+    # md5/shingle-heavy stages or they run in one task
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(32, "doc_id")
+    )
     dup = d.filter(F.col("doc_id") % 10 == 0)
     return (
         d.unionByName(dup.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
@@ -925,9 +931,14 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8) -> LSH(4 bands x 2 rows) -> candidate pairs -> exact
     shingle-jaccard verification. The full near-dup pipeline."""
     docs = _docs2(spark, sf_dir)
-    sig = _dd.minhash_signature(docs, "doc_id", "text", k=8)
+    # cache the two expensive intermediates: the signature feeds 4 band
+    # projections, the shingle sets feed both sides of the pair join
+    sig = _dd.minhash_signature(docs, "doc_id", "text", k=8).persist()
+    sh = docs.select(
+        F.col("doc_id"), F.array_distinct(_dd.shingles("text")).alias("sh")
+    ).persist()
     cand = _dd.lsh_candidates(sig, "doc_id", k=8, rows_per_band=2)
-    jac = _dd.pair_jaccard(docs, cand, "doc_id", "text")
+    jac = _dd.pair_jaccard(docs, cand, "doc_id", "text", shingle_df=sh)
     return jac.select(
         "a", "b", F.col("inter").cast("long").alias("inter"),
         F.col("uni").cast("long").alias("uni"),

@@ -159,6 +159,100 @@ _OUT_SCHEMA = StructType(
 )
 
 
+def _fast_path(refs_pdf, child_pdf, out, ignore_inconsistency):
+    """Vectorized kernel for the dominant modern case: every child and
+    parent committed on/after CommitInfoStart AND child committed
+    nondecreasing in version order (then FindVisible degenerates to
+    'last committed <= at', a searchsorted — types.go:101-104). Returns
+    True if it handled the group, False to fall back to the branch-exact
+    python loop."""
+    import numpy as np
+
+    cis = np.datetime64(COMMIT_INFO_START, "ns")
+    C = child_pdf["committed"].to_numpy(dtype="datetime64[ns]")
+    if len(C) == 0 or np.isnat(C).any() or (C < cis).any():
+        return False
+    if not (C[:-1] <= C[1:]).all():
+        return False
+    PC = refs_pdf["parent_committed"].to_numpy(dtype="datetime64[ns]")
+    if np.isnat(PC).any() or (PC < cis).any():
+        return False
+    NC = refs_pdf["next_committed"].to_numpy(dtype="datetime64[ns]")
+    has_next = ~refs_pdf["next_ts"].isna().to_numpy()
+    if (has_next & (np.isnat(NC) | (NC < cis))).any():
+        return False
+
+    VIS = child_pdf["visible"].to_numpy(dtype=bool)
+    CV = child_pdf["version"].to_numpy()
+    CCS = child_pdf["changeset"].to_numpy()
+    CLAT = child_pdf["lat"].to_numpy(dtype=float)
+    CLON = child_pdf["lon"].to_numpy(dtype=float)
+    CTS = child_pdf["ts"].to_numpy(dtype="datetime64[ns]")
+    # shared/child.go:105-111 update timestamp
+    UTS = np.where(CTS < cis, CTS, C)
+    n = len(C)
+
+    # one row per parent, idx slots aggregated
+    pid_a = refs_pdf["pid"].to_numpy()
+    pver_a = refs_pdf["parent_version"].to_numpy()
+    pts_a = refs_pdf["parent_ts"].to_numpy(dtype="datetime64[ns]")
+    pvis_a = refs_pdf["parent_visible"].to_numpy(dtype=bool)
+    idx_a = refs_pdf["idx"].to_numpy()
+
+    pick = np.searchsorted(C, PC, side="right") - 1
+    pick_ok = (pick >= 0) & VIS[np.clip(pick, 0, n - 1)]
+
+    nv = np.full(len(PC), n, dtype=np.int64)
+    if has_next.any():
+        na = NC
+        nidx = np.searchsorted(C, na, side="right") - 1
+        n_ok = (nidx >= 0) & VIS[np.clip(nidx, 0, n - 1)]
+        # visible next pick: +1 if strictly before next parent commit
+        nv_next = nidx + (C[np.clip(nidx, 0, n - 1)] < na)
+        # no visible next pick: 0 if pick within threshold of next parent,
+        # else last strictly-before + 1 (== searchsorted left)
+        vb = np.searchsorted(C, na, side="left")
+        cond_zero = pick_ok & ~(na > C[np.clip(pick, 0, n - 1)])
+        nv_nonext = np.where(cond_zero, 0, vb)
+        nv = np.where(has_next, np.where(n_ok, nv_next, nv_nonext), nv)
+
+    start = np.where(pick_ok, pick + 1, np.searchsorted(C, PC, side="left"))
+
+    # group slots per parent (parents already sorted)
+    key = np.empty(len(pid_a), dtype=object)
+    boundaries = np.flatnonzero(
+        np.r_[True, (pid_a[1:] != pid_a[:-1]) | (pver_a[1:] != pver_a[:-1])
+              | (pts_a[1:] != pts_a[:-1])]
+    )
+    bounds = list(boundaries) + [len(pid_a)]
+    for gi in range(len(bounds) - 1):
+        s0, s1 = bounds[gi], bounds[gi + 1]
+        if not pvis_a[s0]:
+            continue
+        pid, pver = int(pid_a[s0]), int(pver_a[s0])
+        pts = pd.Timestamp(pts_a[s0])
+        idxs = [int(i) for i in idx_a[s0:s1]]
+        p = pick[s0]
+        if pick_ok[s0]:
+            for i in idxs:
+                out.append((pid, pver, pts, i, "set", int(CV[p]), int(CCS[p]),
+                            float(CLAT[p]), float(CLON[p]), None))
+        elif not ignore_inconsistency:
+            out.append((pid, pver, pts, idxs[0], "error",
+                        None, None, None, None, None))
+            continue
+        for k in range(int(start[s0]), int(nv[s0])):
+            if VIS[k]:
+                for i in idxs:
+                    out.append((pid, pver, pts, i, "update", int(CV[k]),
+                                int(CCS[k]), float(CLAT[k]), float(CLON[k]),
+                                pd.Timestamp(UTS[k])))
+            elif not ignore_inconsistency:
+                out.append((pid, pver, pts, idxs[0], "error", int(CV[k]),
+                            None, None, None, None))
+    return True
+
+
 def _make_kernel(threshold_sec: float, ignore_inconsistency: bool):
     eps = pd.Timedelta(seconds=threshold_sec)
 
@@ -167,6 +261,19 @@ def _make_kernel(threshold_sec: float, ignore_inconsistency: bool):
         # Build the sorted ChildList (datasource.go:114-149: sort by
         # version, assign 0-based VersionIndex).
         child_pdf = child_pdf.sort_values("version").reset_index(drop=True)
+        # eps/threshold never enters the post-CommitInfoStart branches
+        # (types.go:101-104), so the fast path is valid for any threshold.
+        if len(child_pdf):
+            sorted_refs = refs_pdf.sort_values(
+                ["pid", "parent_version", "parent_ts", "idx"]
+            ).reset_index(drop=True)
+            if _fast_path(sorted_refs, child_pdf, out, ignore_inconsistency):
+                return pd.DataFrame(
+                    out,
+                    columns=["pid", "parent_version", "parent_ts", "idx", "kind",
+                             "child_version", "child_changeset", "lat", "lon", "uts"],
+                )
+            out = []
         children = [
             _Child(
                 i,

@@ -108,13 +108,18 @@ def lsh_candidates(
 
 
 def pair_jaccard(
-    docs: DataFrame, pairs: DataFrame, id_col: str, text_col: str
+    docs: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact distinct-shingle jaccard for (a, b) pairs -> inter/union."""
-    sh = docs.select(
-        F.col(id_col),
-        F.array_distinct(shingles(text_col)).alias("sh"),
-    )
+    """Exact distinct-shingle jaccard for (a, b) pairs -> inter/union.
+    Pass a cached ``shingle_df`` (id, sh array) to avoid re-shingling
+    the corpus for each side of the pair join."""
+    sh = shingle_df
+    if sh is None:
+        sh = docs.select(
+            F.col(id_col),
+            F.array_distinct(shingles(text_col)).alias("sh"),
+        )
     a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     return (
