@@ -1230,3 +1230,110 @@ def q_multipolygon_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("p.lon") * 1e6).alias("lon_e6"),
         F.floor(F.col("p.lat") * 1e6).alias("lat_e6"),
     )
+
+
+# =====================================================================
+# kNN via cell k-ring expand-and-prune (SURVEY §7 step 6)
+# =====================================================================
+
+_KNN_HAV = _dist.haversine_m_sql(
+    "q.clat", "q.clon", pages.GEO_LAT_SQL.replace("doc_id", "p.doc_id"),
+    pages.GEO_LON_SQL.replace("doc_id", "p.doc_id"),
+)
+
+@register(
+    "knn_kring",
+    f"""
+    WITH q AS (
+      SELECT s_suppkey AS qid,
+             CAST(s_suppkey * 6151 % 140000 AS DOUBLE) / 1000.0 - 70.0 AS clat,
+             CAST(s_suppkey * 9277 % 340000 AS DOUBLE) / 1000.0 - 170.0 AS clon
+      FROM supplier WHERE s_suppkey < 20),
+    s AS (
+      SELECT q.qid, p.doc_id AS neighbor,
+             CAST(row_number() OVER (
+               PARTITION BY q.qid ORDER BY {_KNN_HAV}, p.doc_id) AS INT) AS rank
+      FROM q, documents p)
+    SELECT qid, rank, neighbor FROM s WHERE rank <= 5
+    """,
+)
+def q_knn_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ring kNN: corpus cell-indexed at z7, per-query ring expansion
+    from a cell histogram, one broadcast equi-join + top-k — verified
+    against exact brute force (the oracle)."""
+    from osm_spark.geo.cells import knn_kring
+
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 20)
+    k = F.col("s_suppkey")
+    queries = [
+        (r.qid, r.clat, r.clon)
+        for r in s.select(
+            k.alias("qid"),
+            ((k * 6151 % 140000).cast("double") / 1000.0 - 70.0).alias("clat"),
+            ((k * 9277 % 340000).cast("double") / 1000.0 - 170.0).alias("clon"),
+        ).collect()
+    ]
+    pts = pages.page_points(spark, sf_dir)
+    out = knn_kring(pts, queries, k=5, zoom=7)
+    return out.select("qid", "rank", "neighbor")
+
+
+# =====================================================================
+# Multimodal binary columns (decode plumbing; codec stubbed — see
+# osm_spark/multimodal/media.py)
+# =====================================================================
+
+@register(
+    "media_meta",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height
+    FROM documents
+    """,
+)
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary media columns + typed metadata + (fake-)decoded
+    dimensions through the real mapInPandas Arrow plumbing."""
+    from osm_spark.multimodal.media import decode_features, media_from_documents
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    feats = decode_features(media)
+    return (
+        media.join(feats, "media_id")
+        .select(
+            "media_id",
+            "kind",
+            F.col("meta.n_bytes").alias("n_bytes"),
+            "width",
+            "height",
+        )
+    )
+
+
+@register(
+    "media_frame_sample",
+    """
+    WITH f AS (
+      SELECT doc_id AS media_id,
+             unnest(range(0, CAST(floor(length(text) / 64) AS BIGINT))) AS frame_idx
+      FROM documents)
+    SELECT f.media_id, CAST(f.frame_idx AS INT) AS frame_idx,
+           md5(substr(d.text, CAST(f.frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5
+    FROM f JOIN documents d ON d.doc_id = f.media_id
+    """,
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: fixed-stride binary slices per media row
+    (video-frame stand-in); digests must match byte-for-byte (corpus is
+    ASCII so the text oracle slices align)."""
+    from osm_spark.multimodal.media import frame_sample, media_from_documents
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    frames = frame_sample(media, every_n_bytes=64)
+    return frames.select(
+        "media_id", "frame_idx", F.md5("frame_bytes").alias("frame_md5")
+    )

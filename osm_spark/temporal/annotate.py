@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -52,9 +53,11 @@ def _tt(ts, committed):
 
 
 class _Child:
-    __slots__ = ("vidx", "version", "changeset", "ts", "committed", "visible", "lat", "lon")
+    __slots__ = ("vidx", "version", "changeset", "ts", "committed", "visible",
+                 "lat", "lon", "reverse")
 
-    def __init__(self, vidx, version, changeset, ts, committed, visible, lat, lon):
+    def __init__(self, vidx, version, changeset, ts, committed, visible, lat, lon,
+                 reverse=False):
         self.vidx = vidx
         self.version = version
         self.changeset = changeset
@@ -63,6 +66,7 @@ class _Child:
         self.visible = visible
         self.lat = lat
         self.lon = lon
+        self.reverse = reverse
 
     def update_ts(self):
         """shared/child.go:105-111."""
@@ -155,6 +159,7 @@ _OUT_SCHEMA = StructType(
         StructField("lat", DoubleType()),
         StructField("lon", DoubleType()),
         StructField("uts", TimestampType()),
+        StructField("reverse", BooleanType()),
     ]
 )
 
@@ -183,6 +188,10 @@ def _fast_path(refs_pdf, child_pdf, out, ignore_inconsistency):
         return False
 
     VIS = child_pdf["visible"].to_numpy(dtype=bool)
+    if "reverse" in child_pdf.columns:
+        REV = child_pdf["reverse"].fillna(False).to_numpy(dtype=bool)
+    else:
+        REV = np.zeros(len(VIS), dtype=bool)
     CV = child_pdf["version"].to_numpy()
     CCS = child_pdf["changeset"].to_numpy()
     CLAT = child_pdf["lat"].to_numpy(dtype=float)
@@ -236,20 +245,20 @@ def _fast_path(refs_pdf, child_pdf, out, ignore_inconsistency):
         if pick_ok[s0]:
             for i in idxs:
                 out.append((pid, pver, pts, i, "set", int(CV[p]), int(CCS[p]),
-                            float(CLAT[p]), float(CLON[p]), None))
+                            float(CLAT[p]), float(CLON[p]), None, None))
         elif not ignore_inconsistency:
             out.append((pid, pver, pts, idxs[0], "error",
-                        None, None, None, None, None))
+                        None, None, None, None, None, None))
             continue
         for k in range(int(start[s0]), int(nv[s0])):
             if VIS[k]:
                 for i in idxs:
                     out.append((pid, pver, pts, i, "update", int(CV[k]),
                                 int(CCS[k]), float(CLAT[k]), float(CLON[k]),
-                                pd.Timestamp(UTS[k])))
+                                pd.Timestamp(UTS[k]), bool(REV[k])))
             elif not ignore_inconsistency:
                 out.append((pid, pver, pts, idxs[0], "error", int(CV[k]),
-                            None, None, None, None))
+                            None, None, None, None, None))
     return True
 
 
@@ -271,9 +280,11 @@ def _make_kernel(threshold_sec: float, ignore_inconsistency: bool):
                 return pd.DataFrame(
                     out,
                     columns=["pid", "parent_version", "parent_ts", "idx", "kind",
-                             "child_version", "child_changeset", "lat", "lon", "uts"],
+                             "child_version", "child_changeset", "lat", "lon",
+                             "uts", "reverse"],
                 )
             out = []
+        has_rev = "reverse" in child_pdf.columns
         children = [
             _Child(
                 i,
@@ -284,6 +295,7 @@ def _make_kernel(threshold_sec: float, ignore_inconsistency: bool):
                 bool(r.visible),
                 float(r.lat) if pd.notna(r.lat) else 0.0,
                 float(r.lon) if pd.notna(r.lon) else 0.0,
+                bool(r.reverse) if has_rev and pd.notna(r.reverse) else False,
             )
             for i, r in enumerate(child_pdf.itertuples())
         ]
@@ -318,14 +330,14 @@ def _make_kernel(threshold_sec: float, ignore_inconsistency: bool):
             c = find_visible(children, parent["changeset"], at, eps)
             if c is None and not ignore_inconsistency:
                 out.append((int(pid), int(pver), pts, int(first["idx"]), "error",
-                            None, None, None, None, None))
+                            None, None, None, None, None, None))
                 continue
 
             idxs = [int(i) for i in grp["idx"]]
             if c is not None:
                 for i in idxs:
                     out.append((int(pid), int(pver), pts, i, "set", c.version,
-                                c.changeset, c.lat, c.lon, None))
+                                c.changeset, c.lat, c.lon, None, None))
 
             nv = next_version_index(c, children, next_parent, eps)
             if c is not None:
@@ -338,15 +350,17 @@ def _make_kernel(threshold_sec: float, ignore_inconsistency: bool):
                 if ck.visible:
                     for i in idxs:
                         out.append((int(pid), int(pver), pts, i, "update", ck.version,
-                                    ck.changeset, ck.lat, ck.lon, ck.update_ts()))
+                                    ck.changeset, ck.lat, ck.lon, ck.update_ts(),
+                                    ck.reverse))
                 elif not ignore_inconsistency:
                     out.append((int(pid), int(pver), pts, int(first["idx"]), "error",
-                                ck.version, None, None, None, None))
+                                ck.version, None, None, None, None, None))
 
         return pd.DataFrame(
             out,
             columns=["pid", "parent_version", "parent_ts", "idx", "kind",
-                     "child_version", "child_changeset", "lat", "lon", "uts"],
+                     "child_version", "child_changeset", "lat", "lon", "uts",
+                     "reverse"],
         )
 
     return kernel
