@@ -1337,3 +1337,363 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", "frame_idx", F.md5("frame_bytes").alias("frame_md5")
     )
+
+
+# =====================================================================
+# Iteration / graph: ChildFirstOrdering (annotate/order.go:21-167)
+# =====================================================================
+# Relation-membership DAG synthesized as the binary heap tree over the
+# first 1000 order keys: parent k -> children 2k, 2k+1. The engine runs
+# the real iterative frontier-join fixpoint; the oracle walks subtrees
+# with a recursive CTE.
+
+@register(
+    "child_first_depth",
+    """
+    WITH RECURSIVE nodes AS (
+      SELECT o_orderkey AS id FROM orders WHERE o_orderkey < 1000),
+    edges AS (
+      SELECT p.id AS parent, c.id AS child
+      FROM nodes p JOIN nodes c ON c.id = p.id * 2 OR c.id = p.id * 2 + 1),
+    walk(root, node, d) AS (
+      SELECT id, id, 0 FROM nodes
+      UNION ALL
+      SELECT w.root, e.child, w.d + 1 FROM walk w JOIN edges e ON e.parent = w.node)
+    SELECT root AS id, CAST(max(d) AS INT) AS depth FROM walk GROUP BY 1
+    """,
+)
+def q_child_first_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Child-first processing depths via iterative frontier joins
+    (the Spark realization of the reference's cycle-tolerant DFS)."""
+    from osm_spark.plans.iterate import child_first_depths
+
+    nodes = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(F.col("o_orderkey").alias("id"))
+    )
+    e1 = nodes.select(F.col("id").alias("parent"), (F.col("id") * 2).alias("child"))
+    e2 = nodes.select(
+        F.col("id").alias("parent"), (F.col("id") * 2 + 1).alias("child")
+    )
+    ids = nodes.select(F.col("id").alias("child"))
+    edges = e1.unionByName(e2).join(ids, "child")
+    out = child_first_depths(nodes, edges)
+    return out.select("id", F.col("depth").cast("int").alias("depth"))
+
+
+# =====================================================================
+# Replication batch kernel (SURVEY §2.9 — annotate/change.go semantics)
+# =====================================================================
+# State = latest pre-cutoff event version per user; batch = post-cutoff
+# events as a replication change batch. Runs the REAL apply_change_batch
+# kernel; the oracle mirrors the action derivation with window lag.
+
+_REPL_CUTOFF = "2024-06-01 00:00:00"
+
+def _repl_inputs(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = ev.withColumn("ver", F.row_number().over(w))
+    cutoff = F.lit(_REPL_CUTOFF).cast("timestamp")
+    base = ev.select(
+        F.lit("node").alias("type"),
+        F.col("user_id").alias("id"),
+        F.col("ver").cast("int").alias("version"),
+        (F.col("event_type") != "error").alias("visible"),
+        F.col("event_id").alias("changeset"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").alias("lat"),
+        (-F.col("value")).alias("lon"),
+        F.col("ver").cast("long").alias("seq"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("modify")
+        .alias("action"),
+        (F.col("ts") <= cutoff).alias("_is_state"),
+    )
+    from osm_spark.streaming.replication import latest_state
+
+    state = latest_state(
+        base.filter("_is_state").select(
+            "type", "id", "version", "visible", "changeset", "ts", "lat", "lon"
+        )
+    )
+    batch = base.filter(~F.col("_is_state")).select(
+        "seq", "action", "type", "id", "version", "visible", "changeset",
+        "ts", "lat", "lon",
+    )
+    return state, batch
+
+
+_REPL_ORACLE_BASE = f"""
+    ev AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ver
+      FROM events),
+    state AS (
+      SELECT user_id, max(ver) AS state_version
+      FROM ev WHERE ts <= TIMESTAMP '{_REPL_CUTOFF}' GROUP BY 1),
+    batch AS (
+      SELECT user_id, ver, event_id, ts, (event_type = 'error') AS is_del,
+             lag(ver) OVER (PARTITION BY user_id ORDER BY ver) AS prev_in_batch
+      FROM ev WHERE ts > TIMESTAMP '{_REPL_CUTOFF}')
+"""
+
+@register(
+    "replication_actions",
+    f"""
+    WITH {_REPL_ORACLE_BASE}
+    SELECT CAST(b.ver AS BIGINT) AS seq,
+           CASE WHEN b.is_del THEN 'delete'
+                WHEN coalesce(b.prev_in_batch, s.state_version) IS NULL THEN 'create'
+                ELSE 'modify' END AS action,
+           b.user_id AS id,
+           CAST(b.ver AS INT) AS new_version,
+           CAST(coalesce(b.prev_in_batch, s.state_version) AS INT) AS old_version,
+           NOT b.is_del AS visible
+    FROM batch b LEFT JOIN state s ON s.user_id = b.user_id
+    """,
+)
+def q_replication_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One replication batch through apply_change_batch: diff actions
+    with old/new version pairs (annotate/change.go:15-185 semantics)."""
+    from osm_spark.streaming.replication import apply_change_batch
+
+    state, batch = _repl_inputs(spark, sf_dir)
+    actions, _ = apply_change_batch(state, batch)
+    return actions.select(
+        "seq", "action", "id",
+        F.col("new_version").cast("int").alias("new_version"),
+        F.col("old_version").cast("int").alias("old_version"),
+        "visible",
+    )
+
+
+@register(
+    "replication_state",
+    f"""
+    WITH {_REPL_ORACLE_BASE},
+    allv AS (SELECT user_id, ver, event_type FROM ev),
+    latest AS (
+      SELECT user_id, max(ver) AS version FROM allv GROUP BY 1)
+    SELECT l.user_id AS id, CAST(l.version AS INT) AS version,
+           (a.event_type <> 'error') AS visible
+    FROM latest l JOIN allv a ON a.user_id = l.user_id AND a.ver = l.version
+    """,
+)
+def q_replication_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-state table after the batch: latest version per element."""
+    from osm_spark.streaming.replication import apply_change_batch
+
+    state, batch = _repl_inputs(spark, sf_dir)
+    _, new_state = apply_change_batch(state, batch)
+    return new_state.select(
+        "id", F.col("version").cast("int").alias("version"), "visible"
+    )
+
+
+# =====================================================================
+# OSM-JSON codec (SURVEY §2.1 — osm.go:288-367 polymorphic elements)
+# =====================================================================
+
+@register(
+    "json_codec_roundtrip",
+    """
+    SELECT o_orderkey AS id,
+           CASE o_orderkey % 3 WHEN 0 THEN 'node' WHEN 1 THEN 'way'
+                ELSE 'relation' END AS typ,
+           TRUE AS rt_ok,
+           o_orderpriority AS tag_v
+    FROM orders
+    """,
+)
+def q_json_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overpass-style OSM-JSON codec: elements serialized via to_json
+    (type-discriminated, tags as an object) and parsed back via
+    from_json; any codec asymmetry would break the roundtrip and the
+    oracle match."""
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    typ = (
+        F.when(k % 3 == 0, "node").when(k % 3 == 1, "way").otherwise("relation")
+    )
+    element = F.struct(
+        typ.alias("type"),
+        k.alias("id"),
+        F.create_map(F.lit("priority"), F.col("o_orderpriority")).alias("tags"),
+    )
+    js = F.to_json(element)
+    parsed = F.from_json(
+        js, "struct<type:string, id:bigint, tags:map<string,string>>"
+    )
+    return orders.select(
+        k.alias("id"),
+        parsed["type"].alias("typ"),
+        (
+            (parsed["id"] == k)
+            & (parsed["type"] == typ)
+        ).alias("rt_ok"),
+        F.element_at(parsed["tags"], "priority").alias("tag_v"),
+    )
+
+
+# =====================================================================
+# Remaining §2 coverage: bounds HOF, point-on-surface, skip rules,
+# changeset rollups, notes date codec
+# =====================================================================
+
+@register(
+    "way_bounds",
+    """
+    WITH pts AS (
+      SELECT c_nationkey,
+             CAST(c_custkey * 6151 % 140000 AS DOUBLE) / 1000.0 - 70.0 AS lat,
+             CAST(c_custkey * 9277 % 340000 AS DOUBLE) / 1000.0 - 170.0 AS lon
+      FROM customer)
+    SELECT c_nationkey, min(lat) AS minlat, max(lat) AS maxlat,
+           min(lon) AS minlon, max(lon) AS maxlon
+    FROM pts GROUP BY 1
+    """,
+)
+def q_way_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WayNodes.Bounds (way.go:201-236): per-way min/max lat/lon — here
+    as an aggregate HOF over the assembled nodes array (no explode)."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ways = (
+        cust.select(
+            "c_nationkey",
+            F.struct(
+                ((k * 6151 % 140000).cast("double") / 1000.0 - 70.0).alias("lat"),
+                ((k * 9277 % 340000).cast("double") / 1000.0 - 170.0).alias("lon"),
+            ).alias("n"),
+        )
+        .groupBy("c_nationkey")
+        .agg(F.collect_list("n").alias("nodes"))
+    )
+    agg_min = lambda f: F.array_min(F.transform("nodes", f))
+    agg_max = lambda f: F.array_max(F.transform("nodes", f))
+    return ways.select(
+        "c_nationkey",
+        agg_min(lambda n: n["lat"]).alias("minlat"),
+        agg_max(lambda n: n["lat"]).alias("maxlat"),
+        agg_min(lambda n: n["lon"]).alias("minlon"),
+        agg_max(lambda n: n["lon"]).alias("maxlon"),
+    )
+
+
+_POS_HAV = _dist.haversine_m_sql("lat", "lon", "40.712", "-74.006")
+
+@register(
+    "point_on_surface",
+    f"""
+    WITH pts AS (
+      SELECT c_nationkey, c_custkey,
+             CAST(c_custkey * 6151 % 140000 AS DOUBLE) / 1000.0 - 70.0 AS lat,
+             CAST(c_custkey * 9277 % 340000 AS DOUBLE) / 1000.0 - 170.0 AS lon
+      FROM customer),
+    d AS (SELECT c_nationkey, c_custkey, {_POS_HAV} AS dist FROM pts),
+    r AS (SELECT c_nationkey, c_custkey,
+                 row_number() OVER (PARTITION BY c_nationkey
+                                    ORDER BY dist, c_custkey) AS rn
+          FROM d)
+    SELECT c_nationkey, c_custkey AS pos_key FROM r WHERE rn = 1
+    """,
+)
+def q_point_on_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wayPointOnSurface (annotate/geo.go:13-29): the member point
+    closest to a reference point — min_by with deterministic tie-break."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        "c_nationkey",
+        "c_custkey",
+        ((k * 6151 % 140000).cast("double") / 1000.0 - 70.0).alias("lat"),
+        ((k * 9277 % 340000).cast("double") / 1000.0 - 170.0).alias("lon"),
+    )
+    d = pts.select(
+        "c_nationkey",
+        "c_custkey",
+        _dist.haversine_m("lat", "lon", F.lit(40.712), F.lit(-74.006)).alias("dist"),
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("dist", "c_custkey")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", F.col("c_custkey").alias("pos_key"))
+    )
+
+
+@register(
+    "interesting_nodes",
+    """
+    WITH way_refs AS (
+      SELECT DISTINCT l_partkey AS ref FROM lineitem),
+    nodes AS (
+      SELECT p_partkey AS id, (p_size % 4 <> 0) AS has_tags FROM part)
+    SELECT n.id FROM nodes n
+    WHERE n.has_tags OR n.id NOT IN (SELECT ref FROM way_refs)
+    """,
+)
+def q_interesting_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node interestingness skip rule (osmgeojson/convert.go:124-137):
+    keep nodes that have interesting tags OR are not way members —
+    realized as a left-anti join against exploded way refs."""
+    way_refs = (
+        _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("ref")).distinct()
+    )
+    nodes = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), (F.col("p_size") % 4 != 0).alias("has_tags")
+    )
+    boring = nodes.filter(~F.col("has_tags"))
+    boring_members = boring.join(
+        way_refs, boring["id"] == way_refs["ref"], "left_semi"
+    )
+    return nodes.join(boring_members, "id", "left_anti").select("id")
+
+
+@register(
+    "changeset_rollup",
+    """
+    SELECT o_custkey AS uid, count(*) AS n_changesets,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           min(epoch_us(o_orderdate)) AS first_us,
+           max(epoch_us(o_orderdate)) AS last_us
+    FROM orders GROUP BY 1
+    """,
+)
+def q_changeset_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changeset rollups (changeset.go:28-89): per-user counts, change
+    totals, first/last activity."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("uid")).agg(
+        F.count("*").alias("n_changesets"),
+        F.sum(F.floor(F.col("o_totalprice") * 100)).alias("total_cents"),
+        F.min(_us("o_orderdate")).alias("first_us"),
+        F.max(_us("o_orderdate")).alias("last_us"),
+    )
+
+
+@register(
+    "notes_date_codec",
+    """
+    SELECT event_id,
+           epoch_us(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                    '%Y-%m-%d %H:%M:%S')) AS parsed_us
+    FROM events
+    """,
+)
+def q_notes_date_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Notes date codec (note.go:16-49, format '2006-01-02 15:04:05'):
+    format -> parse roundtrip at second precision."""
+    ev = _t(spark, sf_dir, "events")
+    s = F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss")
+    return ev.select(
+        "event_id",
+        F.unix_micros(F.to_timestamp(s, "yyyy-MM-dd HH:mm:ss")).alias("parsed_us"),
+    )
