@@ -145,12 +145,12 @@ def q_tile_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quadkey encoding (interleaved child-index digits — the same shift
     math as tile child/parent navigation, SURVEY §1.5)."""
     pts = pages.page_points(spark, sf_dir)
-    return pts.select(
+    xy = pts.select(
         "doc_id",
-        tiles.quadkey(
-            tiles.tile_x("lon", 8), tiles.tile_y("lat", 8), 8
-        ).alias("qk"),
+        tiles.tile_x("lon", 8).alias("x"),
+        tiles.tile_y("lat", 8).alias("y"),
     )
+    return xy.select("doc_id", tiles.quadkey("x", "y", 8).alias("qk"))
 
 
 @register(
@@ -197,6 +197,61 @@ def q_tile_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("n_contained"),
+    )
+
+
+# =====================================================================
+# Raster <-> vector tile rasterization (north-star component)
+# =====================================================================
+
+_RZ, _RBITS = 6, 4  # z6 tiles, 16x16-pixel rasters (pixels = z10 sub-tiles)
+
+
+def _raster_oracle() -> str:
+    from osm_spark.geo import raster as R
+
+    zp = _RZ + _RBITS
+    mask = (1 << _RBITS) - 1
+    sparse = f"""
+    sparse AS (
+      SELECT xp >> {_RBITS} AS tile_x, yp >> {_RBITS} AS tile_y,
+             xp & {mask} AS px, yp & {mask} AS py, count(*) AS n
+      FROM (SELECT {tiles.tile_x_sql(pages.GEO_LON_SQL, zp)} AS xp,
+                   {tiles.tile_y_sql(pages.GEO_LAT_SQL, zp)} AS yp
+            FROM documents)
+      GROUP BY 1, 2, 3, 4)
+    """
+    vec = R.vectorize_sql(_RZ, _RBITS, "sparse")
+    return (
+        f"WITH {sparse} SELECT tile_x, tile_y, px, py, "
+        f"CAST(floor(lat * 1e6) AS BIGINT) AS lat_e6, "
+        f"CAST(floor(lon * 1e6) AS BIGINT) AS lon_e6, n FROM ({vec})"
+    )
+
+
+@register("raster_vector_roundtrip", _raster_oracle())
+def q_raster_vector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster->vector round trip: sparse rasterize (one groupBy) ->
+    dense numpy grid fill per tile (applyInPandas over <=4^res_bits-row
+    groups — skew-proof; see geo/raster.py) -> posexplode back to
+    nonzero pixels -> inverse-Mercator pixel centroids. The oracle
+    computes the same pixels + centers directly in SQL, so the dense
+    fill and re-extraction must be lossless to match."""
+    from osm_spark.geo import raster as R
+
+    pts = pages.page_points(spark, sf_dir)
+    sparse = R.rasterize_sparse(pts, _RZ, _RBITS)
+    dense = R.rasterize_dense(sparse, _RBITS)
+    back = R.dense_to_sparse(dense, _RBITS)
+    vec = R.vectorize(back, _RZ, _RBITS)
+    return vec.select(
+        "tile_x",
+        "tile_y",
+        "px",
+        "py",
+        F.floor(F.col("lat") * 1e6).cast("long").alias("lat_e6"),
+        F.floor(F.col("lon") * 1e6).cast("long").alias("lon_e6"),
+        "n",
     )
 
 
