@@ -385,3 +385,68 @@ def assemble_multipolygons_df(relations, way_geoms):
         )
 
     return joined.groupBy("rel_id").applyInPandas(kernel, schema=out_schema)
+
+
+def assemble_routes_df(relations, way_geoms):
+    """Distributed route-linestring assembly (convert.go:233-301 via the
+    same explode -> join -> applyInPandas shape as multipolygons).
+
+    relations: (rel_id long, members array<struct<type:string, ref:long,
+               role:string, orientation:int>>)
+    way_geoms: (ref long, line array<struct<lon:double, lat:double>>)
+
+    Returns one row per joined line:
+    (rel_id, line_idx, line array<struct<lon,lat>>, tainted).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, DoubleType, IntegerType, LongType,
+        StructField, StructType,
+    )
+
+    exploded = relations.select(
+        "rel_id", F.posexplode("members").alias("midx", "m")
+    ).select(
+        "rel_id",
+        "midx",
+        F.col("m.type").alias("mtype"),
+        F.col("m.ref").alias("ref"),
+    )
+    joined = exploded.join(way_geoms, "ref", "left")
+
+    out_schema = StructType(
+        [
+            StructField("rel_id", LongType()),
+            StructField("line_idx", IntegerType()),
+            StructField(
+                "line",
+                ArrayType(
+                    StructType(
+                        [StructField("lon", DoubleType()), StructField("lat", DoubleType())]
+                    )
+                ),
+            ),
+            StructField("tainted", BooleanType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("midx")
+        rel_id = int(pdf["rel_id"].iloc[0])
+        members = []
+        way_lines = {}
+        for r in pdf.itertuples():
+            members.append({"type": r.mtype, "ref": int(r.ref)})
+            if r.line is not None and not isinstance(r.line, float):
+                way_lines[int(r.ref)] = [
+                    (float(p["lon"]), float(p["lat"])) for p in r.line
+                ]
+        res = build_route_linestrings(members, way_lines)
+        rows = [
+            (rel_id, li, [{"lon": x, "lat": y} for x, y in line], res["tainted"])
+            for li, line in enumerate(res["lines"])
+        ]
+        return pd.DataFrame(rows, columns=["rel_id", "line_idx", "line", "tainted"])
+
+    return joined.groupBy("rel_id").applyInPandas(kernel, schema=out_schema)

@@ -201,6 +201,99 @@ def q_tile_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Route linestring assembly (SURVEY §3.3 — convert.go:233-301)
+# =====================================================================
+
+_ROUTE_ORACLE = """
+WITH k AS (SELECT s_suppkey AS rel_id FROM supplier WHERE s_suppkey < 30),
+p AS (
+  SELECT rel_id, i,
+         CAST((rel_id * 9277 + i * 2003) % 340000 AS DOUBLE) / 1000.0 - 170.0 AS lon,
+         CAST((rel_id * 6151 + i * 4001) % 160000 AS DOUBLE) / 1000.0 - 80.0  AS lat
+  FROM k, (VALUES (0),(1),(2),(3)) AS t(i)),
+dir AS (
+  SELECT a.rel_id,
+         (a.lon < b.lon OR (a.lon = b.lon AND a.lat <= b.lat)) AS fwd
+  FROM p a JOIN p b ON a.rel_id = b.rel_id AND a.i = 0 AND b.i = 3)
+SELECT p.rel_id, 0 AS line_idx,
+       CASE WHEN dir.fwd THEN p.i ELSE 3 - p.i END AS point_idx,
+       CAST(floor(p.lon * 1000000.0) AS BIGINT) AS lon_e6,
+       CAST(floor(p.lat * 1000000.0) AS BIGINT) AS lat_e6
+FROM p JOIN dir USING (rel_id)
+"""
+
+
+@register("route_linestring", _ROUTE_ORACLE)
+def q_route_linestring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route relations (3 member ways forming a chain, middle way
+    REVERSED so the greedy join must flip it) assembled through the
+    distributed applyInPandas kernel; output canonicalized to ascending
+    endpoint order so Spark and the oracle agree on direction."""
+    from osm_spark.geom.assembly import assemble_routes_df
+
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 30)
+    k = F.col("s_suppkey").cast("long")
+
+    def lon(i: int):
+        return ((k * 9277 + i * 2003) % 340000).cast("double") / 1000.0 - 170.0
+
+    def lat(i: int):
+        return ((k * 6151 + i * 4001) % 160000).cast("double") / 1000.0 - 80.0
+
+    def pt(i: int):
+        return F.struct(lon(i).alias("lon"), lat(i).alias("lat"))
+
+    def member(w: int):
+        return F.struct(
+            F.lit("way").alias("type"),
+            (k * 10 + w).alias("ref"),
+            F.lit("").alias("role"),
+            F.lit(0).alias("orientation"),
+        )
+
+    relations = s.select(
+        k.alias("rel_id"),
+        F.array(member(0), member(1), member(2)).alias("members"),
+    )
+    way_geoms = s.select(
+        k.alias("rel_id"),
+        F.explode(
+            F.array(
+                F.struct((k * 10).alias("ref"), F.array(pt(0), pt(1)).alias("line")),
+                F.struct(
+                    (k * 10 + 1).alias("ref"), F.array(pt(2), pt(1)).alias("line")
+                ),
+                F.struct(
+                    (k * 10 + 2).alias("ref"), F.array(pt(2), pt(3)).alias("line")
+                ),
+            )
+        ).alias("w"),
+    ).select(F.col("w.ref").alias("ref"), F.col("w.line").alias("line"))
+
+    routes = assemble_routes_df(relations, way_geoms)
+    first, last = F.col("line")[0], F.element_at("line", -1)
+    fwd = (first["lon"] < last["lon"]) | (
+        (first["lon"] == last["lon"]) & (first["lat"] <= last["lat"])
+    )
+    canon = routes.select(
+        "rel_id",
+        "line_idx",
+        F.when(fwd, F.col("line")).otherwise(F.reverse("line")).alias("line"),
+    )
+    return canon.select(
+        "rel_id",
+        "line_idx",
+        F.posexplode("line").alias("point_idx", "p"),
+    ).select(
+        "rel_id",
+        "line_idx",
+        "point_idx",
+        F.floor(F.col("p.lon") * 1e6).cast("long").alias("lon_e6"),
+        F.floor(F.col("p.lat") * 1e6).cast("long").alias("lat_e6"),
+    )
+
+
+# =====================================================================
 # Raster <-> vector tile rasterization (north-star component)
 # =====================================================================
 
@@ -947,7 +1040,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SH3 = _dd.shingles_sql("text", 3)
 _SIG_COLS = ",\n           ".join(
-    f"min(md5('{i}|' || sh)) AS s{i}" for i in range(8)
+    f"min(substr(md5('{i // 4}|' || sh), {(i % 4) * 8 + 1}, 8)) AS s{i}"
+    for i in range(8)
 )
 _BANDS_SQL = "\n      UNION ALL\n      ".join(
     f"SELECT doc_id, {b} AS band, s{2*b} || '|' || s{2*b+1} AS band_key FROM sig"

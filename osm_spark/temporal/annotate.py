@@ -366,13 +366,104 @@ def _make_kernel(threshold_sec: float, ignore_inconsistency: bool):
     return kernel
 
 
+def _fast_sql_path(slots: DataFrame, children: DataFrame) -> DataFrame:
+    """The post-CommitInfoStart path of FindVisible/nextVersionIndex
+    (types.go:101-104, compute.go:145-197) as pure JVM DataFrame ops —
+    the plan SURVEY §2.3 prescribes: equi-join on ref + per-slot ordered
+    reduction. Mirrors ``_fast_path``'s numpy logic expression-for-
+    expression:
+
+    - ``pick``      = argmax vidx with child.committed <= parent.committed
+    - ``start``     = pick+1 if pick visible else #(committed < parent's)
+    - ``nv``        = upper bound from the next parent version
+    - 'set' row     = the pick, when visible
+    - 'update' rows = visible children with vidx in [start, nv)
+
+    Valid only for refs where every relevant commit timestamp is known,
+    >= CommitInfoStart, and nondecreasing in version order — the caller
+    routes all other refs to the branch-exact Python kernel. Assumes
+    ignore_inconsistency (no 'error' rows)."""
+    cis = F.lit(COMMIT_INFO_START.to_pydatetime())
+    w = Window.partitionBy("ref").orderBy("version")
+    has_rev = "reverse" in children.columns
+    ch = children.withColumn("vidx", F.row_number().over(w) - 1)
+    if not has_rev:
+        ch = ch.withColumn("reverse", F.lit(None).cast("boolean"))
+
+    j = slots.join(ch, "ref")
+    C, PC, NC = F.col("committed"), F.col("parent_committed"), F.col("next_committed")
+    crow = F.struct("vidx", "visible", "version", "changeset", "lat", "lon",
+                    "committed")
+    slot_cols = ["pid", "parent_version", "parent_ts", "idx", "ref",
+                 "parent_visible", "parent_committed", "next_ts",
+                 "next_committed"]
+    agg = j.groupBy(*slot_cols).agg(
+        F.max(F.when(C <= PC, crow)).alias("pick"),
+        F.max(F.when(C <= NC, crow)).alias("nxt"),
+        F.sum(F.when(C < PC, 1).otherwise(0)).alias("start_ss"),
+        F.sum(F.when(C < NC, 1).otherwise(0)).alias("vb"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pick_ok = F.col("pick").isNotNull() & F.col("pick.visible")
+    has_next = F.col("next_ts").isNotNull()
+    n_ok = F.col("nxt").isNotNull() & F.col("nxt.visible")
+    nv_next = F.col("nxt.vidx") + (F.col("nxt.committed") < NC).cast("int")
+    cond_zero = pick_ok & ~(NC > F.col("pick.committed"))
+    nv_nonext = F.when(cond_zero, F.lit(0)).otherwise(F.col("vb"))
+    ann = agg.where("parent_visible").select(
+        "pid", "parent_version", "parent_ts", "idx", "ref",
+        F.col("pick"),
+        pick_ok.alias("pick_ok"),
+        F.when(pick_ok, F.col("pick.vidx") + 1)
+        .otherwise(F.col("start_ss"))
+        .cast("long")
+        .alias("start"),
+        F.when(~has_next, F.col("n"))
+        .otherwise(F.when(n_ok, nv_next).otherwise(nv_nonext))
+        .cast("long")
+        .alias("nv"),
+    )
+    sets = ann.where("pick_ok").select(
+        "pid", "parent_version", "parent_ts", "idx",
+        F.lit("set").alias("kind"),
+        F.col("pick.version").cast("int").alias("child_version"),
+        F.col("pick.changeset").alias("child_changeset"),
+        F.col("pick.lat").alias("lat"),
+        F.col("pick.lon").alias("lon"),
+        F.lit(None).cast("timestamp").alias("uts"),
+        F.lit(None).cast("boolean").alias("reverse"),
+    )
+    upds = (
+        ann.where(F.col("start") < F.col("nv"))
+        .select(
+            "pid", "parent_version", "parent_ts", "idx", "ref",
+            F.explode(F.sequence("start", F.col("nv") - 1)).alias("vidx"),
+        )
+        .join(ch, ["ref", "vidx"])
+        .where("visible")
+        .select(
+            "pid", "parent_version", "parent_ts", "idx",
+            F.lit("update").alias("kind"),
+            F.col("version").cast("int").alias("child_version"),
+            F.col("changeset").alias("child_changeset"),
+            "lat", "lon",
+            # shared/child.go:105-111
+            F.when(F.col("ts") < cis, F.col("ts"))
+            .otherwise(F.col("committed"))
+            .alias("uts"),
+            F.coalesce("reverse", F.lit(False)).alias("reverse"),
+        )
+    )
+    return sets.unionByName(upds)
+
+
 def annotate_refs(
     parents: DataFrame,
     children: DataFrame,
     threshold_sec: float = DEFAULT_THRESHOLD_SEC,
     ignore_inconsistency: bool = True,
 ) -> DataFrame:
-    """Core as-of annotation (compute.go:38-143) as a cogrouped kernel.
+    """Core as-of annotation (compute.go:38-143).
 
     parents:  (pid, version, visible, changeset, ts, committed,
                refs array<struct<ref:long>> — positional)
@@ -382,6 +473,13 @@ def annotate_refs(
     child_changeset, lat, lon, uts) where kind='set' is the major-version
     assignment (SetChild, way.go:111-120) and kind='update' the minor
     versions between parent versions.
+
+    Plan: refs whose commit metadata is modern (post-CommitInfoStart,
+    known, monotone) run the pure-JVM join/window plan
+    (:func:`_fast_sql_path`); the rest — the pre-2012 eps-threshold
+    tail, a vanishing fraction at scale — go through the branch-exact
+    cogrouped Python kernel. ``ignore_inconsistency=False`` (error
+    surfacing) forces everything through the kernel.
     """
     w = Window.partitionBy("pid").orderBy("version", "ts")
     p = (
@@ -404,11 +502,60 @@ def annotate_refs(
         .drop("_r")
     )
     kernel = _make_kernel(threshold_sec, ignore_inconsistency)
-    return (
-        p.groupBy("ref")
-        .cogroup(children.groupBy("ref"))
-        .applyInPandas(kernel, schema=_OUT_SCHEMA)
+
+    def _cogroup(slots_df, child_df):
+        return (
+            slots_df.groupBy("ref")
+            .cogroup(child_df.groupBy("ref"))
+            .applyInPandas(kernel, schema=_OUT_SCHEMA)
+        )
+
+    if not ignore_inconsistency:
+        return _cogroup(p, children)
+
+    cis = F.lit(COMMIT_INFO_START.to_pydatetime())
+    wc = Window.partitionBy("ref").orderBy("version")
+    bad_child = (
+        children.withColumn("_pc", F.lag("committed").over(wc))
+        .groupBy("ref")
+        .agg(
+            F.max(
+                F.col("committed").isNull()
+                | (F.col("committed") < cis)
+                | (F.col("_pc").isNotNull() & (F.col("committed") < F.col("_pc")))
+            ).alias("bad")
+        )
+        .where("bad")
+        .select("ref")
     )
+    bad_parent = (
+        p.groupBy("ref")
+        .agg(
+            F.max(
+                F.col("parent_committed").isNull()
+                | (F.col("parent_committed") < cis)
+                | (
+                    F.col("next_ts").isNotNull()
+                    & (
+                        F.col("next_committed").isNull()
+                        | (F.col("next_committed") < cis)
+                    )
+                )
+            ).alias("bad")
+        )
+        .where("bad")
+        .select("ref")
+    )
+    slow_refs = bad_child.unionByName(bad_parent).distinct()
+    fast = _fast_sql_path(
+        p.join(slow_refs, "ref", "left_anti"),
+        children.join(slow_refs, "ref", "left_anti"),
+    )
+    slow = _cogroup(
+        p.join(slow_refs, "ref", "left_semi"),
+        children.join(slow_refs, "ref", "left_semi"),
+    )
+    return fast.unionByName(slow)
 
 
 def annotate_ways(
