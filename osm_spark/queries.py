@@ -1038,6 +1038,41 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.exact_dedup(_docs2(spark, sf_dir))
 
 
+_NGRAM_ORACLE = f"""
+WITH {_DOCS2_SQL},
+d AS (
+  SELECT doc_id, text, CAST(floor(len(text) / 32.0) AS BIGINT) AS blk
+  FROM docs2 WHERE doc_id % 5 = 0),
+shl AS (SELECT doc_id, blk, {_dd.char_shingles_sql('text', 4)} AS sh FROM d),
+sizes AS (SELECT doc_id, len(sh) AS ns FROM shl),
+sh AS (SELECT doc_id, blk, unnest(sh) AS g FROM shl),
+cand AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM d l JOIN d r ON l.blk = r.blk AND l.doc_id < r.doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM sh x JOIN sh y
+    ON x.blk = y.blk AND x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2)
+SELECT c.a, c.b,
+       CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+       CAST(sa.ns + sb.ns - coalesce(i.inter, 0) AS BIGINT) AS uni
+FROM cand c
+LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN sizes sa ON sa.doc_id = c.a
+JOIN sizes sb ON sb.doc_id = c.b
+"""
+
+
+@register("ngram_jaccard", _NGRAM_ORACLE)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-4-gram Jaccard near-dup with length-bucket blocking
+    (text/dedup.py ngram_jaccard_pairs): exact inter/union over distinct
+    grams via an exploded equi-join — all JVM, AQE splits hot grams."""
+    docs = _docs2(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    return _dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=4, block_len=32)
+
+
 _SH3 = _dd.shingles_sql("text", 3)
 _SIG_COLS = ",\n           ".join(
     f"min(substr(md5('{i // 4}|' || sh), {(i % 4) * 8 + 1}, 8)) AS s{i}"
@@ -1685,6 +1720,54 @@ def q_json_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (parsed["type"] == typ)
         ).alias("rt_ok"),
         F.element_at(parsed["tags"], "priority").alias("tag_v"),
+    )
+
+
+@register(
+    "xml_codec_roundtrip",
+    """
+    SELECT o_orderkey AS id,
+           CAST(o_orderkey % 170 AS DOUBLE) - 85.0 AS lat,
+           CAST(o_orderkey % 360 AS DOUBLE) - 180.0 AS lon,
+           CAST(o_orderkey % 7 + 1 AS INT) AS version,
+           o_custkey AS changeset,
+           o_orderpriority AS tag_v,
+           TRUE AS rt_ok
+    FROM orders
+    """,
+)
+def q_xml_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OSM XML codec (osmxml scan / osm.go:205-282 write shape):
+    attribute-style <node id lat lon version changeset> with ordered
+    <tag k v/> children, rendered with to_xml and parsed back with
+    from_xml — all JVM. Any attribute/child asymmetry breaks the
+    roundtrip flag and the oracle match."""
+    from osm_spark.functions import xml_codec as X
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    lat = (k % 170).cast("double") - 85.0
+    lon = (k % 360).cast("double") - 180.0
+    ver = (k % 7 + 1).cast("int")
+    tags = F.array(
+        F.struct(F.lit("priority").alias("k"), F.col("o_orderpriority").alias("v"))
+    )
+    node = X.node_struct(k, lat, lon, ver, F.col("o_custkey"), tags)
+    parsed = X.xml_to_node(X.node_to_xml(node)).alias("p")
+    return orders.select(
+        k.alias("id"),
+        parsed["_lat"].alias("lat"),
+        parsed["_lon"].alias("lon"),
+        parsed["_version"].alias("version"),
+        parsed["_changeset"].alias("changeset"),
+        parsed["tag"][0]["_v"].alias("tag_v"),
+        (
+            (parsed["_id"] == k)
+            & (parsed["_lat"] == lat)
+            & (parsed["_lon"] == lon)
+            & (parsed["_version"] == ver)
+            & (parsed["tag"][0]["_k"] == F.lit("priority"))
+        ).alias("rt_ok"),
     )
 
 

@@ -165,3 +165,70 @@ def simhash16(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def char_shingles(text, n: int = 4) -> Column:
+    """Distinct character n-grams as array<string> (1-based positions,
+    mirrors shingles() word form)."""
+    c = F.col(text) if isinstance(text, str) else text
+    k = F.length(c) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k), lambda i: c.substr(i, F.lit(n))
+    )
+    return F.array_distinct(
+        F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def char_shingles_sql(text: str, n: int = 4) -> str:
+    """DuckDB twin of :func:`char_shingles` (range() end-exclusive)."""
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({text}) - {n - 1}, 0) + 1), "
+        f"i -> substr({text}, i, {n})))"
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 4, block_len: int = 32,
+) -> DataFrame:
+    """Blocked exact character-n-gram Jaccard: candidate pairs share a
+    text-length bucket (cheap blocking key — near-dups have near-equal
+    length), then inter/union over DISTINCT n-grams via an exploded
+    equi-join. All JVM; the n-gram explode is the widest stage and
+    shuffles on (block, gram), so hot grams split across AQE skew
+    partitions. Returns (a, b, inter, uni)."""
+    d = docs.select(
+        F.col(id_col).alias("_id"),
+        F.floor(F.length(text_col) / block_len).alias("blk"),
+        char_shingles(text_col, n).alias("sh"),
+    )
+    sizes = d.select("_id", F.size("sh").alias("ns"))
+    cand = (
+        d.select("_id", "blk").alias("l")
+        .join(d.select("_id", "blk").alias("r"), "blk")
+        .where(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+    )
+    sh = d.select("_id", "blk", F.explode("sh").alias("g"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), ["blk", "g"])
+        .where(F.col("x._id") < F.col("y._id"))
+        .groupBy(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        cand.join(inter, ["a", "b"], "left")
+        .join(sizes.withColumnRenamed("_id", "a").withColumnRenamed("ns", "nsa"), "a")
+        .join(sizes.withColumnRenamed("_id", "b").withColumnRenamed("ns", "nsb"), "b")
+        .select(
+            "a",
+            "b",
+            F.coalesce("inter", F.lit(0)).cast("long").alias("inter"),
+            (F.col("nsa") + F.col("nsb") - F.coalesce("inter", F.lit(0)))
+            .cast("long")
+            .alias("uni"),
+        )
+    )
