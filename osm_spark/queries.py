@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from osm_spark.core import ids
@@ -869,6 +869,113 @@ _CUST_PTS_SQL = """
       FROM customer)
 """
 
+@register(
+    "way_linestring",
+    f"""
+    WITH {_CUST_PTS_SQL}
+    SELECT c_nationkey AS way_id,
+           CAST(row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_custkey) - 1 AS INT) AS pos,
+           CAST(floor(lon * 1000000.0) AS BIGINT) AS lon_e6,
+           CAST(floor(lat * 1000000.0) AS BIGINT) AS lat_e6,
+           (c_nationkey % 2 = 0) AS tainted
+    FROM pts
+    """,
+)
+def q_way_linestring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Way-geometry resolution (wayToLineString, convert.go:185-199):
+    posexplode the way's node refs -> hash join the nodes table ->
+    array_sort(collect_list) back into an ordered line. Unresolvable
+    refs (here: a bogus trailing ref on even ways) are skipped and mark
+    the way tainted (convert.go:167,189 nil-point skip)."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    nodes = cust.select(
+        k.alias("ref"),
+        ((k * 6151 % 140000).cast("double") / 1000.0 - 70.0).alias("lat"),
+        ((k * 9277 % 340000).cast("double") / 1000.0 - 170.0).alias("lon"),
+    )
+    ways = (
+        cust.groupBy(F.col("c_nationkey").alias("way_id"))
+        .agg(F.array_sort(F.collect_list(k)).alias("refs"))
+        .select(
+            "way_id",
+            # even ways get a trailing ref that resolves to nothing
+            F.when(
+                F.col("way_id") % 2 == 0,
+                F.concat("refs", F.array(F.lit(-1).cast("long"))),
+            )
+            .otherwise(F.col("refs"))
+            .alias("refs"),
+        )
+    )
+    slots = ways.select("way_id", F.posexplode("refs").alias("pos", "ref"))
+    resolved = slots.join(nodes, "ref", "left")
+    lines = (
+        resolved.groupBy("way_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("lat").isNotNull(),
+                        F.struct("pos", "lon", "lat"),
+                    )
+                )
+            ).alias("line"),
+            F.max(F.col("lat").isNull()).alias("tainted"),
+        )
+    )
+    return lines.select(
+        "way_id",
+        F.posexplode(F.transform("line", lambda p: F.struct(p["lon"], p["lat"]))).alias(
+            "pos", "p"
+        ),
+        "tainted",
+    ).select(
+        "way_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.floor(F.col("p.lon") * 1e6).cast("long").alias("lon_e6"),
+        F.floor(F.col("p.lat") * 1e6).cast("long").alias("lat_e6"),
+        "tainted",
+    )
+
+
+@register(
+    "relation_membership",
+    """
+    SELECT c.c_custkey AS ref, s.s_suppkey AS rel_id,
+           CASE (c.c_custkey + s.s_suppkey) % 3 WHEN 0 THEN 'outer'
+                WHEN 1 THEN 'inner' ELSE '' END AS role
+    FROM customer c
+    JOIN supplier s ON s.s_suppkey = c.c_custkey % 100
+    WHERE c.c_custkey % 4 = 1
+    """,
+)
+def q_relation_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation-membership map (convert.go:60-90): explode relation
+    members, broadcast-join back onto the feature table — features get
+    the list of relations that reference them."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    members = supp.select(
+        k.alias("rel_id"),
+        F.explode(F.array(F.struct(k.alias("ref")))).alias("m"),
+    ).select("rel_id", F.col("m.ref").alias("ref_key"))
+    features = cust.where(F.col("c_custkey") % 4 == 1).select(
+        F.col("c_custkey").alias("ref")
+    )
+    joined = features.join(
+        F.broadcast(members), features["ref"] % 100 == members["ref_key"]
+    )
+    role = (
+        F.when((F.col("ref") + F.col("rel_id")) % 3 == 0, "outer")
+        .when((F.col("ref") + F.col("rel_id")) % 3 == 1, "inner")
+        .otherwise("")
+    )
+    return joined.select("ref", "rel_id", role.alias("role"))
+
+
 _HAV = _dist.haversine_m_sql("lat", "lon", "lat2", "lon2")
 
 @register(
@@ -1624,6 +1731,42 @@ _REPL_ORACLE_BASE = f"""
              lag(ver) OVER (PARTITION BY user_id ORDER BY ver) AS prev_in_batch
       FROM ev WHERE ts > TIMESTAMP '{_REPL_CUTOFF}')
 """
+
+@register(
+    "replication_seqnum_search",
+    """
+    WITH states AS (
+      SELECT CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS seq, m
+      FROM (SELECT DISTINCT date_trunc('minute', ts) AS m FROM events)),
+    probes AS (SELECT event_id, ts FROM events WHERE event_id % 97 = 0)
+    SELECT p.event_id,
+           (SELECT max(s.seq) FROM states s WHERE s.m <= p.ts) AS seq
+    FROM probes p
+    """,
+)
+def q_replication_seqnum_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timestamp -> sequence-number search (replication/search.go:184-315
+    searchTimestamp): the state-file index is tiny relative to the
+    probes, so the binary search becomes a BROADCAST as-of lookup —
+    probes range-join the broadcast state table on state_ts <= probe_ts,
+    take max(seq). Probes before the first state resolve to NULL (the
+    reference's not-found error)."""
+    ev = _t(spark, sf_dir, "events")
+    states = (
+        ev.select(F.date_trunc("minute", "ts").alias("m"))
+        .distinct()
+        .select(
+            F.row_number().over(Window.orderBy("m")).cast("long").alias("seq"),
+            "m",
+        )
+    )
+    probes = ev.where(F.col("event_id") % 97 == 0).select("event_id", "ts")
+    return (
+        probes.join(F.broadcast(states), states["m"] <= probes["ts"], "left")
+        .groupBy("event_id")
+        .agg(F.max("seq").alias("seq"))
+    )
+
 
 @register(
     "replication_actions",
