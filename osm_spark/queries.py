@@ -1641,16 +1641,21 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "child_first_depth",
     """
-    WITH RECURSIVE nodes AS (
-      SELECT o_orderkey AS id FROM orders WHERE o_orderkey < 1000),
-    edges AS (
-      SELECT p.id AS parent, c.id AS child
-      FROM nodes p JOIN nodes c ON c.id = p.id * 2 OR c.id = p.id * 2 + 1),
-    walk(root, node, d) AS (
-      SELECT id, id, 0 FROM nodes
-      UNION ALL
-      SELECT w.root, e.child, w.d + 1 FROM walk w JOIN edges e ON e.parent = w.node)
-    SELECT root AS id, CAST(max(d) AS INT) AS depth FROM walk GROUP BY 1
+    WITH nodes AS (
+      -- id 0 excluded: 0*2 = 0 self-loop (the engine's walk is
+      -- cycle-tolerant; a recursive-CTE oracle is not — and DuckDB's
+      -- recursive CTE on this shape took minutes, so the oracle uses
+      -- the closed form instead: with ids dense 1..max, the deepest
+      -- descendant of id is its leftmost chain id*2^d, which exists
+      -- iff id*2^d <= max)
+      SELECT o_orderkey AS id FROM orders
+      WHERE o_orderkey >= 1 AND o_orderkey < 1000),
+    mx AS (SELECT max(id) AS m FROM nodes),
+    gens AS (SELECT unnest(range(0, 11)) AS d)
+    SELECT n.id, CAST(max(g.d) AS INT) AS depth
+    FROM nodes n, mx, gens g
+    WHERE n.id * (1 << g.d) <= mx.m
+    GROUP BY 1
     """,
 )
 def q_child_first_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1660,7 +1665,7 @@ def q_child_first_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes = (
         _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") < 1000)
+        .filter((F.col("o_orderkey") >= 1) & (F.col("o_orderkey") < 1000))
         .select(F.col("o_orderkey").alias("id"))
     )
     e1 = nodes.select(F.col("id").alias("parent"), (F.col("id") * 2).alias("child"))
@@ -1680,7 +1685,7 @@ def q_child_first_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events as a replication change batch. Runs the REAL apply_change_batch
 # kernel; the oracle mirrors the action derivation with window lag.
 
-_REPL_CUTOFF = "2024-06-01 00:00:00"
+_REPL_CUTOFF = "2024-01-20 00:00:00"
 
 def _repl_inputs(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window

@@ -47,9 +47,11 @@ def main() -> int:
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = []
+    import time
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
@@ -76,7 +78,8 @@ def main() -> int:
             continue
         try:
             pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
-            print(f"OK   {name}: {len(s)} rows, {len(s.columns)} cols")
+            print(f"OK   {name}: {len(s)} rows, {len(s.columns)} cols"
+                  f" [{time.time() - t0:.1f}s]", flush=True)
         except AssertionError as ex:
             print(f"FAIL {name}: value mismatch\n{str(ex)[:800]}")
             failures.append(name)
