@@ -976,6 +976,100 @@ def q_relation_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("ref", "rel_id", role.alias("role"))
 
 
+_LSAT_T = "2024-01-01 00:03:00"
+
+@register(
+    "linestring_at",
+    f"""
+    WITH {_CUST_PTS_SQL},
+    slots AS (
+      SELECT c_nationkey AS way_id, c_custkey AS ck,
+             CAST(row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_custkey) - 1 AS INT) AS pos,
+             CASE WHEN c_custkey % 7 = 0 THEN 0.0 ELSE lat END AS lat0,
+             CASE WHEN c_custkey % 7 = 0 THEN 0.0 ELSE lon END AS lon0,
+             lat AS tlat, lon AS tlon
+      FROM pts),
+    upd AS (
+      SELECT way_id, pos,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + (ck % 5) * INTERVAL 1 MINUTE AS uts,
+             tlat + 0.01 AS ulat, tlon + 0.01 AS ulon
+      FROM slots WHERE ck % 3 = 0),
+    last_upd AS (
+      SELECT way_id, pos, max_by(ulat, uts) AS ulat, max_by(ulon, uts) AS ulon
+      FROM upd WHERE uts <= TIMESTAMP '{_LSAT_T}' GROUP BY 1, 2),
+    applied AS (
+      SELECT s.way_id, s.pos,
+             coalesce(u.ulat, s.lat0) AS lat, coalesce(u.ulon, s.lon0) AS lon
+      FROM slots s LEFT JOIN last_upd u
+        ON u.way_id = s.way_id AND u.pos = s.pos),
+    kept AS (SELECT * FROM applied WHERE lat <> 0.0 OR lon <> 0.0)
+    SELECT way_id,
+           CAST(row_number() OVER (PARTITION BY way_id ORDER BY pos) - 1
+                AS INT) AS pos,
+           CAST(floor(lon * 1000000.0) AS BIGINT) AS lon_e6,
+           CAST(floor(lat * 1000000.0) AS BIGINT) AS lat_e6
+    FROM kept
+    """,
+)
+def q_linestring_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LineStringAt(t) (way.go:118-148,166-198): apply child updates with
+    ts <= t in timestamp order onto the annotated node slots (last write
+    per slot wins), then drop never-annotated (0,0) sentinel slots and
+    compact positions. Zero slots touched by an in-window update become
+    visible — sentinel semantics, not null semantics."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    w = Window.partitionBy("way_id").orderBy("ck")
+    pts = cust.select(
+        F.col("c_nationkey").alias("way_id"),
+        k.alias("ck"),
+        ((k * 6151 % 140000).cast("double") / 1000.0 - 70.0).alias("tlat"),
+        ((k * 9277 % 340000).cast("double") / 1000.0 - 170.0).alias("tlon"),
+    )
+    ck = F.col("ck")
+    slots = pts.select(
+        "way_id",
+        "ck",
+        (F.row_number().over(w) - 1).cast("int").alias("pos"),
+        F.when(ck % 7 == 0, 0.0).otherwise(F.col("tlat")).alias("lat0"),
+        F.when(ck % 7 == 0, 0.0).otherwise(F.col("tlon")).alias("lon0"),
+        "tlat",
+        "tlon",
+    )
+    t0 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    upd = slots.where(ck % 3 == 0).select(
+        "way_id",
+        "pos",
+        (t0 + F.make_interval(mins=(ck % 5).cast("int"))).alias("uts"),
+        (F.col("tlat") + 0.01).alias("ulat"),
+        (F.col("tlon") + 0.01).alias("ulon"),
+    )
+    last_upd = (
+        upd.where(F.col("uts") <= F.lit(_LSAT_T).cast("timestamp"))
+        .groupBy("way_id", "pos")
+        .agg(
+            F.max_by("ulat", "uts").alias("ulat"),
+            F.max_by("ulon", "uts").alias("ulon"),
+        )
+    )
+    applied = slots.join(last_upd, ["way_id", "pos"], "left").select(
+        "way_id",
+        "pos",
+        F.coalesce("ulat", "lat0").alias("lat"),
+        F.coalesce("ulon", "lon0").alias("lon"),
+    )
+    kept = applied.where((F.col("lat") != 0.0) | (F.col("lon") != 0.0))
+    wk = Window.partitionBy("way_id").orderBy("pos")
+    return kept.select(
+        "way_id",
+        (F.row_number().over(wk) - 1).cast("int").alias("pos"),
+        F.floor(F.col("lon") * 1e6).cast("long").alias("lon_e6"),
+        F.floor(F.col("lat") * 1e6).cast("long").alias("lat_e6"),
+    )
+
+
 _HAV = _dist.haversine_m_sql("lat", "lon", "lat2", "lon2")
 
 @register(
