@@ -513,6 +513,13 @@ def annotate_refs(
     if not ignore_inconsistency:
         return _cogroup(p, children)
 
+    # Both inputs feed four consumers (bad-ref detection, fast path,
+    # slow-path semi joins); without persistence the whole upstream
+    # (scan + explode + lead window) replans per consumer — measured 78
+    # exchanges / ~20 rescans of the source in one query plan.
+    p = p.persist()
+    children = children.persist()
+
     cis = F.lit(COMMIT_INFO_START.to_pydatetime())
     wc = Window.partitionBy("ref").orderBy("version")
     bad_child = (
