@@ -294,6 +294,114 @@ def q_route_linestring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# osmgeojson.Convert integration (SURVEY §3.3 — convert.go:35-149)
+# =====================================================================
+
+_GEOJSON_ORACLE = """
+WITH cust AS (
+  SELECT c_custkey AS ck, c_nationkey AS nk FROM customer),
+waycnt AS (SELECT nk, count(*) AS n FROM cust GROUP BY 1),
+way_feats AS (
+  SELECT 'way' AS kind, 1000 + nk AS fid,
+         CASE WHEN nk % 2 = 0 THEN 'Polygon' ELSE 'LineString' END AS geom,
+         CAST(n + (CASE WHEN nk % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_points
+  FROM waycnt WHERE nk % 5 <> 0),
+node_feats AS (
+  -- every customer is a way member by construction, so the skip rule
+  -- (member AND boring) reduces to: emit iff interesting (ck%3=0)
+  SELECT 'node' AS kind, ck AS fid, 'Point' AS geom, CAST(1 AS BIGINT)
+           AS n_points
+  FROM cust WHERE ck % 3 = 0)
+SELECT * FROM way_feats UNION ALL SELECT * FROM node_feats
+"""
+
+
+@register("geojson_convert", _GEOJSON_ORACLE)
+def q_geojson_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Convert pipeline composed end-to-end from the real operators
+    (convert.go:35-149): per-nation ways (even nations closed with
+    building=yes, odd open with highway=road) classified by the REAL
+    Way.Polygon() condition table; relation-member ways without
+    interesting own tags skipped (the skippable-ways rule,
+    convert.go:114-116 — modeled as nation%5==0); nodes skipped iff
+    way-member AND not interesting (convert.go:124-137) using the real
+    UninterestingTags blocklist. Ring/route assembly is exercised by
+    multipolygon_assembly / route_linestring; this query verifies the
+    feature-selection and classification layer over them."""
+    from osm_spark.functions import polygon as P
+    from osm_spark.functions import tags as T
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_nationkey").alias("nk")
+    )
+    node_tags = F.when(
+        F.col("ck") % 3 == 0, F.create_map(F.lit("amenity"), F.lit("cafe"))
+    ).otherwise(F.create_map(F.lit("created_by"), F.lit("autobot")))
+    nodes = cust.select("ck", "nk", node_tags.alias("tags"))
+
+    refs = (
+        cust.groupBy("nk")
+        .agg(F.array_sort(F.collect_list("ck")).alias("refs"))
+        .select(
+            "nk",
+            F.when(
+                F.col("nk") % 2 == 0,
+                F.concat("refs", F.slice("refs", 1, 1)),
+            )
+            .otherwise(F.col("refs"))
+            .alias("refs"),
+        )
+    )
+    way_tags = (
+        F.when(F.col("nk") % 5 == 0, F.create_map().cast("map<string,string>"))
+        .when(F.col("nk") % 2 == 0, F.create_map(F.lit("building"), F.lit("yes")))
+        .otherwise(F.create_map(F.lit("highway"), F.lit("road")))
+    )
+    ways = refs.select(
+        (F.col("nk") + 1000).alias("way_id"),
+        "nk",
+        F.transform("refs", lambda r: F.struct(r.alias("ref"))).alias("nodes"),
+        way_tags.alias("tags"),
+        (F.col("nk") % 5 == 0).alias("is_rel_member"),
+    )
+
+    # skippable-ways rule: relation member with no interesting own tags
+    kept_ways = ways.where(
+        ~(F.col("is_rel_member") & ~T.any_interesting("tags"))
+    )
+    way_feats = kept_ways.select(
+        F.lit("way").alias("kind"),
+        F.col("way_id").cast("long").alias("fid"),
+        F.when(P.way_is_polygon("nodes", "tags"), "Polygon")
+        .otherwise("LineString")
+        .alias("geom"),
+        F.size("nodes").cast("long").alias("n_points"),
+    )
+
+    # node skip rule: way members that are boring emit no feature
+    members = (
+        ways.select(F.explode("nodes").alias("n"))
+        .select(F.col("n.ref").alias("ck"))
+        .distinct()
+    )
+    is_member = nodes.join(members, "ck", "left_semi").select(
+        "ck", F.lit(True).alias("m")
+    )
+    node_feats = (
+        nodes.join(is_member, "ck", "left")
+        .where(F.col("m").isNull() | T.any_interesting("tags"))
+        .select(
+            F.lit("node").alias("kind"),
+            F.col("ck").cast("long").alias("fid"),
+            F.lit("Point").alias("geom"),
+            F.lit(1).cast("long").alias("n_points"),
+        )
+    )
+    return way_feats.unionByName(node_feats)
+
+
+# =====================================================================
 # Raster <-> vector tile rasterization (north-star component)
 # =====================================================================
 
@@ -1502,6 +1610,55 @@ def q_embedding_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path that replaces all-pairs scoring with a bucket equi-join."""
     out = _ann.random_hyperplane_bucket(_t(spark, sf_dir, "embeddings"), dim=64)
     return out.select("vec_id", F.col("bucket").cast("long").alias("bucket"))
+
+
+@register(
+    "embedding_neardup",
+    f"""
+    WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    b AS (SELECT vec_id, e, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM c),
+    cand AS (
+      SELECT l.vec_id AS a, r.vec_id AS b, l.e AS ea, r.e AS eb
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+    SELECT a, b,
+           CAST(floor(list_dot_product(ea, eb)
+                 / (sqrt(list_dot_product(ea, ea))
+                    * sqrt(list_dot_product(eb, eb))) * 1000000.0)
+                AS BIGINT) AS cos_e6
+    FROM cand
+    WHERE list_dot_product(ea, eb)
+          / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb)))
+          >= 0.0
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: sign-LSH bucket candidate pairs (the
+    scale path — |docs| x planes shuffle, never all-pairs) -> exact
+    cosine verification via the sequential left-to-right double fold,
+    bit-identical in both engines. Pairs with cos >= 0 emitted with the
+    quantized score."""
+    from osm_spark.similarity import ann as _ann2
+
+    emb = _t(spark, sf_dir, "embeddings")
+    b = _ann2.random_hyperplane_bucket(emb, dim=64).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    l = b.select(
+        F.col("vec_id").alias("a"), "bucket", F.col("embedding").alias("ea")
+    )
+    r = b.select(
+        F.col("vec_id").alias("b"), "bucket", F.col("embedding").alias("eb")
+    )
+    cand = l.join(r, "bucket").where(F.col("a") < F.col("b"))
+    cos = _ann2.cosine_expr(F.col("ea"), F.col("eb"))
+    return (
+        cand.select("a", "b", cos.alias("cos"))
+        .where(F.col("cos") >= 0.0)
+        .select(
+            "a", "b", F.floor(F.col("cos") * 1e6).cast("long").alias("cos_e6")
+        )
+    )
 
 
 # =====================================================================
