@@ -293,6 +293,69 @@ def q_route_linestring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "reverse_detect",
+    """
+    WITH w AS (
+      SELECT o_orderkey % 50 AS way_id,
+             CAST(row_number() OVER (PARTITION BY o_orderkey % 50
+                                     ORDER BY o_orderkey) AS INT) AS version
+      FROM orders WHERE o_orderkey < 2000)
+    SELECT way_id, version,
+           (version > 1 AND version % 2 = 0) AS reverse
+    FROM w
+    """,
+)
+def q_reverse_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IsReverse between consecutive way versions
+    (annotate/datasource.go:155-172): rings (way_id%3==0) flip by
+    shoelace-area sign, open ways by endpoint-ref swap. Versions flip
+    direction at every even version, so reverse == (version>1 AND
+    version%2==0) for both detection paths."""
+    from osm_spark.temporal.relations import way_reverse_flags
+
+    k = F.col("o_orderkey")
+    w = (
+        _t(spark, sf_dir, "orders")
+        .where(k < 2000)
+        .select(
+            (k % 50).alias("way_id"),
+            F.row_number()
+            .over(Window.partitionBy(k % 50).orderBy(k))
+            .cast("int")
+            .alias("version"),
+        )
+    )
+
+    def node(ref, lon, lat):
+        return F.struct(
+            F.lit(ref).cast("long").alias("ref"),
+            F.lit(1).alias("version"),
+            F.lit(lon).cast("double").alias("lon"),
+            F.lit(lat).cast("double").alias("lat"),
+        )
+
+    a, b, c = node(1, 1.0, 1.0), node(2, 2.0, 1.0), node(3, 1.5, 2.0)
+    fwd_dir = (F.floor(F.col("version") / 2) % 2) == 0
+    is_ring = F.col("way_id") % 3 == 0
+    nodes = (
+        F.when(is_ring & fwd_dir, F.array(a, b, c, a))
+        .when(is_ring, F.array(a, c, b, a))
+        .when(fwd_dir, F.array(a, b, c))
+        .otherwise(F.array(c, b, a))
+    )
+    ways = w.select(
+        F.col("way_id").cast("long").alias("id"),
+        "version",
+        F.lit("2024-01-01").cast("timestamp").alias("ts"),
+        nodes.alias("nodes"),
+    )
+    out = way_reverse_flags(ways)
+    return out.select(
+        F.col("id").alias("way_id"), "version", "reverse"
+    )
+
+
 # =====================================================================
 # osmgeojson.Convert integration (SURVEY §3.3 — convert.go:35-149)
 # =====================================================================
