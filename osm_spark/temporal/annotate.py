@@ -554,6 +554,12 @@ def annotate_refs(
         .select("ref")
     )
     slow_refs = bad_child.unionByName(bad_parent).distinct()
+    if slow_refs.isEmpty():
+        # common modern case: no eps-threshold tail at all — skip the
+        # anti/semi joins and the Python-kernel branch entirely (the
+        # isEmpty() materializes the persisted inputs the main query
+        # needs anyway, so the extra action is nearly free)
+        return _fast_sql_path(p, children)
     fast = _fast_sql_path(
         p.join(slow_refs, "ref", "left_anti"),
         children.join(slow_refs, "ref", "left_anti"),
