@@ -1600,11 +1600,14 @@ _SH5 = _dd.shingles_sql("text", 5)
 @register(
     "doc_fingerprint",
     f"""
-    WITH g AS (
+    WITH s AS MATERIALIZED (SELECT doc_id, {_SH5} AS sh FROM documents),
+    -- MATERIALIZED: inlined, DuckDB re-evaluates the split-per-element
+    -- access O(n^2) per doc (measured 12.2s vs 0.27s at sf0.01)
+    g AS (
       SELECT doc_id,
-             unnest(list_transform(range(1, len({_SH5}) + 1),
-                    i -> {{'pos': i - 1, 'g': ({_SH5})[i]}})) AS u
-      FROM documents),
+             unnest(list_transform(range(1, len(sh) + 1),
+                    i -> {{'pos': i - 1, 'g': sh[i]}})) AS u
+      FROM s),
     p AS (SELECT doc_id, (u).pos % 4 AS bucket, md5((u).g) AS h FROM g)
     SELECT doc_id, CAST(bucket AS INT) AS bucket, min(h) AS fp
     FROM p GROUP BY 1, 2
