@@ -1678,6 +1678,90 @@ def q_embedding_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("bucket").cast("long").alias("bucket"))
 
 
+_IVF_BASE = """
+    c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM c WHERE vec_id < 16),
+    s AS (SELECT c.vec_id, cent.cid, list_dot_product(c.e, cent.ce) AS dot
+          FROM c, cent),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, cid DESC) AS rn
+        FROM s) WHERE rn = 1)
+"""
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str):
+    emb = _t(spark, sf_dir, "embeddings")
+    return [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 16).collect()
+    ]
+
+
+@register(
+    "ivf_assign",
+    f"""
+    WITH {_IVF_BASE}
+    SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM assign
+    """,
+)
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer: argmax-dot assignment to 16 deterministic
+    centroids (vec_id<16 standing in for k-means output) via struct-max
+    — the cell id is the bucketing key of the probe-limited ANN path.
+    Dot folds are bit-identical across engines, so cell ids match
+    exactly."""
+    from osm_spark.similarity.ann import ivf_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_assign(emb, _ivf_centroids(spark, sf_dir))
+
+
+@register(
+    "ivf_topk",
+    f"""
+    WITH {_IVF_BASE},
+    q AS (SELECT vec_id AS qid, e AS qe FROM c WHERE vec_id < 5),
+    qcells AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, cent.cid,
+               row_number() OVER (PARTITION BY q.qid
+                                  ORDER BY list_dot_product(q.qe, cent.ce) DESC,
+                                           cent.cid DESC) AS rn
+        FROM q, cent) WHERE rn <= 2),
+    cand AS (
+      SELECT q.qid, c.vec_id AS neighbor,
+             list_dot_product(q.qe, c.e)
+               / (sqrt(list_dot_product(q.qe, q.qe))
+                  * sqrt(list_dot_product(c.e, c.e))) AS cos
+      FROM qcells
+      JOIN assign a ON a.cid = qcells.cid
+      JOIN c ON c.vec_id = a.vec_id
+      JOIN q ON q.qid = qcells.qid
+      WHERE c.vec_id <> q.qid),
+    r AS (SELECT qid AS q, neighbor,
+                 CAST(row_number() OVER (PARTITION BY qid
+                                         ORDER BY cos DESC, neighbor) AS INT)
+                   AS rank
+          FROM cand)
+    SELECT q, rank, neighbor FROM r WHERE rank <= 3
+    """,
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search: nprobe=2 best cells per query, brute-force
+    cosine only inside the probed cells (a cell equi-join — the probed
+    fraction replaces the all-pairs cross), rank-only top-3."""
+    from osm_spark.similarity.ann import ivf_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    queries = [(cid, vec) for cid, vec in cents if cid < 5]
+    return ivf_search(emb, queries, cents, nprobe=2, k=3)
+
+
 @register(
     "embedding_neardup",
     f"""

@@ -114,3 +114,91 @@ def random_hyperplane_bucket(
         )
         bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return corpus.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign each vector to the centroid with the
+    max dot product (ties -> larger centroid id, deterministic via
+    struct max). Pure column HOFs — the sequential double fold is
+    bit-identical across engines, so cell ids are exactly reproducible.
+
+    At scale: centroids are a trained broadcast list (here: a
+    deterministic subset of the corpus standing in for k-means);
+    assignment is one narrow codegen stage; the cell id becomes the
+    partitioning/bucketing key for probe-limited search."""
+    ad = F.transform(vec_col, lambda x: x.cast("double"))
+    cands = []
+    for cid, vec in centroids:
+        pl = F.array(*[F.lit(float(v)) for v in vec])
+        dot = F.aggregate(
+            F.zip_with(ad, pl, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cands.append(F.struct(dot.alias("dot"), F.lit(int(cid)).alias("cid")))
+    best = F.greatest(*cands) if len(cands) > 1 else cands[0]
+    return corpus.select(
+        F.col(id_col), best["cid"].cast("long").alias("cell")
+    )
+
+
+def ivf_search(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int = 2,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe search: per query take the ``nprobe`` best cells (by
+    centroid dot), brute-force cosine only within those cells, emit
+    rank-only top-k (ties -> smaller neighbor id). The scale path: the
+    probed fraction of the corpus is nprobe/n_cells, reached via a cell
+    equi-join instead of an all-pairs cross."""
+    import numpy as np
+
+    cmat = {cid: np.asarray(v, dtype=np.float64) for cid, v in centroids}
+
+    def query_cells(vec):
+        v = np.asarray(vec, dtype=np.float64)
+        scored = sorted(
+            ((float(v @ c), cid) for cid, c in cmat.items()),
+            key=lambda t: (-t[0], -t[1]),
+        )
+        return [cid for _, cid in scored[:nprobe]]
+
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    corpus_cells = corpus.join(assigned, id_col)
+
+    spark = corpus.sparkSession
+    probe_rows = [
+        (int(qid), int(cell)) for qid, vec in queries for cell in query_cells(vec)
+    ]
+    probes = spark.createDataFrame(probe_rows, "q long, cell long")
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
+        f"q long, qvec array<double>",
+    )
+    cand = (
+        probes.join(corpus_cells, "cell")
+        .join(F.broadcast(qdf), "q")
+        .where(F.col(id_col) != F.col("q"))
+    )
+    cos = cosine_expr(F.col("qvec"), F.col(vec_col))
+    scored = cand.select(
+        "q", F.col(id_col).alias("neighbor"), cos.alias("cos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q").orderBy(F.col("cos").desc(), F.col("neighbor"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("q", "rank", "neighbor")
+    )
