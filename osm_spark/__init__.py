@@ -12,7 +12,10 @@ idiomatic Spark DataFrame transforms:
 - multipolygon / ring assembly          (osm_spark.geom.assembly)
 - replication streaming                 (osm_spark.streaming.replication)
 - web-scale text ops (dedup, quality)   (osm_spark.text)
-- embedding similarity search           (osm_spark.similarity)
+- embedding similarity search (BF/LSH/IVF) (osm_spark.similarity)
+- raster <-> vector tile conversion     (osm_spark.geo.raster)
+- multimodal binary media columns       (osm_spark.multimodal)
+- iterative graph depth (child-first)   (osm_spark.plans.iterate)
 - pages pipeline + lineage manifest     (osm_spark.pipeline)
 
 Everything is DataFrame/SQL column math or Arrow-vectorized pandas UDFs;
