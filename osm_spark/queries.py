@@ -2139,6 +2139,48 @@ _REPL_ORACLE_BASE = f"""
 """
 
 @register(
+    "history_group",
+    """
+    WITH ev AS (
+      SELECT user_id AS id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS ver
+      FROM events)
+    SELECT id,
+           CAST(count(*) AS BIGINT) AS n_versions,
+           CAST(min(ver) AS INT) AS first_version,
+           CAST(max(ver) AS INT) AS last_version,
+           max_by(event_id, ver) AS last_changeset
+    FROM ev GROUP BY 1
+    """,
+)
+def q_history_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HistoryDatasource.add grouping (datasource.go:27-70): elements
+    grouped by id into a version-sorted history list; emitted as the
+    list's summary (count, first/last version, last changeset) so the
+    collect_list+array_sort layout is verified without array-typed
+    oracle columns."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = (
+        ev.withColumn("ver", F.row_number().over(w))
+        .groupBy(F.col("user_id").alias("id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ver", F.col("event_id").alias("cs")))
+            ).alias("history")
+        )
+    )
+    return hist.select(
+        "id",
+        F.size("history").cast("long").alias("n_versions"),
+        F.col("history")[0]["ver"].cast("int").alias("first_version"),
+        F.element_at("history", -1)["ver"].cast("int").alias("last_version"),
+        F.element_at("history", -1)["cs"].alias("last_changeset"),
+    )
+
+
+@register(
     "replication_seqnum_search",
     """
     WITH states AS (
