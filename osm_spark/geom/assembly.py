@@ -295,7 +295,7 @@ def build_route_linestrings(
 
 
 # ---------------------------------------------------------------- Spark layer
-def assemble_multipolygons_df(relations, way_geoms):
+def assemble_multipolygons_df(relations, way_geoms, max_members: int = 20000):
     """Distributed multipolygon assembly (SURVEY §3.3 Spark shape).
 
     relations: (rel_id long, members array<struct<type:string, ref:long,
@@ -349,6 +349,15 @@ def assemble_multipolygons_df(relations, way_geoms):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("midx")
         rel_id = int(pdf["rel_id"].iloc[0])
+        # mega-relation scale guard: the greedy ring join is a sequential
+        # per-group kernel, so a coastline-sized relation (10^4-10^5
+        # members) would pin one task for minutes. Cap the member list
+        # and surface the truncation through the reference's own taint
+        # channel (mputil.go Group's tainted flag covers exactly
+        # "geometry incomplete").
+        capped = len(pdf) > max_members
+        if capped:
+            pdf = pdf.iloc[:max_members]
         members = []
         way_lines = {}
         for r in pdf.itertuples():
@@ -365,6 +374,8 @@ def assemble_multipolygons_df(relations, way_geoms):
                     (float(p["lon"]), float(p["lat"])) for p in r.line
                 ]
         res = build_multipolygon(members, way_lines)
+        if res is not None and capped:
+            res["tainted"] = True
         rows = []
         if res is not None:
             for pi, poly in enumerate(res["polygons"]):
@@ -387,7 +398,7 @@ def assemble_multipolygons_df(relations, way_geoms):
     return joined.groupBy("rel_id").applyInPandas(kernel, schema=out_schema)
 
 
-def assemble_routes_df(relations, way_geoms):
+def assemble_routes_df(relations, way_geoms, max_members: int = 20000):
     """Distributed route-linestring assembly (convert.go:233-301 via the
     same explode -> join -> applyInPandas shape as multipolygons).
 
@@ -434,6 +445,10 @@ def assemble_routes_df(relations, way_geoms):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("midx")
         rel_id = int(pdf["rel_id"].iloc[0])
+        # same mega-relation guard as assemble_multipolygons_df
+        capped = len(pdf) > max_members
+        if capped:
+            pdf = pdf.iloc[:max_members]
         members = []
         way_lines = {}
         for r in pdf.itertuples():
@@ -443,6 +458,8 @@ def assemble_routes_df(relations, way_geoms):
                     (float(p["lon"]), float(p["lat"])) for p in r.line
                 ]
         res = build_route_linestrings(members, way_lines)
+        if capped:
+            res["tainted"] = True
         rows = [
             (rel_id, li, [{"lon": x, "lat": y} for x, y in line], res["tainted"])
             for li, line in enumerate(res["lines"])

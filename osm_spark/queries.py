@@ -1410,21 +1410,32 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.exact_dedup(_docs2(spark, sf_dir))
 
 
+_NGRAM_CAP = 150
+
 _NGRAM_ORACLE = f"""
 WITH {_DOCS2_SQL},
 d AS (
   SELECT doc_id, text, CAST(floor(len(text) / 32.0) AS BIGINT) AS blk
   FROM docs2 WHERE doc_id % 5 = 0),
-shl AS (SELECT doc_id, blk, {_dd.char_shingles_sql('text', 4)} AS sh FROM d),
+keyed0 AS (SELECT doc_id, blk, unnest([blk, blk + 1]) AS key FROM d),
+ok AS (SELECT key FROM keyed0 GROUP BY key HAVING count(*) <= {_NGRAM_CAP}),
+keyed AS (SELECT keyed0.* FROM keyed0 JOIN ok USING (key)),
+shl AS (SELECT doc_id, {_dd.char_shingles_sql('text', 4)} AS sh FROM d),
 sizes AS (SELECT doc_id, len(sh) AS ns FROM shl),
-sh AS (SELECT doc_id, blk, unnest(sh) AS g FROM shl),
+grams AS (SELECT doc_id, unnest(sh) AS g FROM shl),
+sh AS (
+  SELECT k.doc_id, k.blk, k.key, e.g
+  FROM keyed k JOIN grams e ON e.doc_id = k.doc_id),
 cand AS (
   SELECT l.doc_id AS a, r.doc_id AS b
-  FROM d l JOIN d r ON l.blk = r.blk AND l.doc_id < r.doc_id),
+  FROM keyed l JOIN keyed r
+    ON l.key = r.key AND l.doc_id < r.doc_id
+   AND l.key = greatest(l.blk, r.blk)),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
   FROM sh x JOIN sh y
-    ON x.blk = y.blk AND x.g = y.g AND x.doc_id < y.doc_id
+    ON x.key = y.key AND x.g = y.g AND x.doc_id < y.doc_id
+   AND x.key = greatest(x.blk, y.blk)
   GROUP BY 1, 2)
 SELECT c.a, c.b,
        CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
@@ -1438,11 +1449,16 @@ JOIN sizes sb ON sb.doc_id = c.b
 
 @register("ngram_jaccard", _NGRAM_ORACLE)
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-4-gram Jaccard near-dup with length-bucket blocking
-    (text/dedup.py ngram_jaccard_pairs): exact inter/union over distinct
-    grams via an exploded equi-join — all JVM, AQE splits hot grams."""
+    """Character-4-gram Jaccard near-dup with OVERLAPPING length-bucket
+    blocking (keys {blk, blk+1}; pair counted once under
+    key = greatest(blk_a, blk_b)) + an explicit per-key member cap
+    mirrored in the oracle (text/dedup.py ngram_jaccard_pairs). Exact
+    inter/union over distinct grams via an exploded equi-join — all JVM,
+    AQE splits hot grams."""
     docs = _docs2(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
-    return _dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=4, block_len=32)
+    return _dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=4, block_len=32, max_block=_NGRAM_CAP
+    )
 
 
 _SH3 = _dd.shingles_sql("text", 3)
@@ -2051,7 +2067,13 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- iff id*2^d <= max)
       SELECT o_orderkey AS id FROM orders
       WHERE o_orderkey >= 1 AND o_orderkey < 1000),
-    mx AS (SELECT max(id) AS m FROM nodes),
+    -- the closed form requires ids dense min..max; fail LOUDLY (not
+    -- silently diverge) if the generator ever introduces gaps
+    mx AS (
+      SELECT CASE
+        WHEN count(*) = max(id) - min(id) + 1 THEN max(id)
+        ELSE CAST(error('child_first_depth oracle: ids not dense') AS BIGINT)
+      END AS m FROM nodes),
     gens AS (SELECT unnest(range(0, 11)) AS d)
     SELECT n.id, CAST(max(g.d) AS INT) AS depth
     FROM nodes n, mx, gens g

@@ -2,9 +2,11 @@
 
 - brute_force_topk: exact cosine top-k. Plan: broadcast the (small)
   query set, one narrow pass over the corpus with numpy matmul per
-  Arrow batch (mapInPandas), per-query top-k via window. At 100 TB the
-  corpus side never shuffles; only |queries| x |corpus| score rows do,
-  and those are cut to k per query by partial top-k before the shuffle.
+  Arrow batch (mapInPandas) with an exact per-batch partial top-k
+  (argpartition + boundary-tie sort), so the shuffle carries at most
+  k x |queries| rows PER BATCH — never |corpus| x |queries|. The final
+  ranking runs as a salted two-level window so it is never funneled
+  into |queries| reducer tasks.
 - random_hyperplane_bucket: sign-LSH bucketing (column HOFs only) — the
   scale path: equi-join on bucket replaces the all-pairs score.
 - topk_sql: DuckDB twin for the correctness gate.
@@ -32,6 +34,46 @@ def cosine_expr(a, b) -> Column:
     return dot / (na * nb)
 
 
+def _batch_topk(ids: np.ndarray, cos: np.ndarray, qid: int, k: int):
+    """Exact top-k of one query's scores within a batch: argpartition to
+    the k-th cosine, then include ALL boundary ties and order the (small)
+    survivor set by (-cos, neighbor) so no global-top-k row can be
+    dropped. O(n) per batch instead of O(n log n)."""
+    n = len(ids)
+    mask = ids != qid
+    ids, cos = ids[mask], cos[mask]
+    n = len(ids)
+    if n == 0:
+        return ids, cos
+    if n > k:
+        part = np.argpartition(-cos, k - 1)
+        thresh = cos[part[k - 1]]
+        keep = cos >= thresh  # includes boundary ties
+        ids, cos = ids[keep], cos[keep]
+    order = np.lexsort((ids, -cos))[:k]
+    return ids[order], cos[order]
+
+
+def _salted_topk(scored: DataFrame, k: int, part_cols: list[str], order, salt: int = 32) -> DataFrame:
+    """Two-level top-k: local rank within (keys, salt) buckets cuts each
+    partition to <= k rows, then the global rank runs over <= salt*k rows
+    per key — the final window never funnels the full score set into
+    |keys| reducer tasks."""
+    sdf = scored.withColumn(
+        "_salt", F.pmod(F.col("neighbor"), F.lit(salt)).cast("int")
+    )
+    w1 = Window.partitionBy(*part_cols, "_salt").orderBy(*order)
+    sdf = (
+        sdf.withColumn("_lr", F.row_number().over(w1))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr", "_salt")
+    )
+    w2 = Window.partitionBy(*part_cols).orderBy(*order)
+    return sdf.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: list[tuple[int, list[float]]],
@@ -41,7 +83,12 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query (queries broadcast, numpy matmul
     per Arrow batch). Returns (q, rank, neighbor) with rank 1..k, ties
-    broken by neighbor id."""
+    broken by neighbor id.
+
+    Scale shape: the mapInPandas stage emits at most k rows per (query,
+    batch) — exact partial top-k with boundary-tie handling — so the
+    shuffle is k x |queries| x n_batches rows, not |corpus| x |queries|.
+    The final ranking is a salted two-level window (see _salted_topk)."""
     spark = corpus.sparkSession
     qids = [int(q) for q, _ in queries]
     qmat = np.asarray([v for _, v in queries], dtype=np.float64)
@@ -68,23 +115,21 @@ def brute_force_topk(
             dots = emb @ qmat_.T  # (n, q)
             norms = np.linalg.norm(emb, axis=1)
             cos = dots / (norms[:, None] * qnorm_[None, :])
-            n, nq = cos.shape
+            outs = {"q": [], "neighbor": [], "cos": []}
+            for qi, qid in enumerate(qids_):
+                tid, tcos = _batch_topk(ids, cos[:, qi], qid, k)
+                outs["q"].append(np.full(len(tid), qid, dtype=np.int64))
+                outs["neighbor"].append(tid)
+                outs["cos"].append(tcos)
             yield pd.DataFrame(
-                {
-                    "q": np.repeat(qids_, n),
-                    "neighbor": np.tile(ids, nq),
-                    "cos": cos.T.reshape(-1),
-                }
+                {c: np.concatenate(v) for c, v in outs.items()}
             )
 
     scored = corpus.select(id_col, vec_col).mapInPandas(score, schema=schema)
-    scored = scored.filter(F.col("neighbor") != F.col("q"))
-    w = Window.partitionBy("q").orderBy(F.col("cos").desc(), F.col("neighbor"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q", "rank", "neighbor")
+    ranked = _salted_topk(
+        scored, k, ["q"], [F.col("cos").desc(), F.col("neighbor")]
     )
+    return ranked.select("q", "rank", "neighbor")
 
 
 def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
@@ -161,14 +206,18 @@ def ivf_search(
     rank-only top-k (ties -> smaller neighbor id). The scale path: the
     probed fraction of the corpus is nprobe/n_cells, reached via a cell
     equi-join instead of an all-pairs cross."""
-    import numpy as np
-
-    cmat = {cid: np.asarray(v, dtype=np.float64) for cid, v in centroids}
+    def seq_dot(a, b):
+        # plain left-to-right fold: bit-identical to F.aggregate / DuckDB
+        # list folds (BLAS multi-accumulator sums are NOT — a near-tie in
+        # centroid dots must rank the same in every engine)
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
 
     def query_cells(vec):
-        v = np.asarray(vec, dtype=np.float64)
         scored = sorted(
-            ((float(v @ c), cid) for cid, c in cmat.items()),
+            ((seq_dot(vec, c), cid) for cid, c in centroids),
             key=lambda t: (-t[0], -t[1]),
         )
         return [cid for _, cid in scored[:nprobe]]
@@ -194,11 +243,9 @@ def ivf_search(
     scored = cand.select(
         "q", F.col(id_col).alias("neighbor"), cos.alias("cos")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("q").orderBy(F.col("cos").desc(), F.col("neighbor"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= k)
-        .select("q", "rank", "neighbor")
+    ranked = _salted_topk(
+        scored, k, ["q"], [F.col("cos").desc(), F.col("neighbor")]
+    )
+    return ranked.withColumn("rank", F.col("rank").cast("int")).select(
+        "q", "rank", "neighbor"
     )

@@ -457,6 +457,20 @@ def _fast_sql_path(slots: DataFrame, children: DataFrame) -> DataFrame:
     return sets.unionByName(upds)
 
 
+# DataFrames persisted by the most recent annotate_refs() call; see the
+# persist note inside — bounded to one invocation's worth of blocks.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist cache blocks held by the last annotate_refs() call."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+
+
 def annotate_refs(
     parents: DataFrame,
     children: DataFrame,
@@ -516,9 +530,15 @@ def annotate_refs(
     # Both inputs feed four consumers (bad-ref detection, fast path,
     # slow-path semi joins); without persistence the whole upstream
     # (scan + explode + lead window) replans per consumer — measured 78
-    # exchanges / ~20 rescans of the source in one query plan.
+    # exchanges / ~20 rescans of the source in one query plan. The
+    # persists can't be scoped to this call (the returned plan is lazy),
+    # so each invocation evicts the previous invocation's blocks — a
+    # long-lived session holds at most one annotation's cache; call
+    # release_caches() to drop that too.
+    release_caches()
     p = p.persist()
     children = children.persist()
+    _PERSISTED.extend([p, children])
 
     cis = F.lit(COMMIT_INFO_START.to_pydatetime())
     wc = Window.partitionBy("ref").orderBy("version")

@@ -191,31 +191,56 @@ def char_shingles_sql(text: str, n: int = 4) -> str:
 
 def ngram_jaccard_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    n: int = 4, block_len: int = 32,
+    n: int = 4, block_len: int = 32, max_block: int | None = None,
 ) -> DataFrame:
-    """Blocked exact character-n-gram Jaccard: candidate pairs share a
-    text-length bucket (cheap blocking key — near-dups have near-equal
-    length), then inter/union over DISTINCT n-grams via an exploded
-    equi-join. All JVM; the n-gram explode is the widest stage and
-    shuffles on (block, gram), so hot grams split across AQE skew
-    partitions. Returns (a, b, inter, uni)."""
+    """Blocked exact character-n-gram Jaccard with OVERLAPPING length
+    buckets: each doc emits keys {blk, blk+1} (blk = floor(len/32)), so
+    near-dups whose lengths straddle a bucket boundary (63 vs 65 chars)
+    still meet. A pair is counted under exactly one key —
+    key == greatest(blk_a, blk_b) — so no pair is double-generated.
+
+    ``max_block`` is the explicit scale guard: keys whose member count
+    exceeds it are dropped from candidate generation (deterministic, and
+    mirrored in the oracle — no silent truncation: pairs from dropped
+    keys simply don't appear; discovery inside hot blocks belongs to
+    minhash_lsh, this operator is the exact verify stage).
+
+    The inter count runs as an exploded (key, gram) equi-join — all JVM,
+    AQE splits hot grams. Returns (a, b, inter, uni)."""
     d = docs.select(
         F.col(id_col).alias("_id"),
         F.floor(F.length(text_col) / block_len).alias("blk"),
         char_shingles(text_col, n).alias("sh"),
     )
+    keyed = d.select(
+        "_id", "blk", F.explode(F.array(F.col("blk"), F.col("blk") + 1)).alias("key")
+    )
+    if max_block is not None:
+        ok = (
+            keyed.groupBy("key")
+            .agg(F.count("*").alias("_kn"))
+            .where(F.col("_kn") <= max_block)
+            .select("key")
+        )
+        keyed = keyed.join(F.broadcast(ok), "key")
     sizes = d.select("_id", F.size("sh").alias("ns"))
+    canonical = F.col("key") == F.greatest(F.col("l.blk"), F.col("r.blk"))
     cand = (
-        d.select("_id", "blk").alias("l")
-        .join(d.select("_id", "blk").alias("r"), "blk")
-        .where(F.col("l._id") < F.col("r._id"))
+        keyed.alias("l")
+        .join(keyed.alias("r"), "key")
+        .where((F.col("l._id") < F.col("r._id")) & canonical)
         .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
     )
-    sh = d.select("_id", "blk", F.explode("sh").alias("g"))
+    sh = keyed.join(
+        d.select("_id", F.explode("sh").alias("g")), "_id"
+    ).select("_id", "blk", "key", "g")
     inter = (
         sh.alias("x")
-        .join(sh.alias("y"), ["blk", "g"])
-        .where(F.col("x._id") < F.col("y._id"))
+        .join(sh.alias("y"), ["key", "g"])
+        .where(
+            (F.col("x._id") < F.col("y._id"))
+            & (F.col("key") == F.greatest(F.col("x.blk"), F.col("y.blk")))
+        )
         .groupBy(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
         .agg(F.count("*").alias("inter"))
     )
