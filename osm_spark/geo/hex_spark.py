@@ -35,11 +35,20 @@ def hex_cell(lat, lon, res: int) -> Column:
     return _enc(lat, lon)
 
 
-@pandas_udf("struct<res:int, q:long, r:long>")
-def hex_axial(cell: pd.Series) -> pd.DataFrame:
-    """Column: unpack a cell id into (res, q, r)."""
-    res, q, r = H.cell_to_axial(cell.to_numpy())
-    return pd.DataFrame({"res": res.astype("int32"), "q": q, "r": r})
+def hex_axial(cell) -> Column:
+    """Column: unpack a cell id into struct(res, q, r).
+
+    (Constructed lazily — pandas_udf schema parsing needs an active
+    SparkSession, so the decorator can't run at module import.)
+    """
+
+    @pandas_udf("struct<res:int, q:long, r:long>")
+    def _dec(cell_s: pd.Series) -> pd.DataFrame:
+        res, q, r = H.cell_to_axial(cell_s.to_numpy())
+        return pd.DataFrame({"res": res.astype("int32"), "q": q, "r": r})
+
+    cell = F.col(cell) if isinstance(cell, str) else cell
+    return _dec(cell)
 
 
 def hex_parent(cell, parent_res: int) -> Column:
@@ -75,3 +84,44 @@ def hex_kring(cell, k: int) -> Column:
 
     cell = F.col(cell) if isinstance(cell, str) else cell
     return _ring(cell)
+
+
+# ----------------------------------------------------- pure-column twins
+# The axial transform is all +,-,*,/ and floor, so it is ALSO expressible
+# as JVM column math (whole-stage codegen, no Python at all) — the
+# preferred form for hot paths like kNN corpus indexing. Bit-identical
+# to the numpy kernel and the SQL twins (same constants, same op order).
+
+def hexround_cols(qf: Column, rf: Column) -> tuple[Column, Column]:
+    """Column twin of hex.hexround (cube rounding, floor(x+0.5))."""
+    yf = -qf - rf
+    rx = F.floor(qf + F.lit(0.5))
+    ry = F.floor(yf + F.lit(0.5))
+    rz = F.floor(rf + F.lit(0.5))
+    dx = F.abs(rx - qf)
+    dy = F.abs(ry - yf)
+    dz = F.abs(rz - rf)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = (~fix_x) & (~(dy > dz))
+    q = F.when(fix_x, -ry - rz).otherwise(rx)
+    r = F.when(fix_z, -rx - ry).otherwise(rz)
+    return q.cast("long"), r.cast("long")
+
+
+def axial_cols(lat, lon, res: int) -> tuple[Column, Column]:
+    """Column twin of hex.latlon_to_axial: integer axial cell coords."""
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    q0f = lon * F.lit(H.C1) - lat * F.lit(H.C2)
+    r0f = lat * F.lit(H.C3)
+    a, b, c, d = H.m_pow(res)
+    qf = F.lit(float(a)) * q0f + F.lit(float(b)) * r0f
+    rf = F.lit(float(c)) * q0f + F.lit(float(d)) * r0f
+    return hexround_cols(qf, rf)
+
+
+def parent_axial_cols(q: Column, r: Column) -> tuple[Column, Column]:
+    """Column twin of hex._parent_axial (one res coarser)."""
+    pq = (F.lit(3.0) * q + F.lit(1.0) * r) / F.lit(7.0)
+    pr = (F.lit(-1.0) * q + F.lit(2.0) * r) / F.lit(7.0)
+    return hexround_cols(pq, pr)

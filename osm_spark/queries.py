@@ -2542,3 +2542,180 @@ def q_notes_date_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.unix_micros(F.to_timestamp(s, "yyyy-MM-dd HH:mm:ss")).alias("parsed_us"),
     )
+
+
+# =====================================================================
+# Aperture-7 hex cell index — the H3 surface (north star: "encoded into
+# H3 cells ... via vectorized Arrow UDFs"; geo/hex.py, geo/hex_spark.py)
+# =====================================================================
+# The oracle rebuilds the FULL 64-bit cell id in closed-form SQL: axial
+# coords at res 3 via the affine+hexround twin, the parent chain via the
+# /7 hexround twin, digits from the coset residuals, then the bit
+# layout. Matching ids prove the digit-chain encode, the id packing and
+# the decode are all lossless and bit-identical across engines.
+
+from osm_spark.geo import hex as _hx
+from osm_spark.geo import hex_spark as _hxs
+
+
+def _digit_case_sql(dq: str, dr: str) -> str:
+    whens = " ".join(
+        f"WHEN ({dq}) = {a} AND ({dr}) = {b} THEN {i}"
+        for i, (a, b) in enumerate(_hx.DIGITS)
+    )
+    return f"(CASE {whens} END)"
+
+
+def _h3_oracle_res3() -> str:
+    q3, r3 = _hx.axial_sql(pages.GEO_LAT_SQL, pages.GEO_LON_SQL, 3)
+    pq2, pr2 = _hx.parent_axial_sql("q3", "r3")
+    pq1, pr1 = _hx.parent_axial_sql("q2", "r2")
+    pq0, pr0 = _hx.parent_axial_sql("q1", "r1")
+    d1 = _digit_case_sql("q1 - (2 * q0 - r0)", "r1 - (q0 + 3 * r0)")
+    d2 = _digit_case_sql("q2 - (2 * q1 - r1)", "r2 - (q1 + 3 * r1)")
+    d3 = _digit_case_sql("q3 - (2 * q2 - r2)", "r3 - (q2 + 3 * r2)")
+    pad = (1 << 36) - 1  # levels 4..15 slots all-7s
+    return f"""
+    WITH a3 AS (SELECT doc_id, {q3} AS q3, {r3} AS r3 FROM documents),
+    a2 AS (SELECT *, {pq2} AS q2, {pr2} AS r2 FROM a3),
+    a1 AS (SELECT *, {pq1} AS q1, {pr1} AS r1 FROM a2),
+    a0 AS (SELECT *, {pq0} AS q0, {pr0} AS r0 FROM a1),
+    ids AS (
+      SELECT doc_id, q3 AS q, r3 AS r,
+             ((CAST(1 AS BIGINT) << 59) | (CAST(3 AS BIGINT) << 55)
+              | (CAST((q0 + 16) * 32 + (r0 + 16) AS BIGINT) << 45)
+              | (CAST({d1} AS BIGINT) << 42)
+              | (CAST({d2} AS BIGINT) << 39)
+              | (CAST({d3} AS BIGINT) << 36)
+              | CAST({pad} AS BIGINT)) AS cell
+      FROM a0)
+    SELECT cell, q, r, count(*) AS n_docs FROM ids GROUP BY 1, 2, 3
+    """
+
+
+@register("h3_assign", _h3_oracle_res3())
+def q_h3_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex-cell assignment at res 3: vectorized Arrow-UDF encode of the
+    geocoded corpus into 64-bit aperture-7 cell ids, decoded back to
+    axial coords, counted per cell. One narrow UDF map + one |cells|
+    shuffle — the hex twin of tile_assign."""
+    pts = pages.page_points(spark, sf_dir)
+    df = pts.select(_hxs.hex_cell("lat", "lon", 3).alias("cell"))
+    df = df.select("cell", _hxs.hex_axial(F.col("cell")).alias("ax"))
+    return (
+        df.select("cell", F.col("ax.q").alias("q"), F.col("ax.r").alias("r"))
+        .groupBy("cell", "q", "r")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _h3_parent_oracle() -> str:
+    q3, r3 = _hx.axial_sql(pages.GEO_LAT_SQL, pages.GEO_LON_SQL, 3)
+    pq2, pr2 = _hx.parent_axial_sql("q3", "r3")
+    pq1, pr1 = _hx.parent_axial_sql("q2", "r2")
+    return f"""
+    WITH a3 AS (SELECT doc_id, {q3} AS q3, {r3} AS r3 FROM documents),
+    a2 AS (SELECT *, {pq2} AS q2, {pr2} AS r2 FROM a3),
+    a1 AS (SELECT *, {pq1} AS q1, {pr1} AS r1 FROM a2)
+    SELECT q1 AS q, r1 AS r, count(*) AS n_docs FROM a1 GROUP BY 1, 2
+    """
+
+
+@register("h3_parent", _h3_parent_oracle())
+def q_h3_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aperture-7 rollup: res-3 cells -> res-1 ancestors via digit-chain
+    truncation (cell_to_parent), counted per ancestor. The hierarchy is
+    pure bit math on the id — the rollup never revisits lat/lon."""
+    pts = pages.page_points(spark, sf_dir)
+    cells = pts.select(_hxs.hex_cell("lat", "lon", 3).alias("cell"))
+    par = cells.select(_hxs.hex_parent("cell", 1).alias("p"))
+    ax = par.select(_hxs.hex_axial(F.col("p")).alias("ax"))
+    return (
+        ax.select(F.col("ax.q").alias("q"), F.col("ax.r").alias("r"))
+        .groupBy("q", "r")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _h3_kring_oracle() -> str:
+    q2, r2 = _hx.axial_sql(pages.GEO_LAT_SQL, pages.GEO_LON_SQL, 2)
+    return f"""
+    WITH ax AS (SELECT doc_id, {q2} AS q, {r2} AS r FROM documents),
+    cnt AS (SELECT q, r, count(*) AS n FROM ax GROUP BY 1, 2),
+    qry AS (SELECT doc_id AS qid, q, r FROM ax WHERE doc_id % 97 = 0),
+    offs AS (
+      SELECT a.x AS dq, b.x AS dr FROM range(-2, 3) a(x), range(-2, 3) b(x)
+      WHERE (abs(a.x) + abs(b.x) + abs(a.x + b.x)) / 2 <= 2),
+    ring AS (SELECT qid, qry.q + dq AS q, qry.r + dr AS r FROM qry, offs)
+    SELECT ring.qid, ring.q, ring.r, CAST(cnt.n AS BIGINT) AS n_docs
+    FROM ring JOIN cnt ON cnt.q = ring.q AND cnt.r = ring.r
+    """
+
+
+@register("h3_kring", _h3_kring_oracle())
+def q_h3_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ring expand-and-probe at res 2: each query doc's cell expands
+    to its filled 2-ring (19 cells) via the hex_kring Arrow UDF, then an
+    equi-join against the per-cell corpus counts. The probe side is tiny
+    and broadcast; the corpus aggregates once and never re-shuffles."""
+    pts = pages.page_points(spark, sf_dir)
+    ax = pts.select(_hxs.hex_axial(_hxs.hex_cell("lat", "lon", 2)).alias("ax"))
+    cnt = (
+        ax.select(F.col("ax.q").alias("q"), F.col("ax.r").alias("r"))
+        .groupBy("q", "r")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    qry = (
+        pts.where(F.col("doc_id") % 97 == 0)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.explode(
+                _hxs.hex_kring(_hxs.hex_cell("lat", "lon", 2), 2)
+            ).alias("cell"),
+        )
+        .select("qid", _hxs.hex_axial(F.col("cell")).alias("ax"))
+        .select("qid", F.col("ax.q").alias("q"), F.col("ax.r").alias("r"))
+    )
+    return F.broadcast(qry).join(cnt, ["q", "r"]).select("qid", "q", "r", "n_docs")
+
+
+_H3KNN_HAV = _dist.haversine_m_sql(
+    "q.clat", "q.clon", pages.GEO_LAT_SQL.replace("doc_id", "p.doc_id"),
+    pages.GEO_LON_SQL.replace("doc_id", "p.doc_id"),
+)
+
+@register(
+    "h3_knn",
+    f"""
+    WITH q AS (
+      SELECT c_custkey AS qid,
+             CAST(c_custkey * 7013 % 160000 AS DOUBLE) / 1000.0 - 80.0 AS clat,
+             CAST(c_custkey * 9551 % 350000 AS DOUBLE) / 1000.0 - 175.0 AS clon
+      FROM customer WHERE c_custkey < 12),
+    s AS (
+      SELECT q.qid, p.doc_id AS neighbor,
+             CAST(row_number() OVER (
+               PARTITION BY q.qid ORDER BY {_H3KNN_HAV}, p.doc_id) AS INT) AS rank
+      FROM q, documents p)
+    SELECT qid, rank, neighbor FROM s WHERE rank <= 4
+    """,
+)
+def q_h3_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex k-ring expand-and-prune kNN (north star operator): hex-ring
+    histogram picks the probe radius, filled-k-ring equi-join +
+    exact-verify pass — checked against exact brute force (the oracle)."""
+    from osm_spark.geo.cells import knn_hex
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 12)
+    kk = F.col("c_custkey")
+    queries = [
+        (r.qid, r.clat, r.clon)
+        for r in c.select(
+            kk.alias("qid"),
+            ((kk * 7013 % 160000).cast("double") / 1000.0 - 80.0).alias("clat"),
+            ((kk * 9551 % 350000).cast("double") / 1000.0 - 175.0).alias("clon"),
+        ).collect()
+    ]
+    pts = pages.page_points(spark, sf_dir)
+    out = knn_hex(pts, queries, k=4, res=3)
+    return out.select("qid", "rank", F.col("neighbor").cast("long").alias("neighbor"))
