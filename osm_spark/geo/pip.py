@@ -222,3 +222,72 @@ def pip_join_cells(
             yield pdf.loc[keep, out_cols]
 
     return cand.mapInPandas(refine, schema=out_schema)
+
+
+def pip_join_broadcast_wkb(
+    points: DataFrame,
+    polygons_wkb: list[tuple[int, bytes]],
+    x_col: str = "lon",
+    y_col: str = "lat",
+    poly_id_col: str = "poly_id",
+) -> DataFrame:
+    """Broadcast PIP join over WKB polygon payloads (north star:
+    "ray-casting over WKB polygons in pandas UDFs").
+
+    ``polygons_wkb``: [(poly_id, wkb_bytes)] — Polygon or MultiPolygon,
+    either byte order. Decoded ONCE per task from the broadcast (not per
+    batch), then the same vectorized ray-cast refine as
+    :func:`pip_join_broadcast`; holes subtract via even-odd parity
+    (xor over rings). No shuffle at all.
+    """
+    from osm_spark.geo import wkb as W
+
+    spark = points.sparkSession
+    bpolys = spark.sparkContext.broadcast(polygons_wkb)
+    in_cols = points.columns
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(points.schema.fields) + [StructField(poly_id_col, LongType())]
+    )
+
+    def gen(batches):
+        prepared = []
+        for pid, buf in bpolys.value:
+            _, rings = W.decode(buf)
+            rings = [
+                (xs, ys) for xs, ys in rings if len(xs) > 0
+            ]
+            if not rings:
+                continue
+            allx = np.concatenate([r[0] for r in rings])
+            ally = np.concatenate([r[1] for r in rings])
+            prepared.append(
+                (pid, rings, allx.min(), allx.max(), ally.min(), ally.max())
+            )
+        for pdf in batches:
+            px = pdf[x_col].to_numpy(dtype=np.float64)
+            py = pdf[y_col].to_numpy(dtype=np.float64)
+            outs = []
+            for pid, rings, xmin, xmax, ymin, ymax in prepared:
+                mask = (px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax)
+                idx = np.nonzero(mask)[0]
+                if idx.size == 0:
+                    continue
+                inside = np.zeros(idx.size, dtype=bool)
+                for xs, ys in rings:
+                    # even-odd: holes flip containment back off
+                    inside ^= ring_contains(xs, ys, px[idx], py[idx])
+                hit = idx[inside]
+                if hit.size:
+                    sub = pdf.iloc[hit].copy()
+                    sub[poly_id_col] = pid
+                    outs.append(sub)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+            else:
+                yield pd.DataFrame(
+                    {c: pd.Series(dtype=pdf[c].dtype) for c in in_cols}
+                ).assign(**{poly_id_col: pd.Series(dtype="int64")})
+
+    return points.mapInPandas(gen, schema=out_schema)

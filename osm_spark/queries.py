@@ -2719,3 +2719,93 @@ def q_h3_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = pages.page_points(spark, sf_dir)
     out = knn_hex(pts, queries, k=4, res=3)
     return out.select("qid", "rank", F.col("neighbor").cast("long").alias("neighbor"))
+
+
+# =====================================================================
+# WKB geometry codec (north star: "ray-casting over WKB polygons in
+# pandas UDFs"; geo/wkb.py)
+# =====================================================================
+
+@register(
+    "wkb_roundtrip",
+    f"""
+    WITH {_RECT_SQL}
+    SELECT poly_id,
+           CAST(93 AS BIGINT) AS wkb_len,
+           3 AS geom_type,
+           5 AS n_pts,
+           CAST(floor((clon - hlon + 0.0005) * 1e6) AS BIGINT) AS x0_e6,
+           CAST(floor((clat - hlat + 0.0005) * 1e6) AS BIGINT) AS y0_e6,
+           CAST(floor((clon + hlon + 0.0005) * 1e6) AS BIGINT) AS x2_e6,
+           CAST(floor((clat + hlat + 0.0005) * 1e6) AS BIGINT) AS y2_e6
+    FROM rect
+    """,
+)
+def q_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WKB encode -> decode roundtrip: ring arrays become
+    ISO WKB binary columns (9 + 4 + 16n bytes for a 5-vertex ring = 93),
+    decoded back batch-wise; the oracle recomputes the structural fields
+    and corner coordinates closed-form, so any byte-order or precision
+    defect in the codec shifts the e6 values and fails the gate."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from osm_spark.geo import wkb as W
+
+    def _enc_fn(xs, ys):
+        return pd.Series(
+            [W.encode_polygon([(x, y)]) for x, y in zip(xs, ys)]
+        )
+
+    _enc = pandas_udf(_enc_fn, "binary")
+
+    def _dec_fn(bufs):
+        rows = []
+        for buf in bufs:
+            gt, rings = W.decode(buf)
+            xs, ys = rings[0]
+            rows.append(
+                (len(buf), gt, len(xs), xs[0], ys[0], xs[2], ys[2])
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["wkb_len", "geom_type", "n_pts", "x0", "y0", "x2", "y2"],
+        )
+
+    _dec = pandas_udf(
+        _dec_fn,
+        "struct<wkb_len:long, geom_type:int, n_pts:int,"
+        " x0:double, y0:double, x2:double, y2:double>",
+    )
+
+    rect = _rect_polygons_df(spark, sf_dir)
+    out = rect.select("poly_id", _enc("xs", "ys").alias("wkb"))
+    out = out.select("poly_id", _dec("wkb").alias("d"))
+    return out.select(
+        "poly_id",
+        F.col("d.wkb_len").alias("wkb_len"),
+        F.col("d.geom_type").alias("geom_type"),
+        F.col("d.n_pts").alias("n_pts"),
+        F.floor(F.col("d.x0") * 1e6).cast("long").alias("x0_e6"),
+        F.floor(F.col("d.y0") * 1e6).cast("long").alias("y0_e6"),
+        F.floor(F.col("d.x2") * 1e6).cast("long").alias("x2_e6"),
+        F.floor(F.col("d.y2") * 1e6).cast("long").alias("y2_e6"),
+    )
+
+
+@register("pip_wkb", _PIP_ORACLE)
+def q_pip_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast PIP join whose polygon side travels as WKB binary:
+    rings encode to ISO WKB, broadcast, decode once per task inside the
+    Arrow UDF, then the verbatim ray-cast refine (build_polygon.go
+    formula). Same oracle as pip_broadcast/pip_cells — the WKB hop must
+    be invisible to the join result."""
+    from osm_spark.geo import pip
+    from osm_spark.geo import wkb as W
+
+    polys_wkb = [
+        (r.poly_id, W.encode_polygon([(r.xs, r.ys)]))
+        for r in _rect_polygons_df(spark, sf_dir).collect()
+    ]
+    pts = pages.page_points(spark, sf_dir)
+    return pip.pip_join_broadcast_wkb(pts, polys_wkb).select("doc_id", "poly_id")
