@@ -1,0 +1,131 @@
+"""S2-style adaptive multi-zoom tile covering.
+
+The S2 RegionCoverer idea re-expressed on the Z/X/Y grid (the engine's
+square hierarchy; the hex hierarchy in geo/hex.py offers the same ops):
+cover a region with the COARSEST tiles that fit, splitting only tiles
+that straddle the boundary, down to ``z_max``. For bbox regions the
+recursion collapses to a closed form — a tile at zoom z is in the
+covering iff
+
+    intersects(tile, bbox)
+    AND (fully_inside(tile, bbox) OR z == z_max)
+    AND no ancestor in [z_min, z-1] is fully_inside
+
+— which both Spark column math and the DuckDB oracle can evaluate
+identically (pure +,-,*,/ double comparisons; the Mercator bound uses
+exp/atan but only inside comparisons whose operands are far from
+equality at these zoom levels).
+
+Why it matters at scale: a fixed-zoom covering of an elongated polygon
+is quadratic in its aspect ratio (every fine tile along the long axis),
+while the adaptive covering emits O(perimeter) fine tiles + O(area /
+4^k) coarse ones — the cell-join fan-out for continental polygons drops
+by orders of magnitude (see test_covering.py's reduction assertion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm_spark.geo import tiles
+
+
+def _intersects(x, y, z: int):
+    return (
+        (tiles.tile_bound_west(x, z) < F.col("xmax"))
+        & (tiles.tile_bound_east(x, z) > F.col("xmin"))
+        & (tiles.tile_bound_south(y, z) < F.col("ymax"))
+        & (tiles.tile_bound_north(y, z) > F.col("ymin"))
+    )
+
+
+def _fully_inside(x, y, z: int):
+    return (
+        (tiles.tile_bound_west(x, z) >= F.col("xmin"))
+        & (tiles.tile_bound_east(x, z) <= F.col("xmax"))
+        & (tiles.tile_bound_south(y, z) >= F.col("ymin"))
+        & (tiles.tile_bound_north(y, z) <= F.col("ymax"))
+    )
+
+
+def adaptive_covering(polygons: DataFrame, z_min: int, z_max: int) -> DataFrame:
+    """Explode each bbox row (cols xmin/xmax/ymin/ymax, any others
+    carried through) into its adaptive covering: rows gain
+    (zoom, tile_x, tile_y)."""
+    levels = []
+    for z in range(z_min, z_max + 1):
+        cand = (
+            polygons.withColumn(
+                "tile_x",
+                F.explode(
+                    F.sequence(tiles.tile_x("xmin", z), tiles.tile_x("xmax", z))
+                ),
+            )
+            .withColumn(
+                "tile_y",
+                F.explode(
+                    F.sequence(tiles.tile_y("ymax", z), tiles.tile_y("ymin", z))
+                ),
+            )
+            .withColumn("zoom", F.lit(z))
+        )
+        keep = _intersects("tile_x", "tile_y", z)
+        if z < z_max:
+            keep = keep & _fully_inside("tile_x", "tile_y", z)
+        for zp in range(z_min, z):
+            keep = keep & ~_fully_inside(
+                F.shiftright("tile_x", z - zp), F.shiftright("tile_y", z - zp), zp
+            )
+        levels.append(cand.filter(keep))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def adaptive_covering_sql(
+    rect_cte: str, z_min: int, z_max: int,
+    id_col: str = "poly_id", table: str = "rect",
+) -> str:
+    """DuckDB twin of :func:`adaptive_covering` over CTE ``table`` with
+    (id_col, xmin, xmax, ymin, ymax). Returns a full SELECT producing
+    (id_col, zoom, tile_x, tile_y)."""
+
+    def bounds(xe: str, ye: str, z: int) -> dict[str, str]:
+        return tiles.tile_bound_sql(xe, ye, z)
+
+    def full(xe: str, ye: str, z: int) -> str:
+        b = bounds(xe, ye, z)
+        return (
+            f"({b['minlon']} >= xmin AND {b['maxlon']} <= xmax"
+            f" AND {b['minlat']} >= ymin AND {b['maxlat']} <= ymax)"
+        )
+
+    def inter(xe: str, ye: str, z: int) -> str:
+        b = bounds(xe, ye, z)
+        return (
+            f"({b['minlon']} < xmax AND {b['maxlon']} > xmin"
+            f" AND {b['minlat']} < ymax AND {b['maxlat']} > ymin)"
+        )
+
+    parts = []
+    for z in range(z_min, z_max + 1):
+        conds = [inter("tx.x", "ty.x", z)]
+        if z < z_max:
+            conds.append(full("tx.x", "ty.x", z))
+        for zp in range(z_min, z):
+            conds.append(
+                "NOT " + full(f"(tx.x >> {z - zp})", f"(ty.x >> {z - zp})", zp)
+            )
+        parts.append(
+            f"""
+  SELECT {id_col}, {z} AS zoom, tx.x AS tile_x, ty.x AS tile_y
+  FROM {table},
+       LATERAL (SELECT unnest(range({tiles.tile_x_sql('xmin', z)},
+                                    {tiles.tile_x_sql('xmax', z)} + 1)) AS x) tx,
+       LATERAL (SELECT unnest(range({tiles.tile_y_sql('ymax', z)},
+                                    {tiles.tile_y_sql('ymin', z)} + 1)) AS x) ty
+  WHERE {' AND '.join(conds)}"""
+        )
+    return f"WITH {rect_cte} " + " UNION ALL ".join(parts)

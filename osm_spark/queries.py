@@ -2809,3 +2809,49 @@ def q_pip_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     pts = pages.page_points(spark, sf_dir)
     return pip.pip_join_broadcast_wkb(pts, polys_wkb).select("doc_id", "poly_id")
+
+
+# =====================================================================
+# S2-style adaptive multi-zoom covering (geo/covering.py)
+# =====================================================================
+
+from osm_spark.geo import covering as _cov
+
+_RECTB_SQL = _RECT_SQL + """,
+    rectb AS (
+      SELECT poly_id,
+             clon - hlon + 0.0005 AS xmin, clon + hlon + 0.0005 AS xmax,
+             clat - hlat + 0.0005 AS ymin, clat + hlat + 0.0005 AS ymax
+      FROM rect)"""
+
+
+@register(
+    "covering_adaptive",
+    _cov.adaptive_covering_sql(_RECTB_SQL[5:], 4, 7, table="rectb"),
+)
+def q_covering_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive z4..z7 covering of the rect polygon set: coarse tiles
+    where they fit, boundary tiles split to z7 — the S2 RegionCoverer
+    shape on the Z/X/Y hierarchy, closed form for bboxes so the oracle
+    mirrors it exactly."""
+    rect = _rect_polygons_df(spark, sf_dir).select(
+        "poly_id", "xmin", "xmax", "ymin", "ymax"
+    )
+    return _cov.adaptive_covering(rect, 4, 7).select(
+        "poly_id", "zoom", "tile_x", "tile_y"
+    )
+
+
+@register("pip_cells_adaptive", _PIP_ORACLE)
+def q_pip_cells_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join through the adaptive multi-zoom covering (points fan
+    out to one tile per zoom, polygons to their S2-style covering cells,
+    equi-join on (zoom, x, y), ray-cast refine). Same oracle as the
+    other PIP variants."""
+    from osm_spark.geo import pip
+
+    pts = pages.page_points(spark, sf_dir)
+    polys = _rect_polygons_df(spark, sf_dir)
+    return pip.pip_join_cells_adaptive(pts, polys, z_min=4, z_max=7).select(
+        "doc_id", "poly_id"
+    )
