@@ -103,23 +103,46 @@ def stream_changes(
     """Wire a streaming changes source through the batch kernel.
 
     ``source_df`` must be a streaming DataFrame with CHANGE_SCHEMA.
-    State is carried across micro-batches in driver-side parquet (the
-    sandbox stand-in for an Iceberg state table); actions append to
-    ``out_dir``. Watermark = the reference's 30-minute threshold.
+    State lives in a hash-BUCKETED store (state_store.py): a batch
+    rewrites only the buckets its keys hash into and commits via one
+    atomic pointer rename — O(|batch| + touched buckets) per batch,
+    never O(|state|), and no half-overwritten window (a crash before
+    the rename leaves the previous committed state intact; Spark's
+    checkpoint replays the batch, so actions are at-least-once — dedupe
+    downstream on (batch_id, seq, type, id, new_version) if exactly-
+    once is needed). Watermark = the reference's 30-minute threshold.
     """
-    state_path = f"{out_dir}/_state"
-    state_init.write.mode("overwrite").parquet(state_path)
+    from osm_spark.streaming.state_store import BucketedStateStore
+
+    store = BucketedStateStore(spark, f"{out_dir}/_state")
+    store.init(state_init)
 
     def process(batch_df: DataFrame, batch_id: int):
         sp = batch_df.sparkSession
-        state = sp.read.parquet(state_path)
-        actions, new_state = apply_change_batch(state, batch_df)
+        st = BucketedStateStore(sp, f"{out_dir}/_state")
+        touched = sorted(
+            r["_b"]
+            for r in batch_df.select(st.bucket_col().alias("_b")).distinct().collect()
+        )
+        if not touched:
+            return
+        ptr = st.pointer()
+        have = [b for b in touched if str(b) in ptr["buckets"]]
+        state_touched = (
+            st.read(have)
+            if have
+            else sp.createDataFrame([], batch_df.select(*STATE_COLS).schema)
+        )
+        # actions only need the prior version of keys PRESENT IN THE
+        # BATCH -> the touched buckets are a sufficient state slice
+        actions, _ = apply_change_batch(state_touched, batch_df)
         actions.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
             f"{out_dir}/actions"
         )
-        new_state.write.mode("overwrite").parquet(state_path + ".next")
-        # atomic-ish swap: write next, then overwrite main
-        sp.read.parquet(state_path + ".next").write.mode("overwrite").parquet(state_path)
+        st.apply(
+            latest_state(batch_df.select(*STATE_COLS, "seq")).drop("seq"),
+            latest_state,
+        )
 
     return (
         source_df.withWatermark("ts", "30 minutes")
@@ -127,3 +150,10 @@ def stream_changes(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def read_state(spark, out_dir: str) -> DataFrame:
+    """Committed state of a stream_changes run (bucketed-store read)."""
+    from osm_spark.streaming.state_store import BucketedStateStore
+
+    return BucketedStateStore(spark, f"{out_dir}/_state").read()

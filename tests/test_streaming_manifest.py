@@ -97,7 +97,9 @@ def test_streaming_end_to_end(spark, tmp_path):
     actions = spark.read.parquet(f"{out_dir}/actions")
     assert actions.count() == 2
     assert {r.action for r in actions.collect()} == {"create"}
-    state = spark.read.parquet(f"{out_dir}/_state")
+    from osm_spark.streaming.replication import read_state
+
+    state = read_state(spark, out_dir)
     assert state.count() == 2
 
 
@@ -151,3 +153,93 @@ def test_manifest_crash_leaves_uncommitted(spark, tmp_path):
     ok = M.run_stage(spark, root, "s", "fp", lambda: spark.range(10))
     assert ok.count() == 10
     assert M.load_manifest(root, "s")["total_rows"] == 10
+
+
+def test_bucketed_state_store_partial_rewrite(spark, tmp_path):
+    """Only touched buckets gain a new epoch; untouched pointers stay."""
+    from osm_spark.streaming.replication import latest_state
+    from osm_spark.streaming.state_store import BucketedStateStore
+
+    store = BucketedStateStore(spark, str(tmp_path / "st"), n_buckets=8)
+    init = _changes(
+        spark,
+        [
+            (0, "create", "node", i, 1, True, 10, datetime(2024, 1, 1), 0.0, 0.0)
+            for i in range(40)
+        ],
+    ).select("type", "id", "version", "visible", "changeset", "ts", "lat", "lon")
+    store.init(init)
+    before = store.pointer()
+
+    batch = _changes(
+        spark,
+        [(1, "modify", "node", 3, 2, True, 11, datetime(2024, 1, 2), 9.0, 9.0)],
+    ).select("type", "id", "version", "visible", "changeset", "ts", "lat", "lon")
+    store.apply(batch, latest_state)
+    after = store.pointer()
+
+    assert after["epoch"] == before["epoch"] + 1
+    changed = {
+        b for b in after["buckets"] if after["buckets"][b] != before["buckets"].get(b)
+    }
+    assert len(changed) == 1  # exactly the bucket id 3 hashes into
+    st = store.read()
+    assert st.count() == 40
+    assert st.filter("id = 3").collect()[0].version == 2
+
+
+def test_bucketed_state_store_crash_before_commit(spark, tmp_path):
+    """A crash AFTER writing epoch data but BEFORE the pointer rename
+    leaves the previous committed state fully visible; redoing the
+    batch converges."""
+    from osm_spark.streaming.replication import latest_state
+    from osm_spark.streaming.state_store import BucketedStateStore
+
+    store = BucketedStateStore(spark, str(tmp_path / "st2"), n_buckets=4)
+    init = _changes(
+        spark,
+        [(0, "create", "node", i, 1, True, 10, datetime(2024, 1, 1), 0.0, 0.0)
+         for i in range(10)],
+    ).select("type", "id", "version", "visible", "changeset", "ts", "lat", "lon")
+    store.init(init)
+
+    batch = _changes(
+        spark,
+        [(1, "modify", "node", 5, 2, True, 11, datetime(2024, 1, 2), 7.0, 7.0)],
+    ).select("type", "id", "version", "visible", "changeset", "ts", "lat", "lon")
+
+    class Boom(Exception):
+        pass
+
+    real_commit = store._commit_pointer
+
+    def crash(ptr):
+        raise Boom()
+
+    store._commit_pointer = crash
+    with pytest.raises(Boom):
+        store.apply(batch, latest_state)
+
+    # state still the old committed version (epoch data exists on disk
+    # but nothing references it)
+    fresh = BucketedStateStore(spark, str(tmp_path / "st2"), n_buckets=4)
+    assert fresh.pointer()["epoch"] == 0
+    assert fresh.read().filter("id = 5").collect()[0].version == 1
+
+    # redo the batch (Spark would replay it from the checkpoint); the
+    # redo REUSES the orphaned epoch dir (mode=overwrite) then commits
+    fresh.apply(batch, latest_state)
+    assert fresh.read().filter("id = 5").collect()[0].version == 2
+    assert fresh.read().count() == 10
+
+    # everything on disk is referenced -> gc removes nothing
+    assert fresh.gc() == []
+
+    # a further batch on the same key supersedes epoch 1's only bucket;
+    # gc then drops the dead epoch dir without touching visible state
+    batch2 = batch.withColumn("version", F.lit(3))
+    fresh.apply(batch2, latest_state)
+    removed = fresh.gc()
+    assert any("epoch=1" in d for d in removed)
+    assert fresh.read().count() == 10
+    assert fresh.read().filter("id = 5").collect()[0].version == 3
