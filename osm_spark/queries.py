@@ -2855,3 +2855,72 @@ def q_pip_cells_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip.pip_join_cells_adaptive(pts, polys, z_min=4, z_max=7).select(
         "doc_id", "poly_id"
     )
+
+
+# =====================================================================
+# GeoJSON feature emission (osmgeojson/convert.go:165-231 output layer;
+# functions/geojson.py)
+# =====================================================================
+
+@register(
+    "geojson_features",
+    f"""
+    WITH n AS (
+      SELECT doc_id, {pages.GEO_LAT_SQL} AS lat, {pages.GEO_LON_SQL} AS lon,
+             doc_id % 7 AS version, doc_id % 100 AS changeset
+      FROM documents),
+    kept AS (
+      SELECT * FROM n WHERE NOT (lat = 0 AND lon = 0 AND version = 0))
+    SELECT 'node/' || CAST(doc_id AS VARCHAR) AS feature_id,
+           CAST(floor(lon * 1e6) AS BIGINT) AS lon_e6,
+           CAST(floor(lat * 1e6) AS BIGINT) AS lat_e6,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_rel,
+           CASE WHEN doc_id % 3 = 0 AND doc_id % 6 = 0 THEN 'outer'
+                WHEN doc_id % 3 = 0 THEN 'inner' END AS rel_role,
+           CASE WHEN version = 0 THEN NULL ELSE CAST(version AS INT) END
+             AS meta_version,
+           CASE WHEN changeset = 0 THEN NULL ELSE changeset END
+             AS meta_changeset
+    FROM kept
+    """,
+)
+def q_geojson_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GeoJSON document emission: node features with geometry,
+    properties (id/type/tags), relation-membership summaries and
+    zero-omitting meta, built by the ported convert.go kernel and
+    emitted as canonical JSON strings — then parsed BACK with
+    get_json_object so the oracle checks the serialized structure
+    (quantized coords keep float formatting out of the hash)."""
+    from osm_spark.functions import geojson as GJ
+
+    docs = pages.load_documents(spark, sf_dir)
+    nodes = docs.select(
+        F.col("doc_id").alias("id"),
+        pages.geo_lat("doc_id").alias("lat"),
+        pages.geo_lon("doc_id").alias("lon"),
+        (F.col("doc_id") % 7).cast("int").alias("version"),
+        (F.col("doc_id") % 100).alias("changeset"),
+    )
+    members = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("ref"),
+        F.floor(F.col("doc_id") / 3).cast("long").alias("rel_id"),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("outer"))
+        .otherwise(F.lit("inner"))
+        .alias("role"),
+        F.create_map(F.lit("type"), F.lit("multipolygon")).alias("tags"),
+    )
+    feats = GJ.node_features_df(nodes, members)
+    g = lambda p: F.get_json_object("feature", p)
+    return feats.select(
+        g("$.id").alias("feature_id"),
+        F.floor(g("$.geometry.coordinates[0]").cast("double") * 1e6)
+        .cast("long")
+        .alias("lon_e6"),
+        F.floor(g("$.geometry.coordinates[1]").cast("double") * 1e6)
+        .cast("long")
+        .alias("lat_e6"),
+        F.json_array_length(g("$.properties.relations")).alias("n_rel"),
+        g("$.properties.relations[0].role").alias("rel_role"),
+        g("$.properties.meta.version").cast("int").alias("meta_version"),
+        g("$.properties.meta.changeset").cast("long").alias("meta_changeset"),
+    )
