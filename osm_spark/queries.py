@@ -2924,3 +2924,37 @@ def q_geojson_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         g("$.properties.meta.version").cast("int").alias("meta_version"),
         g("$.properties.meta.changeset").cast("long").alias("meta_changeset"),
     )
+
+
+_SIM60_SQL = _dd.simhash60_sql("docs2", "doc_id", "text")
+
+@register(
+    "simhash_neardup",
+    f"""
+    WITH {_DOCS2_SQL},
+    sim AS ({_SIM60_SQL}),
+    bands AS (
+      SELECT doc_id, t.k AS band,
+             (simhash >> (15 * t.k)) % 32768 AS band_key, simhash
+      FROM sim, unnest([0, 1, 2, 3]) AS t(k)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+             l.simhash AS sa, r.simhash AS sb
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_key = r.band_key
+       AND l.doc_id < r.doc_id)
+    SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 12
+    """,
+)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-SimHash near-dup: 60-bit simhash (15 md5 nibbles/token; 60
+    not 64 keeps the value signed-BIGINT-safe in every engine) banded
+    4 x 15 bits; by pigeonhole every pair with <= 3 differing bands
+    shares an exact band, candidates verified by exact popcount
+    (bit_count over XOR). Shuffle volume |docs| x 4 band keys — never
+    all-pairs."""
+    docs = _docs2(spark, sf_dir)
+    sim = _dd.simhash60(docs, "doc_id", "text")
+    out = _dd.simhash_neardup_pairs(sim, "doc_id", max_hamming=12)
+    return out.select("a", "b", F.col("hamming").cast("int").alias("hamming"))

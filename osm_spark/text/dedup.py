@@ -257,3 +257,98 @@ def ngram_jaccard_pairs(
             .alias("uni"),
         )
     )
+
+
+def simhash60(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash (15 md5 hex nibbles per token; 60 not 64 so the
+    value stays inside a signed BIGINT in every engine). Each bit votes
+    +1/-1 weighted by token multiplicity; simhash bit = sign. All
+    column HOFs — one explode + one 60-sum groupBy."""
+    tok = docs.select(F.col(id_col), F.explode(words(text_col)).alias("t"))
+    # project the digest and nibbles to NAMED columns first: referencing
+    # the md5/substr subtree from 60 aggregate expressions re-inlines it
+    # per use (codegen duplication; measured ~15s -> ~3s here)
+    tok = tok.select(id_col, F.md5("t").alias("_h"))
+    tok = tok.select(
+        id_col,
+        *[
+            _hexval(F.substring("_h", i + 1, 1)).alias(f"_n{i}")
+            for i in range(15)
+        ],
+    )
+    bit_aggs = []
+    for b in range(60):
+        bit = F.floor(F.col(f"_n{b // 4}") / (1 << (b % 4))) % 2
+        bit_aggs.append(F.sum(bit * 2 - 1).alias(f"v{b}"))
+    votes = tok.groupBy(id_col).agg(*bit_aggs)
+    sim = None
+    for b in range(60):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash60_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`simhash60` (returns a full SELECT)."""
+    nib = lambda i: (
+        f"(strpos('0123456789abcdef', substr(md5(t), {i + 1}, 1)) - 1)"
+    )
+    sums = ",\n    ".join(
+        f"sum((CAST(floor({nib(b // 4)} / {1 << (b % 4)}) AS BIGINT) % 2) * 2 - 1)"
+        f" AS v{b}"
+        for b in range(60)
+    )
+    val = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(60)
+    )
+    return f"""
+    SELECT {id_col}, CAST({val} AS BIGINT) AS simhash FROM (
+      SELECT {id_col}, {sums}
+      FROM (SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS t
+            FROM {table})
+      GROUP BY {id_col})
+    """
+
+
+def simhash_neardup_pairs(
+    sim: DataFrame, id_col: str = "doc_id", sim_col: str = "simhash",
+    n_bands: int = 4, band_bits: int = 15, max_hamming: int = 12,
+) -> DataFrame:
+    """Hamming-banded near-dup join over SimHash values: by pigeonhole,
+    any pair within ``n_bands - 1`` differing bands shares at least one
+    exact band, so banding the 60 bits into 4 x 15 finds every pair with
+    hamming <= 3 guaranteed (and most up to max_hamming in practice);
+    candidates verify with an exact popcount. Shuffle volume is
+    |docs| x n_bands band keys — never all-pairs. Returns
+    (a, b, hamming <= max_hamming)."""
+    bands = []
+    for k in range(n_bands):
+        key = F.shiftrightunsigned(F.col(sim_col), band_bits * k) % (1 << band_bits)
+        bands.append(
+            sim.select(
+                F.col(id_col), F.lit(k).alias("band"), key.alias("band_key"),
+                F.col(sim_col),
+            )
+        )
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    left = allb.select(
+        F.col(id_col).alias("a"), "band", "band_key",
+        F.col(sim_col).alias("sim_a"),
+    )
+    right = allb.select(
+        F.col(id_col).alias("b"), "band", "band_key",
+        F.col(sim_col).alias("sim_b"),
+    )
+    return (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
