@@ -2958,3 +2958,49 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = _dd.simhash60(docs, "doc_id", "text")
     out = _dd.simhash_neardup_pairs(sim, "doc_id", max_hamming=12)
     return out.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+
+_CS_CUTOFF = "2024-01-20 00:00:00"
+
+@register(
+    "changeset_stream",
+    f"""
+    WITH upd AS (
+      SELECT user_id * 10 + (date_part('day', ts) % 7) AS cs_id,
+             ts, CAST(event_id % 5 + 1 AS INT) AS n_changes
+      FROM events)
+    SELECT cs_id,
+           count(*) AS n_updates,
+           CAST(sum(n_changes) AS BIGINT) AS n_changes,
+           min(epoch_us(ts)) AS first_us,
+           max(epoch_us(ts)) AS last_us
+    FROM upd GROUP BY 1
+    """,
+)
+def q_changeset_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changeset replication stream (replication/changesets.go:147-205
+    feed): per-changeset rollup state maintained by the associative
+    batch-merge kernel — state built from pre-cutoff updates, one
+    post-cutoff batch merged through apply_changeset_batch; the oracle
+    recomputes the rollup over the full feed, which must equal the
+    incremental merge."""
+    from osm_spark.streaming.replication import (
+        apply_changeset_batch, changeset_rollup_batch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    upd = ev.select(
+        (F.col("user_id") * 10 + F.dayofmonth("ts") % 7).alias("cs_id"),
+        F.col("ts"),
+        (F.col("event_id") % 5 + 1).cast("int").alias("n_changes"),
+    )
+    cutoff = F.lit(_CS_CUTOFF).cast("timestamp")
+    state = changeset_rollup_batch(upd.where(F.col("ts") < cutoff))
+    merged = apply_changeset_batch(state, upd.where(F.col("ts") >= cutoff))
+    return merged.select(
+        "cs_id",
+        F.col("n_updates").alias("n_updates"),
+        "n_changes",
+        "first_us",
+        "last_us",
+    )

@@ -157,3 +157,41 @@ def read_state(spark, out_dir: str) -> DataFrame:
     from osm_spark.streaming.state_store import BucketedStateStore
 
     return BucketedStateStore(spark, f"{out_dir}/_state").read()
+
+
+# ------------------------------------------------------ changeset stream
+# The reference's SECOND replication feed: changesets.go:147-205 serves
+# per-sequence changeset lists; consumers maintain a per-changeset
+# rollup. Modeled as an associatively-mergeable aggregate so micro-batch
+# merge == full recompute (exactly the property the oracle checks).
+
+CHANGESET_SCHEMA = "cs_seq long, cs_id long, ts timestamp, n_changes int"
+CS_STATE_COLS = ["cs_id", "n_updates", "n_changes", "first_us", "last_us"]
+
+
+def changeset_rollup_batch(batch: DataFrame) -> DataFrame:
+    """Per-changeset rollup of one replication batch."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return batch.groupBy("cs_id").agg(
+        F.count("*").alias("n_updates"),
+        F.sum("n_changes").cast("long").alias("n_changes"),
+        F.min(us).alias("first_us"),
+        F.max(us).alias("last_us"),
+    )
+
+
+def apply_changeset_batch(state: DataFrame, batch: DataFrame) -> DataFrame:
+    """Merge a changeset batch into the rollup state (associative:
+    sum/sum/min/max) — usable directly in foreachBatch with the
+    bucketed store keyed on cs_id."""
+    b = changeset_rollup_batch(batch)
+    return (
+        state.unionByName(b)
+        .groupBy("cs_id")
+        .agg(
+            F.sum("n_updates").cast("long").alias("n_updates"),
+            F.sum("n_changes").cast("long").alias("n_changes"),
+            F.min("first_us").alias("first_us"),
+            F.max("last_us").alias("last_us"),
+        )
+    )

@@ -85,11 +85,34 @@ class BucketedStateStore:
         for d in os.listdir(path):
             if d.startswith("_bkt="):
                 buckets[d.split("=")[1]] = os.path.join(path, d)
-        self._commit_pointer({"epoch": 0, "buckets": buckets})
+        self._commit_pointer(
+            {
+                "epoch": 0,
+                "buckets": buckets,
+                "history": [{"epoch": 0, "buckets": buckets}],
+            }
+        )
 
-    def read(self, bucket_ids: list[int] | None = None) -> DataFrame:
-        """Committed state (optionally only some buckets)."""
+    def read(
+        self, bucket_ids: list[int] | None = None, epoch: int | None = None
+    ) -> DataFrame:
+        """Committed state (optionally only some buckets).
+
+        ``epoch`` time-travels to any earlier committed epoch — the
+        At(t) surface of the reference's osmapi options (SURVEY §2.1)
+        realized over the pointer history: every commit appends its
+        full bucket map to STATE.json's ``history``, and old epoch
+        directories stay on disk until gc(), so reads at epoch N see
+        exactly the state committed then.
+        """
         ptr = self.pointer()
+        if epoch is not None:
+            for h in ptr.get("history", []):
+                if h["epoch"] == epoch:
+                    ptr = h
+                    break
+            else:
+                raise ValueError(f"epoch {epoch} not in committed history")
         paths = [
             p
             for b, p in sorted(ptr["buckets"].items(), key=lambda kv: int(kv[0]))
@@ -131,14 +154,28 @@ class BucketedStateStore:
         for d in os.listdir(path):
             if d.startswith("_bkt="):
                 new_buckets[d.split("=")[1]] = os.path.join(path, d)
-        # ATOMIC commit: single rename flips every touched bucket at once
-        self._commit_pointer({"epoch": epoch, "buckets": new_buckets})
+        # ATOMIC commit: single rename flips every touched bucket at
+        # once; history retains each epoch's bucket map for time travel
+        history = ptr.get("history", []) + [
+            {"epoch": epoch, "buckets": new_buckets}
+        ]
+        self._commit_pointer(
+            {"epoch": epoch, "buckets": new_buckets, "history": history}
+        )
 
-    def gc(self) -> list[str]:
-        """Delete epoch directories no committed pointer references.
-        Safe any time: only the pointer defines visibility."""
+    def gc(self, expire_history: bool = False) -> list[str]:
+        """Delete epoch directories nothing references. By default the
+        time-travel history keeps its epochs alive (Iceberg
+        expire-snapshots semantics: pass ``expire_history=True`` to
+        collapse history to the current epoch first). Safe any time:
+        only the pointer defines visibility."""
         ptr = self.pointer()
+        if expire_history and ptr.get("history"):
+            ptr["history"] = [h for h in ptr["history"] if h["epoch"] == ptr["epoch"]]
+            self._commit_pointer(ptr)
         live = {os.path.dirname(p) for p in ptr["buckets"].values()}
+        for h in ptr.get("history", []):
+            live |= {os.path.dirname(p) for p in h["buckets"].values()}
         removed = []
         if not os.path.isdir(self.root):
             return removed

@@ -476,12 +476,22 @@ def annotate_refs(
     children: DataFrame,
     threshold_sec: float = DEFAULT_THRESHOLD_SEC,
     ignore_inconsistency: bool = True,
+    child_filter=None,
 ) -> DataFrame:
     """Core as-of annotation (compute.go:38-143).
 
     parents:  (pid, version, visible, changeset, ts, committed,
-               refs array<struct<ref:long>> — positional)
+               refs array<struct<ref:long[, annotated:boolean]>> —
+               positional)
     children: (ref, version, visible, changeset, ts, committed, lat, lon)
+
+    ``child_filter`` (annotate ChildFilter, options.go:58-67): a
+    function Column -> boolean Column over the ref id. Ref slots that
+    are ALREADY annotated (``annotated`` struct field true) and fail
+    the filter are skipped — compute.go:200-218 mapChildLocs semantics:
+    unannotated slots are processed regardless of the filter, so a
+    batch update can restrict work to its own children without losing
+    anyone never annotated before.
 
     Returns rows (pid, parent_version, idx, kind, child_version,
     child_changeset, lat, lon, uts) where kind='set' is the major-version
@@ -513,8 +523,18 @@ def annotate_refs(
             F.posexplode("refs").alias("idx", "_r"),
         )
         .withColumn("ref", F.col("_r.ref"))
-        .drop("_r")
     )
+    ref_fields = parents.schema["refs"].dataType.elementType.fieldNames()
+    if child_filter is not None and "annotated" in ref_fields:
+        # mapChildLocs (compute.go:205-207): skip slots that are both
+        # already-annotated AND rejected by the filter
+        p = p.filter(
+            ~(
+                F.coalesce(F.col("_r.annotated"), F.lit(False))
+                & ~child_filter(F.col("ref"))
+            )
+        )
+    p = p.drop("_r")
     kernel = _make_kernel(threshold_sec, ignore_inconsistency)
 
     def _cogroup(slots_df, child_df):

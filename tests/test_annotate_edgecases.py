@@ -125,3 +125,43 @@ def test_redacted_one_of_two_nodes_same_version_parents(spark):
     for w in rows:
         assert w.nodes[0].lat == 0.0
         assert (w.nodes[1].lat, w.nodes[1].lon) == (1.0, 2.0)
+
+
+def test_child_filter_skips_only_annotated(spark):
+    """ChildFilter (options.go:58-67 / compute.go:200-218): slots that
+    are already annotated AND fail the filter are skipped; unannotated
+    slots are processed regardless of the filter."""
+    from pyspark.sql import functions as F
+
+    from osm_spark.temporal.annotate import annotate_refs
+
+    ndf = spark.createDataFrame(
+        [
+            (1, 1, True, 0, _d(2020, 1, 1), _d(2020, 1, 1), 1.0, 1.0),
+            (2, 1, True, 0, _d(2020, 1, 1), _d(2020, 1, 1), 2.0, 2.0),
+            (3, 1, True, 0, _d(2020, 1, 1), _d(2020, 1, 1), 3.0, 3.0),
+        ],
+        "ref long, version int, visible boolean, changeset long, "
+        "ts timestamp, committed timestamp, lat double, lon double",
+    )
+    # refs: 1 annotated (would be skipped by filter), 2 annotated (passes
+    # filter), 3 NOT annotated (kept despite failing filter)
+    wdf = spark.createDataFrame(
+        [
+            (
+                10, 1, True, 0, _d(2020, 6, 1), _d(2020, 6, 1),
+                [(1, True), (2, True), (3, False)],
+            )
+        ],
+        "pid long, version int, visible boolean, changeset long, "
+        "ts timestamp, committed timestamp, "
+        "refs array<struct<ref:long, annotated:boolean>>",
+    )
+    keep = {2}
+    flt = lambda ref: ref.isin([2])
+
+    out = annotate_refs(wdf, ndf, child_filter=flt).filter("kind = 'set'").collect()
+    assert {r.idx for r in out} == {1, 2}  # slot 0 (ref 1) skipped
+
+    out_all = annotate_refs(wdf, ndf).filter("kind = 'set'").collect()
+    assert {r.idx for r in out_all} == {0, 1, 2}

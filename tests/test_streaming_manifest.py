@@ -236,10 +236,15 @@ def test_bucketed_state_store_crash_before_commit(spark, tmp_path):
     assert fresh.gc() == []
 
     # a further batch on the same key supersedes epoch 1's only bucket;
-    # gc then drops the dead epoch dir without touching visible state
+    # time travel still sees each committed epoch until history expires
     batch2 = batch.withColumn("version", F.lit(3))
     fresh.apply(batch2, latest_state)
-    removed = fresh.gc()
+    assert fresh.read(epoch=1).filter("id = 5").collect()[0].version == 2
+    assert fresh.read(epoch=0).filter("id = 5").collect()[0].version == 1
+    assert fresh.gc() == []  # history keeps old epochs alive
+    removed = fresh.gc(expire_history=True)
     assert any("epoch=1" in d for d in removed)
     assert fresh.read().count() == 10
     assert fresh.read().filter("id = 5").collect()[0].version == 3
+    with pytest.raises(ValueError):
+        fresh.read(epoch=1)
