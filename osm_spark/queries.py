@@ -2955,7 +2955,9 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bit_count over XOR). Shuffle volume |docs| x 4 band keys — never
     all-pairs."""
     docs = _docs2(spark, sf_dir)
-    sim = _dd.simhash60(docs, "doc_id", "text")
+    # persist: the band self-join consumes the 60-sum aggregation from
+    # both sides (2 consumers -> 1 compute)
+    sim = _dd.simhash60(docs, "doc_id", "text").persist()
     out = _dd.simhash_neardup_pairs(sim, "doc_id", max_hamming=12)
     return out.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
 

@@ -321,19 +321,31 @@ def simhash_neardup_pairs(
     hamming <= 3 guaranteed (and most up to max_hamming in practice);
     candidates verify with an exact popcount. Shuffle volume is
     |docs| x n_bands band keys — never all-pairs. Returns
-    (a, b, hamming <= max_hamming)."""
-    bands = []
-    for k in range(n_bands):
-        key = F.shiftrightunsigned(F.col(sim_col), band_bits * k) % (1 << band_bits)
-        bands.append(
-            sim.select(
-                F.col(id_col), F.lit(k).alias("band"), key.alias("band_key"),
-                F.col(sim_col),
+    (a, b, hamming <= max_hamming).
+
+    Bands come from ONE explode over the sim table, not a per-band
+    union: the union form re-evaluated the whole upstream simhash
+    aggregation once per band per join side (measured 24 scans / 32
+    exchanges in the plan). Callers should still persist ``sim`` —
+    the self-join consumes the explode twice."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                (
+                    F.shiftrightunsigned(F.col(sim_col), band_bits * k)
+                    % (1 << band_bits)
+                ).alias("band_key"),
             )
-        )
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionByName(b)
+            for k in range(n_bands)
+        ]
+    )
+    allb = sim.select(
+        F.col(id_col), F.col(sim_col), F.explode(band_structs).alias("_b")
+    ).select(
+        id_col, sim_col, F.col("_b.band").alias("band"),
+        F.col("_b.band_key").alias("band_key"),
+    )
     left = allb.select(
         F.col(id_col).alias("a"), "band", "band_key",
         F.col(sim_col).alias("sim_a"),
