@@ -1,16 +1,18 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, partition discipline, Arrow batch
-shapes, UDF signatures) is real and tested; the codec itself is stubbed
-— the sandbox has no image/audio libraries, so ``decode_image`` with
-``real_decode=True`` raises NotImplementedError, and the default is a
-DETERMINISTIC FAKE decode (byte-arithmetic "pixels") that keeps every
-pipeline property checkable: fixed output schema, per-row determinism,
-batch independence.
+shapes, UDF signatures) is real and tested. The codec layer is real for
+UNCOMPRESSED formats — 24bpp BMP and PCM16 WAV parse for real via
+multimodal/codecs.py (pure numpy/struct, no external libs) — and
+compressed formats (JPEG/PNG/MP3/H.264) raise a clear
+NotImplementedError since the sandbox has no PIL/libvips/ffmpeg. A
+DETERMINISTIC FAKE decode (byte-arithmetic "pixels") remains the
+default for plumbing tests over arbitrary blobs.
 
-Production swap-in: replace ``_fake_decode_batch`` with PIL/libvips in
-the same mapInPandas generator — the plan (narrow scan -> Arrow batches
--> pandas transform, no shuffle) is unchanged.
+Production swap-in for compressed formats: extend ``_real_decode_batch``
+with PIL/libvips branches in the same mapInPandas generator — the plan
+(narrow scan -> Arrow batches -> pandas transform, no shuffle) is
+unchanged.
 """
 
 from __future__ import annotations
@@ -82,22 +84,56 @@ def _fake_decode_batch(blobs: pd.Series) -> pd.DataFrame:
     )
 
 
+def _real_decode_batch(blobs: pd.Series) -> pd.DataFrame:
+    """REAL decode for uncompressed formats (multimodal/codecs.py):
+    24bpp BMP -> (w, h, 3, RGB-byte 8-bin histogram); PCM16 WAV ->
+    (n_samples, 1, channels, amplitude 8-bin histogram). Compressed
+    formats (JPEG/PNG/MP3/...) raise — no codec libs in this sandbox."""
+    from osm_spark.multimodal import codecs as C
+
+    widths, heights, chans, feats = [], [], [], []
+    for b in blobs:
+        kind = C.sniff(bytes(b))
+        if kind == "bmp":
+            img = C.decode_bmp(b)
+            h, w, c = img.shape
+            widths.append(int(w))
+            heights.append(int(h))
+            chans.append(int(c))
+            feats.append(
+                np.bincount(img.reshape(-1) >> 5, minlength=8).astype(np.int64).tolist()
+            )
+        elif kind == "wav":
+            _, ch, samples = C.decode_wav(b)
+            widths.append(int(len(samples)))
+            heights.append(1)
+            chans.append(int(ch))
+            amp = (samples.astype(np.int32) + 32768) >> 13
+            feats.append(np.bincount(amp, minlength=8).astype(np.int64).tolist())
+        else:
+            raise NotImplementedError(
+                "compressed media decode (JPEG/PNG/MP3/H.264) requires "
+                "PIL/libvips/ffmpeg — not available in this environment; "
+                "uncompressed BMP/WAV decode IS implemented (codecs.py)"
+            )
+    return pd.DataFrame(
+        {"width": widths, "height": heights, "channels": chans, "feature": feats}
+    )
+
+
 def decode_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """Decode/feature-extract via mapInPandas (Arrow-batched, no shuffle).
 
-    ``real_decode=True`` is the production path — STUB: raises
-    NotImplementedError (no image/audio libs in this environment).
+    ``real_decode=True`` runs the real codec path: genuine BMP/WAV
+    parsing (multimodal/codecs.py); compressed formats raise with a
+    clear message. Default keeps the deterministic fake decode for
+    plumbing tests over arbitrary blobs.
     """
-    if real_decode:
-        raise NotImplementedError(
-            "real media decode requires PIL/libvips/ffmpeg — not available "
-            "in this environment; the fake-decode path exercises the same "
-            "Spark plumbing"
-        )
+    decode = _real_decode_batch if real_decode else _fake_decode_batch
 
     def gen(batches):
         for pdf in batches:
-            out = _fake_decode_batch(pdf["blob"])
+            out = decode(pdf["blob"])
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
 

@@ -28,9 +28,40 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
 
+# DataFrames persisted by the most recent query invocation. Query fns
+# persist multi-consumer intermediates (minhash signatures, simhash
+# values); the registry bounds a long session (the driver gate runs all
+# ~65 queries serially) to ONE query's cache: each invocation evicts
+# the previous one's blocks.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def _release_persists() -> None:
+    from osm_spark.temporal import annotate as _ann
+
+    _ann.release_caches()
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+
+
 def register(name: str, sql: str | None = None):
     def deco(fn):
-        SPARK_QUERIES[name] = fn
+        def wrapped(spark, sf_dir):
+            _release_persists()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        SPARK_QUERIES[name] = wrapped
         if sql is not None:
             ORACLE_SQL[name] = sql
         return fn
@@ -1505,10 +1536,12 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs2(spark, sf_dir)
     # cache the two expensive intermediates: the signature feeds 4 band
     # projections, the shingle sets feed both sides of the pair join
-    sig = _dd.minhash_signature(docs, "doc_id", "text", k=8).persist()
-    sh = docs.select(
-        F.col("doc_id"), F.array_distinct(_dd.shingles("text")).alias("sh")
-    ).persist()
+    sig = _persist(_dd.minhash_signature(docs, "doc_id", "text", k=8))
+    sh = _persist(
+        docs.select(
+            F.col("doc_id"), F.array_distinct(_dd.shingles("text")).alias("sh")
+        )
+    )
     cand = _dd.lsh_candidates(sig, "doc_id", k=8, rows_per_band=2)
     jac = _dd.pair_jaccard(docs, cand, "doc_id", "text", shingle_df=sh)
     return jac.select(
@@ -2957,7 +2990,7 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs2(spark, sf_dir)
     # persist: the band self-join consumes the 60-sum aggregation from
     # both sides (2 consumers -> 1 compute)
-    sim = _dd.simhash60(docs, "doc_id", "text").persist()
+    sim = _persist(_dd.simhash60(docs, "doc_id", "text"))
     out = _dd.simhash_neardup_pairs(sim, "doc_id", max_hamming=12)
     return out.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
 
@@ -3005,4 +3038,89 @@ def q_changeset_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_changes",
         "first_us",
         "last_us",
+    )
+
+
+@register(
+    "media_decode_real",
+    """
+    WITH img AS (
+      SELECT doc_id AS media_id, doc_id % 16 + 4 AS w, doc_id % 12 + 3 AS h
+      FROM documents WHERE doc_id % 2 = 0),
+    ib AS (
+      SELECT media_id, w, h,
+             ((media_id * 31 + t.x * 7) % 256) >> 5 AS bin
+      FROM img, LATERAL (SELECT unnest(range(0, w * h * 3)) AS x) t),
+    irows AS (
+      SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             3 AS channels,
+             sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS b0,
+             sum(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS b1,
+             sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS b2,
+             sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS b3,
+             sum(CASE WHEN bin = 4 THEN 1 ELSE 0 END) AS b4,
+             sum(CASE WHEN bin = 5 THEN 1 ELSE 0 END) AS b5,
+             sum(CASE WHEN bin = 6 THEN 1 ELSE 0 END) AS b6,
+             sum(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS b7
+      FROM ib GROUP BY media_id, w, h),
+    aud AS (
+      SELECT doc_id AS media_id, doc_id % 50 + 10 AS n
+      FROM documents WHERE doc_id % 2 = 1),
+    ab AS (
+      SELECT media_id, n,
+             ((media_id * 13 + t.x * 5) % 65536) >> 13 AS bin
+      FROM aud, LATERAL (SELECT unnest(range(0, n)) AS x) t),
+    arows AS (
+      SELECT media_id, CAST(n AS INT) AS width, 1 AS height, 1 AS channels,
+             sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS b0,
+             sum(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS b1,
+             sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS b2,
+             sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS b3,
+             sum(CASE WHEN bin = 4 THEN 1 ELSE 0 END) AS b4,
+             sum(CASE WHEN bin = 5 THEN 1 ELSE 0 END) AS b5,
+             sum(CASE WHEN bin = 6 THEN 1 ELSE 0 END) AS b6,
+             sum(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS b7
+      FROM ab GROUP BY media_id, n)
+    SELECT * FROM irows UNION ALL SELECT * FROM arows
+    """,
+)
+def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode: deterministic pixel/sample payloads encode to
+    genuine 24bpp BMP / PCM16 WAV blobs (multimodal/codecs.py), travel
+    as binary columns, then decode_features(real_decode=True) parses
+    the actual file bytes (bottom-up padded BMP rows, RIFF chunks) and
+    histograms the recovered values. The oracle recomputes dims + bins
+    closed-form — any header/stride/byte-order defect shifts them."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    from osm_spark.multimodal import codecs as C
+    from osm_spark.multimodal.media import decode_features
+
+    def _mk_fn(ids):
+        blobs = []
+        for mid in ids:
+            mid = int(mid)
+            if mid % 2 == 0:
+                w, h = mid % 16 + 4, mid % 12 + 3
+                px = (mid * 31 + np.arange(w * h * 3) * 7) % 256
+                blobs.append(C.encode_bmp(px.astype(np.uint8).reshape(h, w, 3)))
+            else:
+                n = mid % 50 + 10
+                s = ((mid * 13 + np.arange(n) * 5) % 65536) - 32768
+                blobs.append(C.encode_wav(s.astype(np.int16)))
+        return pd.Series(blobs)
+
+    _mk = pandas_udf(_mk_fn, "binary")
+
+    docs = pages.load_documents(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), _mk("doc_id").alias("blob")
+    )
+    feats = decode_features(media, real_decode=True)
+    return feats.select(
+        "media_id", "width", "height", "channels",
+        *[F.col("feature")[k].alias(f"b{k}") for k in range(8)],
     )

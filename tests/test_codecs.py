@@ -1,0 +1,76 @@
+"""BMP/WAV codec roundtrips (multimodal/codecs.py) — real file-format
+parsing: headers, strides, padding, chunk walking."""
+
+import numpy as np
+import pytest
+
+from osm_spark.multimodal import codecs as C
+
+
+@pytest.mark.parametrize("w,h", [(4, 3), (5, 2), (7, 1), (6, 6), (1, 1)])
+def test_bmp_roundtrip(w, h):
+    # widths 5 and 7 exercise the 4-byte row padding
+    rng = np.random.default_rng(w * 100 + h)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    buf = C.encode_bmp(img)
+    assert buf[:2] == b"BM"
+    out = C.decode_bmp(buf)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_bmp_stride_math():
+    # 5px * 3B = 15B rows pad to 16
+    img = np.zeros((2, 5, 3), dtype=np.uint8)
+    buf = C.encode_bmp(img)
+    assert len(buf) == 54 + 2 * 16
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(3)
+    s = rng.integers(-32768, 32768, 1000, dtype=np.int16)
+    buf = C.encode_wav(s, sample_rate=8000, channels=1)
+    rate, ch, out = C.decode_wav(buf)
+    assert (rate, ch) == (8000, 1)
+    np.testing.assert_array_equal(out, s)
+
+
+def test_wav_extra_chunk_tolerated():
+    import struct
+
+    s = np.arange(10, dtype=np.int16)
+    buf = bytearray(C.encode_wav(s))
+    # splice a LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    extra = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    buf2 = bytes(buf[:fmt_end]) + extra + bytes(buf[fmt_end:])
+    buf2 = struct.pack("<4sI", b"RIFF", len(buf2) - 8) + buf2[8:]
+    rate, ch, out = C.decode_wav(buf2)
+    np.testing.assert_array_equal(out, s)
+
+
+def test_sniff():
+    img = C.encode_bmp(np.zeros((1, 1, 3), dtype=np.uint8))
+    wav = C.encode_wav(np.zeros(4, dtype=np.int16))
+    assert C.sniff(img) == "bmp"
+    assert C.sniff(wav) == "wav"
+    assert C.sniff(b"\x89PNG\r\n\x1a\n....") is None
+
+
+def test_resize_nearest():
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    up = C.resize_nearest(img, 4, 4)
+    assert up.shape == (4, 4, 3)
+    np.testing.assert_array_equal(up[0, 0], img[0, 0])
+    np.testing.assert_array_equal(up[3, 3], img[1, 1])
+    down = C.resize_nearest(up, 2, 2)
+    np.testing.assert_array_equal(down, img)
+
+
+def test_compressed_raises_in_decode_features(spark):
+    from osm_spark.multimodal.media import decode_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\n abc"))], "media_id long, blob binary"
+    )
+    with pytest.raises(Exception, match="PIL|compressed|NotImplemented"):
+        decode_features(df, real_decode=True).collect()
