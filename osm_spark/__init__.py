@@ -5,8 +5,14 @@ idiomatic Spark DataFrame transforms:
 
 - packed element/feature ids            (osm_spark.core.ids)
 - slippy-map tile math, zooms 0-18      (osm_spark.geo.tiles)
-- point-in-polygon joins (ray-cast)     (osm_spark.geo.pip)
-- cell index / k-ring / kNN             (osm_spark.geo.cells)
+- aperture-7 hex index (H3 surface)     (osm_spark.geo.hex, .hex_spark)
+- S2-style adaptive covering            (osm_spark.geo.covering)
+- WKB geometry codec                    (osm_spark.geo.wkb)
+- point-in-polygon joins (ray-cast/WKB) (osm_spark.geo.pip)
+- cell index / k-ring / exact kNN       (osm_spark.geo.cells)
+- GeoJSON feature emission              (osm_spark.functions.geojson)
+- BMP/WAV media codecs                  (osm_spark.multimodal.codecs)
+- bucketed state store + time travel    (osm_spark.streaming.state_store)
 - polygon heuristics + tag predicates   (osm_spark.functions)
 - temporal as-of annotation joins       (osm_spark.temporal.annotate)
 - multipolygon / ring assembly          (osm_spark.geom.assembly)
