@@ -17,6 +17,12 @@ Stages:
                   range-partitioned by the quadkey value (cell-prefix
                   clustering — spatially adjacent tiles colocate)
   3. tile_counts  per-tile page counts, pyramid z12..z0
+  4. hex_assign   per-page aperture-7 hex cell (H3 surface, res 6) via
+                  the vectorized Arrow encode + res-3 ancestor by pure
+                  bit math, range-partitioned by cell id (hex ids
+                  cluster hierarchically by construction)
+  5. hex_counts   per-hex-cell page counts at res 6 and the res-3
+                  aperture-7 rollup
 """
 
 from __future__ import annotations
@@ -90,15 +96,45 @@ def main() -> int:
 
     counts = manifest.run_stage(spark, args.out, "tile_counts", fp, build_counts)
 
+    def build_hex_assign():
+        from osm_spark.geo import hex_spark as HS
+
+        keyed = pg.select(
+            "url",
+            "doc_id",
+            HS.hex_cell("lat", "lon", 6).alias("cell"),
+        ).withColumn("cell_r3", HS.hex_parent("cell", 3))
+        return keyed.repartitionByRange(int(args.cpus), "cell")
+
+    hexes = manifest.run_stage(spark, args.out, "hex_assign", fp, build_hex_assign)
+
+    def build_hex_counts():
+        fine = hexes.groupBy("cell").agg(F.count("*").alias("n_pages"))
+        coarse = hexes.groupBy(F.col("cell_r3").alias("cell")).agg(
+            F.count("*").alias("n_pages")
+        )
+        return fine.withColumn("res", F.lit(6)).unionByName(
+            coarse.withColumn("res", F.lit(3))
+        )
+
+    hex_counts = manifest.run_stage(
+        spark, args.out, "hex_counts", fp, build_hex_counts
+    )
+
     total = counts.where(F.col("zoom") == 0).agg(F.sum("n_pages")).first()[0]
     n_pages = pg.count()
     assert total == n_pages, (total, n_pages)
+    hex_total = (
+        hex_counts.where(F.col("res") == 3).agg(F.sum("n_pages")).first()[0]
+    )
+    assert hex_total == n_pages, (hex_total, n_pages)
     print(
         json.dumps(
             {
                 "pages": n_pages,
                 "tiles_z": z,
                 "rollup_rows": counts.count(),
+                "hex_cells": hex_counts.count(),
                 "out": args.out,
                 "resumable": True,
             }
