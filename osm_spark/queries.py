@@ -15,6 +15,7 @@ Cross-engine float discipline:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -3124,3 +3125,37 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "width", "height", "channels",
         *[F.col("feature")[k].alias(f"b{k}") for k in range(8)],
     )
+
+
+# =====================================================================
+# Within-distance spatial self-join (range join -> cell equi-join;
+# geo/distance_join.py)
+# =====================================================================
+
+_WD_D = 300000.0  # meters
+
+_WD_HAV = _dist.haversine_m_sql(
+    pages.GEO_LAT_SQL.replace("doc_id", "l.doc_id"),
+    pages.GEO_LON_SQL.replace("doc_id", "l.doc_id"),
+    pages.GEO_LAT_SQL.replace("doc_id", "r.doc_id"),
+    pages.GEO_LON_SQL.replace("doc_id", "r.doc_id"),
+)
+
+@register(
+    "within_distance",
+    f"""
+    SELECT l.doc_id AS a, r.doc_id AS b,
+           CAST(floor({_WD_HAV}) AS BIGINT) AS dist_floor_m
+    FROM documents l JOIN documents r ON l.doc_id < r.doc_id
+    WHERE floor({_WD_HAV}) <= {math.floor(_WD_D)}
+    """,
+)
+def q_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All page pairs within 300 km: the range join as a cell equi-join
+    (left side emits its 3x3 cell neighborhood at a zoom whose cells
+    are >= d wide across the latitude band, exact haversine refine) —
+    never all-pairs; the oracle IS all-pairs brute force."""
+    from osm_spark.geo.distance_join import within_distance_pairs
+
+    pts = pages.page_points(spark, sf_dir)
+    return within_distance_pairs(pts, _WD_D)
