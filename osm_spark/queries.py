@@ -3159,3 +3159,66 @@ def q_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = pages.page_points(spark, sf_dir)
     return within_distance_pairs(pts, _WD_D)
+
+
+def _kmeans_oracle(k: int = 4, dim: int = 64, seed_mod: int = 137) -> str:
+    qv = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    dist = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "i -> (p.qv[i] - c.qv[i]) * (p.qv[i] - c.qv[i])))"
+    ).format(d=dim)
+
+    def assign(src: str, cents: str) -> str:
+        return f"""(
+      SELECT vec_id, qv, cid AS cell FROM (
+        SELECT p.vec_id, p.qv, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM {src} p CROSS JOIN {cents} c) WHERE rn = 1)"""
+
+    def update(src: str) -> str:
+        return f"""(
+      SELECT cell AS cid, list(coord ORDER BY i) AS qv FROM (
+        SELECT cell, t.i,
+               CAST(floor(CAST(sum(qv[t.i]) AS DOUBLE) / count(*)) AS BIGINT)
+                 AS coord
+        FROM {src}, range(1, {dim} + 1) t(i) GROUP BY cell, t.i)
+      GROUP BY cell)"""
+
+    return f"""
+    WITH pts AS (SELECT vec_id, {qv} AS qv FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv
+           FROM pts WHERE vec_id % {seed_mod} = 0 ORDER BY vec_id LIMIT {k}),
+    a1 AS {assign('pts', 'c0')},
+    c1 AS {update('a1')},
+    a2 AS {assign('pts', 'c1')},
+    c2 AS {update('a2')},
+    af AS {assign('pts', 'c2')},
+    sizes AS (SELECT cell, count(*) AS n FROM af GROUP BY 1)
+    SELECT c2.cid AS cell, t.i - 1 AS dim, c2.qv[t.i] AS coord,
+           CAST(s.n AS BIGINT) AS n_members
+    FROM c2, range(1, {dim} + 1) t(i), sizes s
+    WHERE s.cell = c2.cid
+    """
+
+
+@register("kmeans_iterate", _kmeans_oracle())
+def q_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized Lloyd's k-means (2 iterations, k=4, dim 64):
+    the IVF coarse-quantizer TRAINING loop, exact in integer arithmetic
+    so the oracle replays every assignment and centroid update
+    bit-for-bit (similarity/kmeans.py). Output: final centroids per
+    dimension + member counts of the final assignment."""
+    from osm_spark.similarity.kmeans import kmeans_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids, assign = kmeans_quantized(emb, k=4, iters=2)
+    sizes = assign.groupBy("cell").agg(F.count("*").alias("n_members"))
+    cent_rows = [
+        (cid, d, int(v)) for cid, vec in centroids for d, v in enumerate(vec)
+    ]
+    cdf = spark.createDataFrame(cent_rows, "cell long, dim long, coord long")
+    return cdf.join(sizes, "cell").select(
+        "cell", F.col("dim").cast("long").alias("dim"), "coord",
+        F.col("n_members").cast("long").alias("n_members"),
+    )

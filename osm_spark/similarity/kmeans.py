@@ -1,0 +1,110 @@
+"""Integer-quantized Lloyd's k-means — an exactly-reproducible
+training loop for the IVF coarse quantizer.
+
+Float k-means is not cross-engine reproducible (unordered double sums
+in the centroid update). Quantizing coordinates to integers first
+(floor(x * 1000)) makes EVERY step exact integer math:
+
+- distances: integer squared L2 (sums of int64 products, order-free);
+- assignment: argmin with (dist, cid) tie-break;
+- update: per-dimension floor(sum / count) — int64 sums are exact and
+  order-independent, the one float op (the division) is a single
+  exact-input double division both engines round identically.
+
+So the whole iterative algorithm — not just one pass — is oracle-
+checkable bit-for-bit (the ``kmeans_iterate`` driver query), and the
+centroids feed ivf_assign/ivf_search as a REAL trained quantizer
+instead of a fixed corpus subset.
+
+Scale shape per iteration: one broadcast-literal assignment pass (the
+centroid table is k x dim integers on the driver — parameter-sized)
++ one (cell, dim)-keyed aggregation; k*dim rows return to the driver.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUANT = 1000
+
+
+def quantize_vec(vec) -> Column:
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * QUANT).cast("long")
+    )
+
+
+def _sq_dist(qv: Column, centroid: list[int]) -> Column:
+    c = F.array(*[F.lit(int(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(qv, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_cells(qdf: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
+    """(id, qv) + centroid list -> (id, qv, cell); argmin squared L2
+    with (dist, cid) tie-break, pure column math."""
+    cands = [
+        F.struct(_sq_dist(F.col("qv"), vec).alias("d"), F.lit(int(cid)).alias("cid"))
+        for cid, vec in centroids
+    ]
+    best = F.least(*cands) if len(cands) > 1 else cands[0]
+    return qdf.withColumn("cell", best["cid"])
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mod: int = 137,
+) -> tuple[list[tuple[int, list[int]]], DataFrame]:
+    """Run ``iters`` Lloyd iterations; returns (centroids, assignment).
+
+    Seeds: the first k vectors with id % seed_mod == 0 in id order
+    (deterministic, mirrored by the oracle).
+    """
+    qdf = df.select(F.col(id_col).alias("_id"), quantize_vec(vec_col).alias("qv"))
+    seeds = (
+        qdf.where(F.col("_id") % seed_mod == 0)
+        .orderBy("_id")
+        .limit(k)
+        .collect()
+    )
+    centroids = [(i, [int(v) for v in r["qv"]]) for i, r in enumerate(seeds)]
+
+    assign = None
+    for _ in range(iters):
+        assign = assign_cells(qdf, centroids)
+        sums = (
+            assign.select("cell", F.posexplode("qv").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        per_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            per_cell.setdefault(r["cell"], {})[r["dim"]] = (r["s"], r["n"])
+        new_centroids = []
+        for cid, old in centroids:
+            dims = per_cell.get(cid)
+            if dims is None:
+                # empty cell: keep the previous centroid (oracle-visible:
+                # the member counts would expose any divergence loudly)
+                new_centroids.append((cid, old))
+                continue
+            vec = [
+                int(math.floor(dims[d][0] / dims[d][1]))
+                for d in range(len(old))
+            ]
+            new_centroids.append((cid, vec))
+        centroids = new_centroids
+
+    return centroids, assign_cells(qdf, centroids)
