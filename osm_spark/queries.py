@@ -3222,3 +3222,27 @@ def q_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell", F.col("dim").cast("long").alias("dim"), "coord",
         F.col("n_members").cast("long").alias("n_members"),
     )
+
+
+@register(
+    "token_count_bpe",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tok,
+           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
+                AS INT) AS n_bpe_tok
+    FROM documents
+    """,
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways the brief asks for: whitespace split +
+    a BPE-ish pre-tokenizer regex (GPT-2-style pieces, ASCII classes
+    only, no lookarounds, so Java regex and RE2 tokenize identically)."""
+    from osm_spark.text import quality as _q
+
+    docs = pages.load_documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        _q.n_tokens("text").cast("int").alias("n_ws_tok"),
+        _q.n_bpe_tokens("text").cast("int").alias("n_bpe_tok"),
+    )

@@ -110,3 +110,18 @@ def fingerprints(docs: DataFrame, id_col: str, text_col: str,
         .groupBy(id_col, "bucket")
         .agg(F.min("h").alias("fp"))
     )
+
+
+# BPE-ish pre-tokenizer (GPT-2-style word/number/punct pieces with an
+# optional leading space), restricted to ASCII classes and no
+# lookarounds so Java regex (Spark) and RE2 (DuckDB) agree exactly.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_tokens(text) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0))
+
+
+def n_bpe_tokens(text) -> Column:
+    return F.size(bpe_tokens(text))
