@@ -3161,7 +3161,8 @@ def q_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return within_distance_pairs(pts, _WD_D)
 
 
-def _kmeans_oracle(k: int = 4, dim: int = 64, seed_mod: int = 137) -> str:
+def _kmeans_cte_chain(k: int = 4, dim: int = 64, seed_mod: int = 137) -> str:
+    """WITH-chain pts/c0/a1/c1/a2/c2/af shared by the kmeans oracles."""
     qv = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
     dist = (
         "list_sum(list_transform(range(1, {d} + 1), "
@@ -3193,7 +3194,11 @@ def _kmeans_oracle(k: int = 4, dim: int = 64, seed_mod: int = 137) -> str:
     c1 AS {update('a1')},
     a2 AS {assign('pts', 'c1')},
     c2 AS {update('a2')},
-    af AS {assign('pts', 'c2')},
+    af AS {assign('pts', 'c2')}"""
+
+
+def _kmeans_oracle(k: int = 4, dim: int = 64, seed_mod: int = 137) -> str:
+    return f"""{_kmeans_cte_chain(k, dim, seed_mod)},
     sizes AS (SELECT cell, count(*) AS n FROM af GROUP BY 1)
     SELECT c2.cid AS cell, t.i - 1 AS dim, c2.qv[t.i] AS coord,
            CAST(s.n AS BIGINT) AS n_members
@@ -3246,3 +3251,50 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q.n_tokens("text").cast("int").alias("n_ws_tok"),
         _q.n_bpe_tokens("text").cast("int").alias("n_bpe_tok"),
     )
+
+
+def _ann_trained_oracle(dim: int = 64, qmod: int = 91, nprobe: int = 2, topk: int = 3) -> str:
+    cdist = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> (qs.qv[i] - c.qv[i]) * (qs.qv[i] - c.qv[i])))"
+    )
+    ndist = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> (qs.qv[i] - a.qv[i]) * (qs.qv[i] - a.qv[i])))"
+    )
+    return f"""{_kmeans_cte_chain()},
+    qs AS (SELECT vec_id AS q, qv FROM pts WHERE vec_id % {qmod} = 0),
+    pcells AS (
+      SELECT q, cid AS cell FROM (
+        SELECT qs.q, c.cid,
+               row_number() OVER (PARTITION BY qs.q ORDER BY {cdist}, c.cid)
+                 AS rn
+        FROM qs CROSS JOIN c2 c) WHERE rn <= {nprobe}),
+    cand AS (
+      SELECT pc.q, a.vec_id AS neighbor, {ndist} AS d2
+      FROM pcells pc
+      JOIN af a ON a.cell = pc.cell
+      JOIN qs ON qs.q = pc.q
+      WHERE a.vec_id <> pc.q)
+    SELECT q, rank, neighbor FROM (
+      SELECT q, neighbor,
+             CAST(row_number() OVER (PARTITION BY q ORDER BY d2, neighbor)
+                  AS INT) AS rank
+      FROM cand) WHERE rank <= {topk}
+    """
+
+
+@register("ann_trained_topk", _ann_trained_oracle())
+def q_ann_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ANN stack end-to-end: k-means-trained quantizer ->
+    corpus assignment -> nprobe probe -> integer-L2 top-k — every step
+    exact integer math, so the oracle replays TRAINING and SEARCH
+    bit-for-bit (similarity/kmeans.py trained_ivf_topk)."""
+    from osm_spark.similarity.kmeans import trained_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.where(F.col("vec_id") % 91 == 0).collect()
+    ]
+    return trained_ivf_topk(emb, queries, k=4, iters=2, nprobe=2, topk=3)

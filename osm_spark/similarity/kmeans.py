@@ -108,3 +108,67 @@ def kmeans_quantized(
         centroids = new_centroids
 
     return centroids, assign_cells(qdf, centroids)
+
+
+def trained_ivf_topk(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 4,
+    iters: int = 2,
+    nprobe: int = 2,
+    topk: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mod: int = 137,
+) -> DataFrame:
+    """The full ANN stack, exactly reproducible end-to-end: TRAIN the
+    quantizer (kmeans_quantized), ASSIGN the corpus, then per query
+    probe the ``nprobe`` nearest trained cells and rank candidates by
+    integer squared L2 (ties -> smaller neighbor id). Every step is
+    integer math, so the driver oracle replays training AND search.
+
+    Returns (q, rank, neighbor)."""
+    centroids, assign = kmeans_quantized(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed_mod=seed_mod
+    )
+
+    def qquant(vec: list[float]) -> list[int]:
+        return [int(math.floor(float(x) * QUANT)) for x in vec]
+
+    def cell_rank(qv: list[int]) -> list[int]:
+        scored = sorted(
+            (
+                (sum((a - b) * (a - b) for a, b in zip(qv, cv)), cid)
+                for cid, cv in centroids
+            )
+        )
+        return [cid for _, cid in scored[:nprobe]]
+
+    spark = df.sparkSession
+    probe_rows = []
+    qv_rows = []
+    for qid, vec in queries:
+        qv = qquant(vec)
+        qv_rows.append((int(qid), qv))
+        for cell in cell_rank(qv):
+            probe_rows.append((int(qid), int(cell)))
+    probes = spark.createDataFrame(probe_rows, "q long, cell long")
+    qdf = spark.createDataFrame(qv_rows, "q long, qqv array<long>")
+
+    cand = (
+        probes.join(assign.withColumn("cell", F.col("cell").cast("long")), "cell")
+        .join(F.broadcast(qdf), "q")
+        .where(F.col("_id") != F.col("q"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qqv"), F.col("qv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.select("q", F.col("_id").alias("neighbor"), d2.alias("d2"))
+    from osm_spark.similarity.ann import _salted_topk
+
+    ranked = _salted_topk(
+        scored, topk, ["q"], [F.col("d2").asc(), F.col("neighbor")]
+    )
+    return ranked.select("q", F.col("rank").cast("int").alias("rank"), "neighbor")
