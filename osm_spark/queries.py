@@ -3298,3 +3298,93 @@ def q_ann_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.where(F.col("vec_id") % 91 == 0).collect()
     ]
     return trained_ivf_topk(emb, queries, k=4, iters=2, nprobe=2, topk=3)
+
+
+# =====================================================================
+# URL canonicalization + host rollup (text/urls.py — webtext pipeline)
+# =====================================================================
+
+from osm_spark.text import urls as _urls
+
+_MESSY_SQL = """
+      SELECT doc_id, source,
+             CASE doc_id % 4
+               WHEN 0 THEN 'HTTP://' || upper(source) || '.Example.COM:80/p'
+                           || CAST(doc_id AS VARCHAR) || '/'
+               WHEN 1 THEN 'https://' || source || '.example.com:443/p'
+                           || CAST(doc_id AS VARCHAR) || '?utm_source=x&q='
+                           || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN 'https://' || source || '.example.com/p'
+                           || CAST(doc_id AS VARCHAR) || '#frag'
+               ELSE 'https://' || source || '.Example.com/p'
+                           || CAST(doc_id AS VARCHAR) || '?utm_a=1&utm_b=2'
+             END AS url
+      FROM documents"""
+
+_CLEAN_SQL = """
+      SELECT doc_id, source,
+             'http' || (CASE WHEN doc_id % 4 = 0 THEN '' ELSE 's' END)
+             || '://' || lower(source) || '.example.com/p'
+             || CAST(doc_id AS VARCHAR)
+             || (CASE WHEN doc_id % 4 = 1
+                 THEN '?q=' || CAST(doc_id AS VARCHAR) ELSE '' END) AS url
+      FROM documents"""
+
+
+@register(
+    "url_canonical_rollup",
+    f"""
+    WITH messy AS ({_MESSY_SQL}),
+    clean AS ({_CLEAN_SQL}),
+    allu AS (SELECT url FROM messy UNION ALL SELECT url FROM clean),
+    canon AS (SELECT {_urls.url_canonical_sql('url')} AS curl,
+                     {_urls.url_host_sql('url')} AS host
+              FROM allu)
+    SELECT host, count(*) AS n_urls,
+           count(DISTINCT curl) AS n_canonical
+    FROM canon GROUP BY 1
+    """,
+)
+def q_url_canonical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (text/urls.py): every doc contributes one
+    MESSY url (case noise, default ports, fragments, utm params,
+    trailing slashes) and its hand-built clean form; canonicalization
+    must collapse each pair to ONE url, so per host
+    n_canonical == n_urls / 2. The oracle applies the identical
+    replacement chain in RE2."""
+    docs = pages.load_documents(spark, sf_dir)
+    d = F.col("doc_id")
+    sid = F.col("source")
+    messy = docs.select(
+        F.when(d % 4 == 0,
+               F.concat(F.lit("HTTP://"), F.upper(sid), F.lit(".Example.COM:80/p"),
+                        d.cast("string"), F.lit("/")))
+        .when(d % 4 == 1,
+              F.concat(F.lit("https://"), sid, F.lit(".example.com:443/p"),
+                       d.cast("string"), F.lit("?utm_source=x&q="), d.cast("string")))
+        .when(d % 4 == 2,
+              F.concat(F.lit("https://"), sid, F.lit(".example.com/p"),
+                       d.cast("string"), F.lit("#frag")))
+        .otherwise(
+            F.concat(F.lit("https://"), sid, F.lit(".Example.com/p"),
+                     d.cast("string"), F.lit("?utm_a=1&utm_b=2")))
+        .alias("url")
+    )
+    clean = docs.select(
+        F.concat(
+            F.lit("http"),
+            F.when(d % 4 == 0, F.lit("")).otherwise(F.lit("s")),
+            F.lit("://"), F.lower(sid), F.lit(".example.com/p"), d.cast("string"),
+            F.when(d % 4 == 1, F.concat(F.lit("?q="), d.cast("string")))
+            .otherwise(F.lit("")),
+        ).alias("url")
+    )
+    allu = messy.unionByName(clean)
+    canon = allu.select(
+        _urls.url_canonical("url").alias("curl"),
+        _urls.url_host("url").alias("host"),
+    )
+    return canon.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("curl").alias("n_canonical"),
+    )
