@@ -3388,3 +3388,134 @@ def q_url_canonical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_urls"),
         F.countDistinct("curl").alias("n_canonical"),
     )
+
+
+@register(
+    "media_resize",
+    """
+    WITH img AS (
+      SELECT doc_id AS media_id, doc_id % 16 + 4 AS w, doc_id % 12 + 3 AS h
+      FROM documents WHERE doc_id % 2 = 0),
+    px AS (
+      SELECT media_id, w, h, t.i,
+             ((t.i // 18) * h) // 5 AS sy,
+             (((t.i % 18) // 3) * w) // 6 AS sx,
+             (t.i % 3) AS c
+      FROM img, LATERAL (SELECT unnest(range(0, 90)) AS i) t),
+    v AS (
+      SELECT media_id,
+             ((media_id * 31 + ((sy * w + sx) * 3 + c) * 7) % 256) >> 5 AS bin
+      FROM px),
+    bins AS (
+      SELECT media_id,
+             sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS b0,
+             sum(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS b1,
+             sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS b2,
+             sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS b3,
+             sum(CASE WHEN bin = 4 THEN 1 ELSE 0 END) AS b4,
+             sum(CASE WHEN bin = 5 THEN 1 ELSE 0 END) AS b5,
+             sum(CASE WHEN bin = 6 THEN 1 ELSE 0 END) AS b6,
+             sum(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS b7
+      FROM v GROUP BY 1)
+    SELECT media_id, 6 AS width, 5 AS height, b0, b1, b2, b3, b4, b5, b6, b7
+    FROM bins
+    """,
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize through real bytes: deterministic pixels ->
+    genuine BMP -> decode -> nearest-neighbor resize to 6x5
+    (codecs.resize_nearest) -> re-encode -> decode -> histogram. The
+    oracle recomputes the nearest-neighbor source indices closed-form,
+    so any off-by-one in the index math or the re-encode roundtrip
+    shifts the bins."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from osm_spark.multimodal import codecs as C
+
+    def _fn(ids):
+        rows = []
+        for mid in ids:
+            mid = int(mid)
+            w, h = mid % 16 + 4, mid % 12 + 3
+            px = ((mid * 31 + np.arange(w * h * 3) * 7) % 256).astype(np.uint8)
+            buf = C.encode_bmp(px.reshape(h, w, 3))
+            img = C.decode_bmp(buf)
+            small = C.resize_nearest(img, 6, 5)
+            buf2 = C.encode_bmp(small)
+            img2 = C.decode_bmp(buf2)
+            hist = np.bincount(img2.reshape(-1) >> 5, minlength=8)
+            rows.append([img2.shape[1], img2.shape[0]] + hist.tolist())
+        return pd.DataFrame(
+            rows, columns=["width", "height"] + [f"b{k}" for k in range(8)]
+        )
+
+    _udf = pandas_udf(
+        _fn,
+        "struct<width:int, height:int, b0:long, b1:long, b2:long, b3:long,"
+        " b4:long, b5:long, b6:long, b7:long>",
+    )
+    docs = pages.load_documents(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
+    out = docs.select(F.col("doc_id").alias("media_id"), _udf("doc_id").alias("r"))
+    return out.select(
+        "media_id", F.col("r.width").alias("width"), F.col("r.height").alias("height"),
+        *[F.col(f"r.b{k}").alias(f"b{k}") for k in range(8)],
+    )
+
+
+@register(
+    "corpus_prep",
+    f"""
+    WITH {_DOCS2_SQL},
+    langd AS (
+      SELECT d.doc_id, d.text, doc.lang
+      FROM docs2 d JOIN documents doc ON doc.doc_id = d.doc_id % 100000),
+    q AS (
+      SELECT doc_id, text, lang,
+             len(string_split(text, ' ')) AS n_tok
+      FROM langd),
+    keep_q AS (SELECT * FROM q WHERE n_tok >= 5),
+    dedup AS (
+      SELECT min(doc_id) AS doc_id, any_value(lang) AS lang,
+             any_value(n_tok) AS n_tok
+      FROM (SELECT doc_id, md5(text) AS digest, lang, n_tok FROM keep_q)
+      GROUP BY digest),
+    final AS (SELECT * FROM dedup)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc
+    FROM final GROUP BY 1
+    """,
+)
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data prep pipeline in one dataflow:
+    quality gate (min token count) -> exact dedup keeping the smallest
+    id per digest -> per-language corpus stats. Composition of the
+    dedup/quality operators the suite verifies individually; one
+    digest-keyed shuffle + one lang rollup."""
+    from osm_spark.text import dedup as _dd2
+
+    docs = _docs2(spark, sf_dir)
+    lang = pages.load_documents(spark, sf_dir).select(
+        F.col("doc_id").alias("_lid"), "lang"
+    )
+    d = docs.join(lang, docs["doc_id"] % 100000 == lang["_lid"]).drop("_lid")
+    q = d.select(
+        "doc_id", "text", "lang", F.size(_dd2.words("text")).alias("n_tok")
+    ).where(F.col("n_tok") >= 5)
+    dedup = (
+        q.select(F.md5("text").alias("digest"), "doc_id", "lang", "n_tok")
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("lang").alias("lang"),
+            F.first("n_tok").alias("n_tok"),
+        )
+    )
+    return dedup.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
