@@ -126,6 +126,37 @@ def flagship_tile_job(spark, sf_dir: str, factor: int, parallelism: int) -> int:
 
 
 
+def hex_assign_job(spark, sf_dir: str, factor: int, parallelism: int) -> int:
+    """H3-surface throughput kernel: geocode -> res-8 hex axial encode
+    (pure-column aperture-7 math: affine + cube hexround, ~30 flops/row
+    in whole-stage codegen, no Python) -> aggregate per res-2 cell
+    (direct coarse encode; ~2k groups stays cache-resident — the
+    documented local-mode high-cardinality trap is avoided the same way
+    the tile kernel does). One wide compute stage + one tiny shuffle."""
+    from pyspark.sql import functions as F
+
+    from osm_spark.geo import hex_spark as HS
+    from osm_spark.pipeline.pages import geo_lat, geo_lon
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_pages = n_docs * factor
+    ids = spark.range(0, n_pages, 1, numPartitions=parallelism * 4)
+    pts = ids.select(geo_lat("id").alias("lat"), geo_lon("id").alias("lon"))
+    q8, r8 = HS.axial_cols("lat", "lon", 8)
+    q2, r2 = HS.axial_cols("lat", "lon", 2)
+    enriched = pts.select(
+        q8.alias("q8"), r8.alias("r8"), q2.alias("q2"), r2.alias("r2")
+    )
+    out = (
+        enriched.groupBy("q2", "r2")
+        .agg(F.count("*").alias("n"), F.sum("q8").alias("sq"), F.sum("r8").alias("sr"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert out == n_pages, (out, n_pages)
+    return n_pages
+
+
 def run_default() -> None:
     from osm_spark.session import get_spark
 
@@ -157,6 +188,12 @@ def run_default() -> None:
     flagship_sec = time.time() - t0
     times["flagship_tile_pipeline"] = round(flagship_sec, 3)
 
+    hex_assign_job(spark, SF_DIR, max(REPLICATE // 10, 1), int(CPUS))
+    t0 = time.time()
+    hex_pages = hex_assign_job(spark, SF_DIR, REPLICATE, int(CPUS))
+    hex_sec = time.time() - t0
+    times["flagship_hex_assign"] = round(hex_sec, 3)
+
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -168,6 +205,7 @@ def run_default() -> None:
                 "queries": times,
                 "sf": float(sf),
                 "pages_per_sec": round(n_pages / flagship_sec, 1),
+                "hex_pages_per_sec": round(hex_pages / hex_sec, 1),
                 "flagship_pages": n_pages,
                 "cpus": int(CPUS),
                 "replicate": REPLICATE,
