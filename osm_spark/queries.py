@@ -688,10 +688,12 @@ FROM bounds b JOIN ev e
 """
 
 
-def _asof_inputs(spark: SparkSession, sf_dir: str):
+def _asof_inputs(spark: SparkSession, sf_dir: str, user_mod: int | None = None):
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
+    if user_mod is not None:
+        ev = ev.filter(F.col("user_id") % user_mod == 0)
     wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
     children = (
         ev.filter(F.col("event_type") != "purchase")
@@ -3519,3 +3521,80 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("total_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+_REL_ASOF_ORACLE = _ASOF_ORACLE.replace(
+    "FROM events WHERE",
+    "FROM (SELECT * FROM events WHERE user_id % 5 = 0) events_sub WHERE",
+)
+
+
+@register("relation_annotate", _REL_ASOF_ORACLE)
+def q_relation_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """annotate.Relations wiring (temporal/relations.py:103-225) —
+    typed children keyed by PACKED FEATURE IDS, member-slot rebuild and
+    update-array assembly — driven by the same modeled histories as
+    asof_annotate with node-typed members, so the brute-force as-of
+    oracle applies unchanged: the relation layer must be invisible to
+    the core kernel's results."""
+    from osm_spark.temporal.relations import annotate_relations
+
+    parents, children = _asof_inputs(spark, sf_dir, user_mod=5)
+    relations = parents.select(
+        F.col("pid").alias("id"),
+        "version", "visible", "changeset", "ts", "committed",
+        F.lit(None).cast("map<string,string>").alias("tags"),
+        F.transform(
+            "refs",
+            lambda r: F.struct(
+                F.lit("node").alias("type"),
+                r["ref"].alias("ref"),
+                F.lit("").alias("role"),
+            ),
+        ).alias("members"),
+    )
+    node_histories = children.select(
+        F.col("ref").alias("id"), "version", "visible", "changeset",
+        "ts", "committed", "lat", "lon",
+    )
+    ways_empty = spark.createDataFrame(
+        [],
+        "id long, version int, visible boolean, changeset long, "
+        "ts timestamp, committed timestamp, "
+        "nodes array<struct<ref:long, version:int, changeset:long, "
+        "lat:double, lon:double>>, "
+        "updates array<struct<idx:int, version:int, ts:timestamp, "
+        "changeset:long, lat:double, lon:double>>",
+    )
+    out = annotate_relations(
+        relations, node_histories, ways_empty, ignore_inconsistency=True
+    )
+    sets = (
+        out.select(
+            F.col("id").alias("user_id"),
+            F.col("version").alias("pver"),
+            F.explode("members").alias("m"),
+        )
+        .where(F.col("m.version") != 0)
+        .select(
+            "user_id", "pver", F.lit("set").alias("kind"),
+            F.col("m.version").alias("child_version"),
+            F.col("m.changeset").alias("changeset"),
+            F.col("m.lat").alias("lat"),
+            F.col("m.lon").alias("lon"),
+            F.lit(None).cast("long").alias("uts_us"),
+        )
+    )
+    upds = out.select(
+        F.col("id").alias("user_id"),
+        F.col("version").alias("pver"),
+        F.explode("updates").alias("u"),
+    ).select(
+        "user_id", "pver", F.lit("update").alias("kind"),
+        F.col("u.version").alias("child_version"),
+        F.col("u.changeset").alias("changeset"),
+        F.col("u.lat").alias("lat"),
+        F.col("u.lon").alias("lon"),
+        F.unix_micros("u.ts").alias("uts_us"),
+    )
+    return sets.unionByName(upds)
