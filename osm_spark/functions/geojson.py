@@ -204,3 +204,81 @@ def node_features_df(nodes: DataFrame, memberships: DataFrame | None = None) -> 
             yield pd.DataFrame({"id": out_ids, "feature": out_feats})
 
     return nodes.mapInPandas(gen, schema=schema)
+
+
+def way_features_df(ways: DataFrame, memberships: DataFrame | None = None) -> DataFrame:
+    """Distributed way-feature emission (wayToFeature applied batch-wise).
+
+    ways: (id, line array<struct<lon:double, lat:double>>, is_polygon
+    boolean, tainted boolean [, version, changeset, tags]).
+    memberships: (ref, rel_id, role, tags) like node_features_df.
+
+    Returns (id, feature). One optional membership aggregation + one
+    mapInPandas pass; one-node ways drop (convert.go:203-206).
+    """
+    if memberships is not None:
+        rels = memberships.groupBy(F.col("ref").alias("id")).agg(
+            F.collect_list(
+                F.struct(
+                    F.col("rel_id").alias("rel_id"),
+                    F.col("role").alias("role"),
+                    F.col("tags").alias("tags"),
+                )
+            ).alias("_rels")
+        )
+        ways = ways.join(rels, "id", "left")
+    else:
+        ways = ways.withColumn(
+            "_rels",
+            F.lit(None).cast(
+                "array<struct<rel_id:long, role:string, tags:map<string,string>>>"
+            ),
+        )
+
+    schema = StructType(
+        [StructField("id", ways.schema["id"].dataType),
+         StructField("feature", StringType())]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids, out_feats = [], []
+            for row in pdf.to_dict("records"):
+                mrows = row.get("_rels")
+                rels = None
+                if isinstance(mrows, (list, tuple, np.ndarray)) and len(mrows):
+                    rels = relation_summaries(
+                        [
+                            {
+                                "rel_id": int(m["rel_id"]),
+                                "role": m["role"],
+                                "tags": dict(m["tags"]) if m["tags"] else {},
+                            }
+                            for m in mrows
+                        ]
+                    )
+                lrows = row.get("line")
+                if lrows is None or not isinstance(
+                    lrows, (list, tuple, np.ndarray)
+                ):
+                    lrows = []
+                line = [(float(p["lon"]), float(p["lat"])) for p in lrows]
+                way = {
+                    "id": row["id"],
+                    "version": row.get("version"),
+                    "changeset": row.get("changeset"),
+                    "tags": dict(row["tags"]) if row.get("tags") else {},
+                }
+                f = way_feature(
+                    way, line, bool(row.get("is_polygon")),
+                    bool(row.get("tainted")), rels,
+                )
+                if f is None:
+                    continue
+                out_ids.append(row["id"])
+                out_feats.append(feature_json(f))
+            yield pd.DataFrame({"id": out_ids, "feature": out_feats})
+
+    return ways.mapInPandas(gen, schema=schema)

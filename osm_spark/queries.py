@@ -3598,3 +3598,104 @@ def q_relation_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("u.ts").alias("uts_us"),
     )
     return sets.unionByName(upds)
+
+
+@register(
+    "geojson_way_features",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS ref, c_nationkey AS way_id,
+             CAST(c_custkey * 6151 % 140000 AS DOUBLE) / 1000.0 - 70.0 AS lat,
+             CAST(c_custkey * 9277 % 340000 AS DOUBLE) / 1000.0 - 170.0 AS lon
+      FROM customer),
+    agg AS (
+      SELECT way_id, count(*) AS n_pts,
+             sum(CAST(floor(lon * 1e6) AS BIGINT)) AS lsum,
+             sum(CAST(floor(lat * 1e6) AS BIGINT)) AS tsum,
+             min(ref) AS first_ref
+      FROM pts GROUP BY 1),
+    fst AS (
+      SELECT a.*, p.lon AS flon, p.lat AS flat
+      FROM agg a JOIN pts p ON p.ref = a.first_ref)
+    SELECT 'way/' || CAST(way_id AS VARCHAR) AS feature_id,
+           CASE WHEN way_id % 3 = 0 THEN 'Polygon' ELSE 'LineString' END
+             AS gtype,
+           CAST(n_pts + CASE WHEN way_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+             AS n_coords,
+           lsum + CASE WHEN way_id % 3 = 0
+                       THEN CAST(floor(flon * 1e6) AS BIGINT) ELSE 0 END
+             AS lon_e6_sum,
+           tsum + CASE WHEN way_id % 3 = 0
+                       THEN CAST(floor(flat * 1e6) AS BIGINT) ELSE 0 END
+             AS lat_e6_sum,
+           (way_id % 2 = 0) AS tainted
+    FROM fst
+    """,
+)
+def q_geojson_way_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WAY-feature emission (wayToFeature through
+    way_features_df): resolved lines become LineString features, area
+    ways close + CCW-reorient into Polygons, unresolvable refs set the
+    tainted property. The oracle checks the serialized geometry via
+    orientation-INVARIANT aggregates (coordinate-sum over quantized
+    values is unchanged by the CCW reorder) plus counts/types."""
+    from osm_spark.functions.geojson import way_features_df
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    nodes = cust.select(
+        k.alias("ref"),
+        ((k * 6151 % 140000).cast("double") / 1000.0 - 70.0).alias("lat"),
+        ((k * 9277 % 340000).cast("double") / 1000.0 - 170.0).alias("lon"),
+    )
+    ways0 = (
+        cust.groupBy(F.col("c_nationkey").alias("way_id"))
+        .agg(F.array_sort(F.collect_list(k)).alias("refs"))
+        .select(
+            "way_id",
+            F.when(
+                F.col("way_id") % 2 == 0,
+                F.concat("refs", F.array(F.lit(-1).cast("long"))),
+            ).otherwise(F.col("refs")).alias("refs"),
+        )
+    )
+    slots = ways0.select("way_id", F.posexplode("refs").alias("pos", "ref"))
+    resolved = slots.join(nodes, "ref", "left")
+    lines = resolved.groupBy("way_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("lat").isNotNull(), F.struct("pos", "lon", "lat"))
+            )
+        ).alias("_l"),
+        F.max(F.col("lat").isNull()).alias("tainted"),
+    )
+    ways = lines.select(
+        F.col("way_id").alias("id"),
+        F.transform(
+            "_l", lambda p: F.struct(p["lon"].alias("lon"), p["lat"].alias("lat"))
+        ).alias("line"),
+        (F.col("way_id") % 3 == 0).alias("is_polygon"),
+        "tainted",
+    )
+    feats = way_features_df(ways)
+    g = lambda p: F.get_json_object("feature", p)
+    gtype = g("$.geometry.type")
+    coords = F.when(
+        gtype == "Polygon",
+        F.flatten(
+            F.from_json(g("$.geometry.coordinates"), "array<array<array<double>>>")
+        ),
+    ).otherwise(F.from_json(g("$.geometry.coordinates"), "array<array<double>>"))
+    qsum = lambda i: F.aggregate(
+        F.transform(coords, lambda c: F.floor(c[i] * 1e6).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return feats.select(
+        g("$.id").alias("feature_id"),
+        gtype.alias("gtype"),
+        F.size(coords).alias("n_coords"),
+        qsum(0).alias("lon_e6_sum"),
+        qsum(1).alias("lat_e6_sum"),
+        g("$.properties.tainted").isNotNull().alias("tainted"),
+    )
