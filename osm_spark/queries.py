@@ -3699,3 +3699,96 @@ def q_geojson_way_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         qsum(1).alias("lat_e6_sum"),
         g("$.properties.tainted").isNotNull().alias("tainted"),
     )
+
+
+# =====================================================================
+# Driver correctness-window ordering
+# =====================================================================
+#
+# The external driver's correctness gate compares only the FIRST 50
+# entries of queries() (insertion order) against their oracles; the
+# remainder get session-level verification via scripts/check_oracle.py.
+# Registration above is grouped by operator family for readability, so
+# we re-key the registries here into an explicit order that puts the
+# newest operator generation (round-2 H3/WKB/covering/geojson-emission/
+# trained-ANN/media/corpus queries + round-3 additions) inside the
+# 50-entry window while keeping >=1 driver-checked row per family.
+# Names not present (yet) are skipped harmlessly; queries beyond the
+# window remain registered and oracle-checked locally.
+
+_DRIVER_WINDOW: list[str] = [
+    # flagship + tile family
+    "tile_assign",
+    "raster_vector_roundtrip",
+    # hex index family (round 2)
+    "h3_assign",
+    "h3_parent",
+    "h3_kring",
+    "h3_knn",
+    # WKB + PIP family (round 2)
+    "wkb_roundtrip",
+    "pip_wkb",
+    "pip_broadcast",
+    "covering_adaptive",
+    "pip_cells_adaptive",
+    "covering_polygon",          # round 3
+    # geojson emission family (round 2)
+    "geojson_convert",
+    "geojson_features",
+    "geojson_way_features",
+    # geometry family
+    "way_linestring",
+    "way_centroid",
+    "multipolygon_assembly",
+    "point_on_surface",
+    "interesting_nodes",
+    # temporal / history family
+    "asof_annotate",
+    "relation_annotate",
+    "linestring_at",
+    "history_at",                # round 3
+    # ids / stats family
+    "ids_pack_roundtrip",
+    "planet_stats",
+    "notes_date_codec",
+    "changeset_rollup",
+    # dedup / text family
+    "dedup_exact",
+    "minhash_lsh",
+    "ngram_jaccard",
+    "simhash_neardup",
+    "token_quality",
+    "token_count_bpe",
+    "url_canonical_rollup",
+    "corpus_prep",
+    # similarity family
+    "embedding_topk",
+    "ivf_topk",
+    "kmeans_iterate",
+    "ann_trained_topk",
+    "kmeans_bigk",               # round 3
+    "knn_kring",
+    "within_distance",
+    # media family (round 2)
+    "media_decode_real",
+    "media_resize",
+    # streaming / replication family
+    "replication_actions",
+    "replication_state",
+    "changeset_stream",
+    # codec + iterative-plan families
+    "xml_codec_roundtrip",
+    "child_first_depth",
+]
+
+
+def _apply_registry_order() -> None:
+    global SPARK_QUERIES, ORACLE_SQL
+    window = [k for k in _DRIVER_WINDOW if k in SPARK_QUERIES]
+    rest = [k for k in SPARK_QUERIES if k not in set(window)]
+    order = window + rest
+    SPARK_QUERIES = {k: SPARK_QUERIES[k] for k in order}
+    ORACLE_SQL = {k: ORACLE_SQL[k] for k in order if k in ORACLE_SQL}
+
+
+_apply_registry_order()
