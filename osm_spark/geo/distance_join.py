@@ -47,9 +47,12 @@ def within_distance_pairs(
     zoom: int | None = None,
     max_abs_lat: float = 85.0,
 ) -> DataFrame:
-    """(a, b, dist_floor_m) for all pairs with haversine <= d_m, a < b.
-    ``dist_floor_m`` is floor(meters) — quantized for cross-engine
-    comparison (haversine is transcendental)."""
+    """(a, b, dist_floor_m) for all pairs with floor(haversine) <= d_m,
+    a < b. The threshold is applied to the FLOOR-QUANTIZED distance
+    (haversine is transcendental, so the raw value is not cross-engine
+    comparable): for integral ``d_m`` this is exactly ``haversine <
+    d_m + 1``; for fractional ``d_m`` pairs in (d_m, floor(d_m) + 1)
+    are admitted too. The oracle applies the identical quantization."""
     if zoom is None:
         zoom = zoom_for_distance(d_m, max_abs_lat)
     n = 1 << zoom

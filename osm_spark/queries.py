@@ -3179,23 +3179,28 @@ def _kmeans_cte_chain(k: int = 4, dim: int = 64, seed_mod: int = 137) -> str:
                                   ORDER BY {dist}, c.cid) AS rn
         FROM {src} p CROSS JOIN {cents} c) WHERE rn = 1)"""
 
-    def update(src: str) -> str:
+    def update(src: str, prev: str) -> str:
+        # LEFT JOIN the previous centroids so an EMPTY cell keeps its
+        # old centroid — mirroring kmeans_quantized's fallback exactly
+        # (similarity/kmeans.py:96-101) instead of dropping the cid
         return f"""(
-      SELECT cell AS cid, list(coord ORDER BY i) AS qv FROM (
-        SELECT cell, t.i,
-               CAST(floor(CAST(sum(qv[t.i]) AS DOUBLE) / count(*)) AS BIGINT)
-                 AS coord
-        FROM {src}, range(1, {dim} + 1) t(i) GROUP BY cell, t.i)
-      GROUP BY cell)"""
+      SELECT p.cid, coalesce(u.qv, p.qv) AS qv
+      FROM {prev} p LEFT JOIN (
+        SELECT cell AS cid, list(coord ORDER BY i) AS qv FROM (
+          SELECT cell, t.i,
+                 CAST(floor(CAST(sum(qv[t.i]) AS DOUBLE) / count(*)) AS BIGINT)
+                   AS coord
+          FROM {src}, range(1, {dim} + 1) t(i) GROUP BY cell, t.i)
+        GROUP BY cell) u ON u.cid = p.cid)"""
 
     return f"""
     WITH pts AS (SELECT vec_id, {qv} AS qv FROM embeddings),
     c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv
            FROM pts WHERE vec_id % {seed_mod} = 0 ORDER BY vec_id LIMIT {k}),
     a1 AS {assign('pts', 'c0')},
-    c1 AS {update('a1')},
+    c1 AS {update('a1', 'c0')},
     a2 AS {assign('pts', 'c1')},
-    c2 AS {update('a2')},
+    c2 AS {update('a2', 'c1')},
     af AS {assign('pts', 'c2')}"""
 
 
@@ -3479,8 +3484,8 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM langd),
     keep_q AS (SELECT * FROM q WHERE n_tok >= 5),
     dedup AS (
-      SELECT min(doc_id) AS doc_id, any_value(lang) AS lang,
-             any_value(n_tok) AS n_tok
+      SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+             arg_min(n_tok, doc_id) AS n_tok
       FROM (SELECT doc_id, md5(text) AS digest, lang, n_tok FROM keep_q)
       GROUP BY digest),
     final AS (SELECT * FROM dedup)
@@ -3512,8 +3517,10 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digest")
         .agg(
             F.min("doc_id").alias("doc_id"),
-            F.first("lang").alias("lang"),
-            F.first("n_tok").alias("n_tok"),
+            # min_by, not first: deterministic representative even when
+            # duplicate texts could disagree on the carried columns
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("n_tok", "doc_id").alias("n_tok"),
         )
     )
     return dedup.groupBy("lang").agg(

@@ -151,9 +151,20 @@ class BucketedStateStore:
         path = self._epoch_dir(epoch)
         new_rows.write.mode("overwrite").partitionBy("_bkt").parquet(path)
         new_buckets = dict(ptr["buckets"])
-        for d in os.listdir(path):
-            if d.startswith("_bkt="):
-                new_buckets[d.split("=")[1]] = os.path.join(path, d)
+        written = {
+            d.split("=")[1]
+            for d in os.listdir(path)
+            if d.startswith("_bkt=")
+        }
+        for b in written:
+            new_buckets[b] = os.path.join(path, f"_bkt={b}")
+        # a touched bucket with NO rows in the epoch output means the
+        # merge deleted every key in it — drop its pointer instead of
+        # inheriting the previous epoch's (which would resurrect the
+        # deleted keys on the next read)
+        for b in touched:
+            if str(b) not in written:
+                new_buckets.pop(str(b), None)
         # ATOMIC commit: single rename flips every touched bucket at
         # once; history retains each epoch's bucket map for time travel
         history = ptr.get("history", []) + [

@@ -248,3 +248,45 @@ def test_bucketed_state_store_crash_before_commit(spark, tmp_path):
     assert fresh.read().filter("id = 5").collect()[0].version == 3
     with pytest.raises(ValueError):
         fresh.read(epoch=1)
+
+
+def test_bucketed_state_store_bucket_delete(spark, tmp_path):
+    """A merge that deletes EVERY key in a touched bucket drops that
+    bucket's pointer (instead of inheriting the previous epoch's path,
+    which would resurrect the deleted keys on the next read)."""
+    from pyspark.sql import functions as F
+
+    from osm_spark.streaming.replication import latest_state
+    from osm_spark.streaming.state_store import BucketedStateStore
+
+    store = BucketedStateStore(spark, str(tmp_path / "st3"), n_buckets=4)
+    init = _changes(
+        spark,
+        [(0, "create", "node", i, 1, True, 10, datetime(2024, 1, 1), 0.0, 0.0)
+         for i in range(12)],
+    ).select("type", "id", "version", "visible", "changeset", "ts", "lat", "lon")
+    store.init(init)
+
+    # find every id living in id-3's bucket and delete exactly those
+    bucket_of_3 = store.read().withColumn("_b", store.bucket_col())
+    b3 = bucket_of_3.filter("id = 3").collect()[0]["_b"]
+    victims = [
+        r["id"] for r in bucket_of_3.filter(F.col("_b") == b3).collect()
+    ]
+    batch = _changes(
+        spark,
+        [(1, "delete", "node", i, 2, True, 11, datetime(2024, 1, 2), 0.0, 0.0)
+         for i in victims],
+    ).select("type", "id", "version", "visible", "changeset", "ts", "lat", "lon")
+
+    def delete_merge(df):
+        # keywise merge that drops every key present in the batch twice
+        # (i.e. returns zero rows for fully-deleted buckets)
+        latest = latest_state(df)
+        return latest.filter(F.col("version") < 2)
+
+    store.apply(batch, delete_merge)
+    after = store.read()
+    assert after.count() == 12 - len(victims)
+    assert after.filter(F.col("id").isin(victims)).count() == 0
+    assert str(b3) not in store.pointer()["buckets"]
