@@ -83,3 +83,62 @@ def test_cell_count_reduction(spark):
         .collect()[0][0]
     )
     assert n_adaptive < fixed / 3, (n_adaptive, fixed)
+
+
+def test_candidate_work_is_perimeter_bounded(spark):
+    """The frontier recursion's CANDIDATE generation (not just its
+    output) must be O(perimeter at z_max): an elongated z12 bbox whose
+    per-zoom full-rectangle enumeration would be ~10x larger stays
+    within a small constant of the boundary-tile count."""
+    import math
+
+    from osm_spark.geo.covering import covering_candidate_counts
+
+    z_min, z_max = 4, 12
+
+    def tx(lon, z):
+        return min((1 << z) - 1, max(0, int((lon + 180.0) / 360.0 * (1 << z))))
+
+    def ty(lat, z):
+        s = math.sin(math.radians(lat))
+        y = 0.5 - math.log((1 + s) / (1 - s)) / (4 * math.pi)
+        return min((1 << z) - 1, max(0, int(y * (1 << z))))
+
+    def grid_total(rect):
+        # what the old per-zoom sequence-explode generated
+        _, xmin, xmax, ymin, ymax = rect
+        return sum(
+            (tx(xmax, z) - tx(xmin, z) + 1) * (ty(ymin, z) - ty(ymax, z) + 1)
+            for z in range(z_min, z_max + 1)
+        )
+
+    def perimeter(rect):
+        _, xmin, xmax, ymin, ymax = rect
+        px = tx(xmax, z_max) - tx(xmin, z_max) + 1
+        py = ty(ymin, z_max) - ty(ymax, z_max) + 1
+        return 2 * (px + py)
+
+    def total_cand(rect):
+        counts = covering_candidate_counts(
+            _rects(spark, [rect]), z_min, z_max
+        )
+        return sum(n for _, n in counts)
+
+    # thin strip: everything is boundary — candidates still track the
+    # z_max perimeter (geometric series of frontier lengths x 4 kids)
+    strip = (1, -170.0, 170.0, -0.3, 0.3)
+    cand_strip = total_cand(strip)
+    assert cand_strip <= 6 * perimeter(strip) + 4 ** (z_min + 1), (
+        cand_strip,
+        perimeter(strip),
+    )
+
+    # large-area bbox: the grid enumeration is O(area at z_max); the
+    # frontier recursion must beat it by >10x AND stay perimeter-bound
+    big = (2, -60.0, 60.0, -45.0, 45.0)
+    cand_big = total_cand(big)
+    assert cand_big < grid_total(big) / 10, (cand_big, grid_total(big))
+    assert cand_big <= 6 * perimeter(big) + 4 ** (z_min + 1), (
+        cand_big,
+        perimeter(big),
+    )
