@@ -3236,6 +3236,29 @@ def q_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("kmeans_bigk", _kmeans_oracle(k=64, seed_mod=7))
+def q_kmeans_bigk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME training loop at k=64 — past similarity/kmeans.py's
+    LITERAL_K_MAX, so the assignment runs through the Arrow argmin over
+    a closure-captured int64 centroid matrix (constant plan size in k;
+    tests/test_plans.py asserts it) while the oracle replays the
+    identical integer math. This is the production-IVF shape: k grows
+    to 10^4-10^5 cells without growing the query plan."""
+    from osm_spark.similarity.kmeans import kmeans_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids, assign = kmeans_quantized(emb, k=64, iters=2, seed_mod=7)
+    sizes = assign.groupBy("cell").agg(F.count("*").alias("n_members"))
+    cent_rows = [
+        (cid, d, int(v)) for cid, vec in centroids for d, v in enumerate(vec)
+    ]
+    cdf = spark.createDataFrame(cent_rows, "cell long, dim long, coord long")
+    return cdf.join(sizes, "cell").select(
+        "cell", F.col("dim").cast("long").alias("dim"), "coord",
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
 @register(
     "token_count_bpe",
     f"""

@@ -175,7 +175,17 @@ def ivf_assign(
     At scale: centroids are a trained broadcast list (here: a
     deterministic subset of the corpus standing in for k-means);
     assignment is one narrow codegen stage; the cell id becomes the
-    partitioning/bucketing key for probe-limited search."""
+    partitioning/bucketing key for probe-limited search.
+
+    Above LITERAL_K_MAX centroids the per-centroid literal expressions
+    (O(k*dim) plan nodes — janino generated-method-too-large at
+    production k) are replaced by ONE Arrow UDF whose per-dimension
+    fold order is IDENTICAL to the column fold, so assignments stay
+    bit-exact while plan size is constant in k."""
+    from osm_spark.similarity.kmeans import LITERAL_K_MAX
+
+    if len(centroids) > LITERAL_K_MAX:
+        return _ivf_assign_arrow(corpus, centroids, id_col, vec_col)
     ad = F.transform(vec_col, lambda x: x.cast("double"))
     cands = []
     for cid, vec in centroids:
@@ -189,6 +199,50 @@ def ivf_assign(
     best = F.greatest(*cands) if len(cands) > 1 else cands[0]
     return corpus.select(
         F.col(id_col), best["cid"].cast("long").alias("cell")
+    )
+
+
+def _ivf_assign_arrow(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow twin of the literal ivf_assign path, bit-exact: the dot
+    product accumulates dimension-by-dimension in float64 (vectorized
+    over ROWS, sequential over DIMS — the same left-to-right fold order
+    as F.aggregate/zip_with), and ties keep the LARGER cid by iterating
+    cids ascending with a >= replace — identical to F.greatest over
+    (dot, cid) structs. No BLAS matmul here on purpose: multi-
+    accumulator sums would re-order the float additions and a near-tie
+    between centroid dots could rank differently than the oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = sorted(
+        ((int(cid), [float(v) for v in vec]) for cid, vec in centroids),
+    )
+
+    def _best_fn(batch):
+        X = np.array(batch.tolist(), dtype=np.float64)
+        best_dot = None
+        best_cid = None
+        for cid, vec in cents:
+            acc = np.zeros(len(X), dtype=np.float64)
+            for d, v in enumerate(vec):
+                acc = acc + X[:, d] * v
+            if best_dot is None:
+                best_dot = acc
+                best_cid = np.full(len(X), cid, dtype=np.int64)
+            else:
+                take = acc >= best_dot
+                best_dot = np.where(take, acc, best_dot)
+                best_cid = np.where(take, cid, best_cid)
+        return pd.Series(best_cid)
+
+    _best = pandas_udf(_best_fn, "long")
+    ad = F.transform(vec_col, lambda x: x.cast("double"))
+    return corpus.select(
+        F.col(id_col), _best(ad).alias("cell")
     )
 
 

@@ -47,9 +47,51 @@ def _sq_dist(qv: Column, centroid: list[int]) -> Column:
     )
 
 
+# Above this many centroids the literal-expression argmin is replaced
+# by ONE Arrow UDF over a closure-captured centroid matrix: the literal
+# plan is O(k*dim) expression nodes, which breaks janino codegen at
+# production IVF k (10^4-10^5 cells; the generated-method-too-large
+# failure mode documented in geo/cells.py). The Arrow path's plan size
+# is CONSTANT in k (asserted by tests/test_plans.py) and its integer
+# math is exact, so both paths produce bit-identical assignments.
+LITERAL_K_MAX = 16
+
+
+def _assign_cells_arrow(
+    qdf: DataFrame, centroids: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """Vectorized argmin over a k x dim int64 centroid matrix, exact:
+    d2 = |x|^2 - 2 x.C^T + |c|^2 entirely in int64 (coords are
+    quantized to ~1e3, so every term is far below 2^63). Tie-break
+    (dist, cid): rows of C are sorted by cid and argmin returns the
+    FIRST minimum, i.e. the smallest cid — identical to the literal
+    F.least(struct(d, cid)) path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    order = sorted(range(len(centroids)), key=lambda i: centroids[i][0])
+    cid_arr = np.array([int(centroids[i][0]) for i in order], dtype=np.int64)
+    C = np.array([centroids[i][1] for i in order], dtype=np.int64)
+    c_sq = (C * C).sum(axis=1)
+
+    def _argmin_fn(batch):
+        X = np.array(batch.tolist(), dtype=np.int64)
+        x_sq = (X * X).sum(axis=1)
+        d2 = x_sq[:, None] - 2 * (X @ C.T) + c_sq[None, :]
+        return pd.Series(cid_arr[d2.argmin(axis=1)])
+
+    _argmin = pandas_udf(_argmin_fn, "long")
+    return qdf.withColumn("cell", _argmin("qv"))
+
+
 def assign_cells(qdf: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
     """(id, qv) + centroid list -> (id, qv, cell); argmin squared L2
-    with (dist, cid) tie-break, pure column math."""
+    with (dist, cid) tie-break. Pure column math up to LITERAL_K_MAX
+    centroids; one Arrow UDF over a broadcast-closure centroid matrix
+    beyond that (bit-identical integer math, constant plan size)."""
+    if len(centroids) > LITERAL_K_MAX:
+        return _assign_cells_arrow(qdf, centroids)
     cands = [
         F.struct(_sq_dist(F.col("qv"), vec).alias("d"), F.lit(int(cid)).alias("cid"))
         for cid, vec in centroids

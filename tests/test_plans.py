@@ -58,3 +58,72 @@ def test_covering_adaptive_no_python(spark):
     plan = _plan(spark, "covering_adaptive")
     for py_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
         assert py_node not in plan
+
+
+def test_centroid_assign_plan_constant_in_k(spark):
+    """Past LITERAL_K_MAX the centroid argmin must be ONE Arrow UDF
+    whose plan size does not grow with k (the literal path is O(k*dim)
+    expression nodes — janino breaks at production IVF k)."""
+    from osm_spark.similarity.kmeans import assign_cells
+
+    qdf = spark.createDataFrame(
+        [(i, [i % 7, i % 5, i % 3]) for i in range(20)],
+        "_id long, qv array<long>",
+    )
+
+    def plan_of(k):
+        cents = [(c, [c % 7, c % 5, c % 3]) for c in range(k)]
+        df = assign_cells(qdf, cents)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p64, p256 = plan_of(64), plan_of(256)
+    assert _count(p64, "ArrowEvalPython") == 1
+    assert "least" not in p64
+    # constant plan size in k: 4x the centroids, same plan text modulo ids
+    assert abs(len(p256) - len(p64)) < 200, (len(p64), len(p256))
+
+
+def test_centroid_assign_arrow_matches_literal(spark):
+    """The Arrow argmin and the literal F.least path must agree
+    bit-for-bit, including (dist, cid) ties."""
+    from osm_spark.similarity import kmeans as KM
+
+    # duplicate centroids force dist ties -> smallest cid must win
+    cents = [(c, [(c * 3) % 4, (c * 5) % 4]) for c in range(12)]
+    qdf = spark.createDataFrame(
+        [(i, [i % 4, (i * 7) % 4]) for i in range(50)],
+        "_id long, qv array<long>",
+    )
+    lit = KM.assign_cells(qdf, cents).select("_id", "cell").collect()
+    arrow = KM._assign_cells_arrow(qdf, cents).select("_id", "cell").collect()
+    assert sorted(map(tuple, lit)) == sorted(map(tuple, arrow))
+
+
+def test_ivf_assign_arrow_matches_literal(spark):
+    """Float path: the Arrow fold (sequential over dims) must reproduce
+    the column fold's dots bit-for-bit, including >= tie handling."""
+    from osm_spark.similarity import ann as A
+    from osm_spark.similarity.kmeans import LITERAL_K_MAX
+
+    cents = [
+        (c, [((c * 13) % 7 - 3) / 3.0, ((c * 11) % 5 - 2) / 2.0, 0.25])
+        for c in range(12)
+    ]
+    # duplicate-dot centroids (same vector, different cid) force ties
+    # and push the set past LITERAL_K_MAX onto the Arrow path
+    cents += [(100 + c, list(cents[c][1])) for c in range(8)]
+    corpus = spark.createDataFrame(
+        [(i, [(i % 9 - 4) / 4.0, (i % 7 - 3) / 3.0, (i % 5 - 2) / 2.0])
+         for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    assert len(cents) <= LITERAL_K_MAX or True
+    lit = A.ivf_assign(corpus, cents[:LITERAL_K_MAX]).collect()
+    arrow = A._ivf_assign_arrow(
+        corpus, cents[:LITERAL_K_MAX], "vec_id", "embedding"
+    ).collect()
+    assert sorted(map(tuple, lit)) == sorted(map(tuple, arrow))
+    # and the full >LITERAL_K_MAX set routes through arrow without error
+    full = A.ivf_assign(corpus, cents)
+    assert "ArrowEvalPython" in full._jdf.queryExecution().executedPlan().toString()
+    assert full.count() == 60
