@@ -193,3 +193,167 @@ def adaptive_covering_sql(
   WHERE {' AND '.join(conds)}"""
         )
     return f"WITH {rect_cte} " + " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------
+# General-polygon adaptive covering (rings, not just bboxes)
+# ---------------------------------------------------------------------
+#
+# The bbox closed form above classifies tiles against the rectangle;
+# the reference's inner-ring assignment works on arbitrary rings
+# (build_polygon.go:181-243). Here a tile is classified against the
+# ACTUAL rings: DISJOINT (drop), FULL (entirely inside the polygon —
+# emit coarse), or BOUNDARY (the polygon boundary passes through the
+# tile — split). Classification is exact:
+#   boundary  <=> some ring edge intersects the tile rect (Liang-Barsky
+#                 segment clip) OR some ring vertex lies inside it
+#                 (covers polygon-inside-tile);
+#   otherwise the tile is entirely inside or outside the polygon and
+#   the tile center's ray-cast (even-odd over all rings, so holes work)
+#   decides FULL vs DISJOINT.
+
+import math as _math
+
+import numpy as _np
+
+
+def _tb_west(x: float, z: int) -> float:
+    return x / float(1 << z) * 360.0 - 180.0
+
+
+def _tb_east(x: float, z: int) -> float:
+    return (x + 1.0) / float(1 << z) * 360.0 - 180.0
+
+
+def _merc_lat_scalar(yf: float) -> float:
+    a = _math.pi * (1.0 - 2.0 * yf)
+    return _math.atan((_math.exp(a) - _math.exp(-a)) / 2.0) * 180.0 / _math.pi
+
+
+def _tb_north(y: float, z: int) -> float:
+    return _merc_lat_scalar(y / float(1 << z))
+
+
+def _tb_south(y: float, z: int) -> float:
+    return _merc_lat_scalar((y + 1.0) / float(1 << z))
+
+
+def _edges_hit_rect(xi, yi, xj, yj, w, s, e, n) -> bool:
+    """Any segment (xi,yi)-(xj,yj) intersecting the CLOSED rect
+    [w,e]x[s,n]? Liang-Barsky parametric clip, vectorized over edges."""
+    dx = xj - xi
+    dy = yj - yi
+    t0 = _np.zeros(len(xi))
+    t1 = _np.ones(len(xi))
+    ok = _np.ones(len(xi), dtype=bool)
+    for p, q in (
+        (-dx, xi - w),
+        (dx, e - xi),
+        (-dy, yi - s),
+        (dy, n - yi),
+    ):
+        ok &= ~((p == 0) & (q < 0))
+        with _np.errstate(divide="ignore", invalid="ignore"):
+            r = q / p
+        t0 = _np.where(p < 0, _np.maximum(t0, r), t0)
+        t1 = _np.where(p > 0, _np.minimum(t1, r), t1)
+    return bool((ok & (t0 <= t1)).any())
+
+
+DISJOINT, BOUNDARY, FULL = 0, 1, 2
+
+
+def classify_tile_vs_rings(rings, tx: int, ty: int, z: int) -> int:
+    """Exact tile-vs-polygon classification (see module comment).
+    ``rings``: [(xs, ys), ...] float64 arrays, ring closed or not."""
+    from osm_spark.geo import pip as _pip
+
+    w, e = _tb_west(tx, z), _tb_east(tx, z)
+    s, n = _tb_south(ty, z), _tb_north(ty, z)
+    inside = False
+    cx, cy = (w + e) / 2.0, (s + n) / 2.0
+    for xs, ys in rings:
+        if ((xs > w) & (xs < e) & (ys > s) & (ys < n)).any():
+            return BOUNDARY
+        if _edges_hit_rect(xs, ys, _np.roll(xs, 1), _np.roll(ys, 1), w, s, e, n):
+            return BOUNDARY
+        # even-odd across rings: holes toggle containment
+        if _pip.ring_contains(xs, ys, _np.array([cx]), _np.array([cy]))[0]:
+            inside = not inside
+    return FULL if inside else DISJOINT
+
+
+def _classify_udf(z: int, wkb_col: str):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fn(wkbs, txs, tys):
+        from osm_spark.geo import wkb as W
+
+        cache: dict[bytes, list] = {}
+        out = _np.empty(len(wkbs), dtype=_np.int32)
+        for i, (buf, tx, ty) in enumerate(zip(wkbs, txs, tys)):
+            key = bytes(buf)
+            rings = cache.get(key)
+            if rings is None:
+                _, raw = W.decode(key)
+                rings = [
+                    (
+                        _np.asarray(xs, dtype=_np.float64),
+                        _np.asarray(ys, dtype=_np.float64),
+                    )
+                    for xs, ys in raw
+                ]
+                cache[key] = rings
+            out[i] = classify_tile_vs_rings(rings, int(tx), int(ty), z)
+        return pd.Series(out)
+
+    return pandas_udf(_fn, "int")
+
+
+def polygon_covering(
+    polygons: DataFrame,
+    z_min: int,
+    z_max: int,
+    wkb_col: str = "wkb",
+    checkpoint_every: int = 6,
+) -> DataFrame:
+    """Adaptive covering of ARBITRARY polygons carried as WKB: same
+    frontier recursion as :func:`adaptive_covering` (candidates at z+1
+    are only children of zoom-z BOUNDARY tiles, O(perimeter) work) but
+    tiles are classified against the actual rings, so non-rectangular
+    polygons get a TRUE covering — interior tiles of e.g. a triangle
+    coarsen, exterior bbox corners drop out entirely — instead of a
+    bbox over-cover.
+
+    ``polygons`` must carry (wkb_col binary, xmin, xmax, ymin, ymax);
+    the bbox seeds the z_min candidate rectangle, everything after
+    consults only the rings. One Arrow UDF per level over the frontier
+    (never the interior)."""
+    cand = _seed_candidates(polygons, z_min)
+    outs: list[DataFrame] = []
+    for z in range(z_min, z_max + 1):
+        cls = _classify_udf(z, wkb_col)
+        cand = cand.withColumn(
+            "_cls", cls(F.col(wkb_col), F.col("tile_x"), F.col("tile_y"))
+        )
+        if z == z_max:
+            outs.append(
+                cand.filter(F.col("_cls") >= BOUNDARY)
+                .drop("_cls")
+                .withColumn("zoom", F.lit(z))
+            )
+            break
+        outs.append(
+            cand.filter(F.col("_cls") == FULL)
+            .drop("_cls")
+            .withColumn("zoom", F.lit(z))
+        )
+        frontier = cand.filter(F.col("_cls") == BOUNDARY).drop("_cls")
+        if checkpoint_every and (z - z_min + 1) % checkpoint_every == 0:
+            frontier = frontier.localCheckpoint(eager=True)
+        cand = _children4(frontier)
+    out = outs[0]
+    for lv in outs[1:]:
+        out = out.unionByName(lv)
+    return out

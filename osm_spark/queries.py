@@ -2878,6 +2878,91 @@ def q_covering_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _triangle_covering_sql(z_min: int, z_max: int) -> str:
+    """Closed-form adaptive covering of the RIGHT TRIANGLE cut from each
+    rectb bbox (vertices (x0,y0),(x1,y0),(x0,y1); hypotenuse from
+    (x1,y0) to (x0,y1)). Convexity makes the tile classification exact
+    by separating axes: x, y, and the hypotenuse normal (in normalized
+    coords u = (x-x0)/dx + (y-y0)/dy the triangle is {{x>=x0, y>=y0,
+    u<=1}}). The engine side classifies the SAME triangle generically
+    (segment-rect clip + ray-cast over its WKB rings) — agreement here
+    checks the general kernel against an independent closed form."""
+
+    def u(xe: str, ye: str) -> str:
+        return f"((({xe}) - x0) / dx + (({ye}) - y0) / dy)"
+
+    def conds(xe: str, ye: str, z: int) -> tuple[str, str]:
+        b = tiles.tile_bound_sql(xe, ye, z)
+        w, e = b["minlon"], b["maxlon"]
+        s, n = b["minlat"], b["maxlat"]
+        full = f"({w} >= x0 AND {s} >= y0 AND {u(e, n)} <= 1.0)"
+        inter = (
+            f"({e} > x0 AND {n} > y0 AND {w} < x1 AND {s} < y1"
+            f" AND {u(w, s)} < 1.0)"
+        )
+        return inter, full
+
+    parts = []
+    for z in range(z_min, z_max + 1):
+        inter, full = conds("tx.x", "ty.x", z)
+        cs = [inter]
+        if z < z_max:
+            cs.append(full)
+        for zp in range(z_min, z):
+            _, afull = conds(f"(tx.x >> {z - zp})", f"(ty.x >> {z - zp})", zp)
+            cs.append("NOT " + afull)
+        parts.append(
+            f"""
+  SELECT poly_id, {z} AS zoom, tx.x AS tile_x, ty.x AS tile_y
+  FROM tri,
+       LATERAL (SELECT unnest(range({tiles.tile_x_sql('x0', z)},
+                                    {tiles.tile_x_sql('x1', z)} + 1)) AS x) tx,
+       LATERAL (SELECT unnest(range({tiles.tile_y_sql('y1', z)},
+                                    {tiles.tile_y_sql('y0', z)} + 1)) AS x) ty
+  WHERE {' AND '.join(cs)}"""
+        )
+    tri_cte = f"""{_RECTB_SQL[5:]},
+    tri AS (
+      SELECT poly_id, xmin AS x0, xmax AS x1, ymin AS y0, ymax AS y1,
+             xmax - xmin AS dx, ymax - ymin AS dy
+      FROM rectb)"""
+    return f"WITH {tri_cte} " + " UNION ALL ".join(parts)
+
+
+@register("covering_polygon", _triangle_covering_sql(4, 7))
+def q_covering_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERAL-polygon adaptive covering (geo/covering.py
+    polygon_covering): tiles classified against the actual WKB rings —
+    Liang-Barsky edge-vs-rect clip for BOUNDARY, tile-center ray-cast
+    (build_polygon.go:228-230 formula, even-odd over rings) for
+    FULL/DISJOINT — via the same O(perimeter) frontier recursion. The
+    fixture cuts each rect fixture bbox into its lower-left right
+    triangle, so interior coarsening AND exterior-corner drop-out are
+    both exercised; the oracle is an independent separating-axes closed
+    form for that triangle."""
+    from osm_spark.geo import wkb as W
+    from pyspark.sql.functions import pandas_udf
+    import pandas as pd
+
+    def _enc_fn(x0s, x1s, y0s, y1s):
+        out = []
+        for x0, x1, y0, y1 in zip(x0s, x1s, y0s, y1s):
+            out.append(
+                W.encode_polygon([([x0, x1, x0, x0], [y0, y0, y1, y0])])
+            )
+        return pd.Series(out)
+
+    _enc = pandas_udf(_enc_fn, "binary")
+
+    tri = _rect_polygons_df(spark, sf_dir).select(
+        "poly_id", "xmin", "xmax", "ymin", "ymax",
+        _enc("xmin", "xmax", "ymin", "ymax").alias("wkb"),
+    )
+    return _cov.polygon_covering(tri, 4, 7).select(
+        "poly_id", "zoom", "tile_x", "tile_y"
+    )
+
+
 @register("pip_cells_adaptive", _PIP_ORACLE)
 def q_pip_cells_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIP join through the adaptive multi-zoom covering (points fan

@@ -142,3 +142,47 @@ def test_candidate_work_is_perimeter_bounded(spark):
         cand_big,
         perimeter(big),
     )
+
+
+def test_polygon_covering_beats_bbox_cover(spark):
+    """A triangle's TRUE covering must be smaller than its bbox's
+    adaptive covering (exterior corner drops out), and its z_max
+    expansion must be a subset of the bbox cover's expansion."""
+    from osm_spark.geo import wkb as W
+    from osm_spark.geo.covering import polygon_covering
+
+    z_min, z_max = 3, 8
+    x0, x1, y0, y1 = -10.0005, 40.0005, -5.0005, 25.0005
+    tri_wkb = W.encode_polygon([([x0, x1, x0, x0], [y0, y0, y1, y0])])
+    tri = spark.createDataFrame(
+        [(1, x0, x1, y0, y1, bytearray(tri_wkb))],
+        "poly_id long, xmin double, xmax double, ymin double,"
+        " ymax double, wkb binary",
+    )
+    bbox = tri.drop("wkb")
+
+    tcov = polygon_covering(tri, z_min, z_max).collect()
+    bcov = adaptive_covering(bbox, z_min, z_max).collect()
+
+    def expand(rows):
+        cells = set()
+        for r in rows:
+            d = z_max - r.zoom
+            for dx in range(1 << d):
+                for dy in range(1 << d):
+                    cells.add(
+                        ((r.tile_x << d) + dx, (r.tile_y << d) + dy)
+                    )
+        return cells
+
+    t_cells, b_cells = expand(tcov), expand(bcov)
+    assert t_cells < b_cells  # strict subset: corners dropped
+    # the triangle is ~half the bbox: the covered area must shrink
+    # materially, not marginally
+    assert len(t_cells) < 0.75 * len(b_cells), (len(t_cells), len(b_cells))
+    # multi-zoom disjointness: no cell's ancestor also in the covering
+    seen = {(r.zoom, r.tile_x, r.tile_y) for r in tcov}
+    for r in tcov:
+        for zp in range(z_min, r.zoom):
+            d = r.zoom - zp
+            assert (zp, r.tile_x >> d, r.tile_y >> d) not in seen
