@@ -2239,6 +2239,62 @@ def q_history_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "history_at",
+    """
+    WITH ev AS (
+      SELECT user_id AS id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS ver,
+             (event_type <> 'error') AS visible,
+             event_id AS changeset, ts,
+             CASE WHEN event_id % 3 = 0 THEN ts - INTERVAL 2 DAY END
+               AS committed,
+             value AS lat, -value AS lon
+      FROM events),
+    upto AS (
+      SELECT * FROM ev
+      WHERE coalesce(committed, ts) <= TIMESTAMP '2024-01-20 00:00:00'),
+    last AS (
+      SELECT *, row_number() OVER (PARTITION BY id ORDER BY ver DESC) AS rn
+      FROM upto)
+    SELECT id, CAST(ver AS INT) AS version, changeset, lat, lon
+    FROM last WHERE rn = 1 AND visible
+    """,
+)
+def q_history_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HistoryDatasource time travel (sources/history.py snapshot_at —
+    the osmapi At(t) read, datasource.go:9-30 + node.go:65-71
+    CommittedAt fallback): every element's visible version as of t over
+    a modeled history where a third of the rows carry an explicit
+    committed timestamp two days before ts (so coalesce(committed, ts)
+    is actually exercised on both branches); deleted-at-t elements
+    vanish. One window pass — the distributed form."""
+    from osm_spark.sources.history import HistoryDatasource
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    elements = ev.withColumn("ver", F.row_number().over(w)).select(
+        F.lit("node").alias("type"),
+        F.col("user_id").alias("id"),
+        F.col("ver").alias("version"),
+        (F.col("event_type") != "error").alias("visible"),
+        F.col("event_id").alias("changeset"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.col("ts").cast("timestamp") - F.expr("INTERVAL 2 DAYS"),
+        ).alias("committed"),
+        F.col("value").alias("lat"),
+        (-F.col("value")).alias("lon"),
+    )
+    snap = HistoryDatasource(elements).snapshot_at("2024-01-20 00:00:00")
+    return snap.select(
+        "id", F.col("version").cast("int").alias("version"),
+        "changeset", "lat", "lon",
+    )
+
+
+@register(
     "replication_seqnum_search",
     """
     WITH states AS (
