@@ -1,12 +1,13 @@
-"""Real media codecs for UNCOMPRESSED formats — pure numpy + struct.
+"""Real media codecs — pure numpy + struct + stdlib zlib.
 
-The sandbox has no PIL/libvips/ffmpeg, but BMP (24-bit uncompressed)
-and WAV (RIFF PCM16) need neither: their layouts are plain headers over
-raw sample/pixel arrays. These are REAL codecs — byte-faithful headers,
-bottom-up BGR rows with 4-byte padding for BMP, RIFF chunk walking for
-WAV — so the engine's decode path is genuine for uncompressed media;
-only compressed formats (JPEG/PNG/MP3/H.264) remain stubbed with a
-clear error in media.decode_features.
+The sandbox has no PIL/libvips/ffmpeg, but BMP (24-bit uncompressed),
+WAV (RIFF PCM16) and PNG (deflate + the five scanline filters) need
+none of them. These are REAL codecs — byte-faithful headers, bottom-up
+BGR rows with 4-byte padding for BMP, RIFF chunk walking for WAV,
+CRC'd chunks with Sub/Up/Average/Paeth unfiltering for PNG — so the
+engine's decode path is genuine for these formats; only DCT/entropy
+formats (JPEG/MP3/H.264) remain stubbed with a clear error in
+media.decode_features.
 
 Everything is vectorized: pixel/sample payloads move through numpy
 views, no per-pixel Python.
@@ -113,10 +114,160 @@ def decode_wav(buf: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def sniff(buf: bytes) -> str | None:
-    """'bmp' | 'wav' | None (unknown/compressed)."""
+    """'bmp' | 'wav' | 'png' | None (unknown/compressed)."""
     buf = bytes(buf[:12])
     if buf[:2] == b"BM":
         return "bmp"
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     return None
+
+
+# ------------------------------------------------------------------- PNG
+# Dependency-free PNG, 8-bit RGB (color type 2) and grayscale (0),
+# non-interlaced: stdlib zlib for the IDAT stream + the five scanline
+# filters (None/Sub/Up/Average/Paeth) implemented over numpy rows.
+# This makes PNG a REAL compressed-format codec in-sandbox; JPEG/MP3/
+# H.264 (DCT/entropy pipelines) remain out of scope.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) RGB or (h, w) grayscale uint8 -> PNG. Scanline filters
+    rotate per row (y % 5) so every filter path round-trips."""
+    import zlib
+
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    if pixels.ndim == 2:
+        ctype, ch = 0, 1
+        px = pixels[:, :, None]
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        ctype, ch = 2, 3
+        px = pixels
+    else:
+        raise ValueError("expected (h, w, 3) RGB or (h, w) grayscale")
+    h, w = px.shape[:2]
+    rows = px.reshape(h, w * ch).astype(np.int32)
+    up = np.vstack([np.zeros((1, w * ch), dtype=np.int32), rows[:-1]])
+    left = np.zeros_like(rows)
+    left[:, ch:] = rows[:, :-ch]
+    ul = np.zeros_like(rows)
+    ul[1:, ch:] = rows[:-1, :-ch]
+    # Paeth predictor (per PNG spec, computed on the RECON values)
+    p = left + up - ul
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    paeth = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+    filtered = {
+        0: rows,
+        1: rows - left,
+        2: rows - up,
+        3: rows - (left + up) // 2,
+        4: rows - paeth,
+    }
+    out = bytearray()
+    for y in range(h):
+        f = y % 5
+        out.append(f)
+        out += (filtered[f][y] % 256).astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """PNG -> (h, w, 3) uint8 RGB or (h, w) grayscale. 8-bit depth,
+    color types 0/2, non-interlaced; all five filters unfiltered
+    (Sub via per-lane cumsum, Up vectorized, Average/Paeth with the
+    spec's sequential left-dependency looped per pixel, vectorized
+    over channels)."""
+    import zlib
+
+    buf = bytes(buf)
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    w = h = ch = None
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        ln, ctype = struct.unpack_from(">I4s", buf, pos)
+        data = buf[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in (0, 2) or comp or filt or inter:
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} color={color}"
+                    f" interlace={inter}"
+                )
+            ch = 3 if color == 2 else 1
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: cumulative sum per channel lane, mod 256
+            rec = row.reshape(w, ch).cumsum(axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f == 3:  # Average: sequential left dependency
+            rec = np.empty(stride, dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                s = slice(x * ch, (x + 1) * ch)
+                left = (row[s] + (left + prev[s]) // 2) % 256
+                rec[s] = left
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            ul = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                s = slice(x * ch, (x + 1) * ch)
+                up = prev[s]
+                p = left + up - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                )
+                left = (row[s] + pred) % 256
+                rec[s] = left
+                ul = up
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    img = out.reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img

@@ -2,12 +2,12 @@
 
 The Spark-side plumbing (schemas, partition discipline, Arrow batch
 shapes, UDF signatures) is real and tested. The codec layer is real for
-UNCOMPRESSED formats — 24bpp BMP and PCM16 WAV parse for real via
-multimodal/codecs.py (pure numpy/struct, no external libs) — and
-compressed formats (JPEG/PNG/MP3/H.264) raise a clear
-NotImplementedError since the sandbox has no PIL/libvips/ffmpeg. A
-DETERMINISTIC FAKE decode (byte-arithmetic "pixels") remains the
-default for plumbing tests over arbitrary blobs.
+24bpp BMP, PCM16 WAV AND PNG (stdlib zlib + the five scanline filters)
+via multimodal/codecs.py — pure numpy/struct/zlib, no external libs;
+the remaining compressed formats (JPEG/MP3/H.264, i.e. DCT/entropy
+pipelines) raise a clear NotImplementedError since the sandbox has no
+PIL/libvips/ffmpeg. A DETERMINISTIC FAKE decode (byte-arithmetic
+"pixels") remains the default for plumbing tests over arbitrary blobs.
 
 Production swap-in for compressed formats: extend ``_real_decode_batch``
 with PIL/libvips branches in the same mapInPandas generator — the plan
@@ -94,8 +94,10 @@ def _real_decode_batch(blobs: pd.Series) -> pd.DataFrame:
     widths, heights, chans, feats = [], [], [], []
     for b in blobs:
         kind = C.sniff(bytes(b))
-        if kind == "bmp":
-            img = C.decode_bmp(b)
+        if kind in ("bmp", "png"):
+            img = C.decode_bmp(b) if kind == "bmp" else C.decode_png(b)
+            if img.ndim == 2:
+                img = img[:, :, None]
             h, w, c = img.shape
             widths.append(int(w))
             heights.append(int(h))
@@ -112,9 +114,10 @@ def _real_decode_batch(blobs: pd.Series) -> pd.DataFrame:
             feats.append(np.bincount(amp, minlength=8).astype(np.int64).tolist())
         else:
             raise NotImplementedError(
-                "compressed media decode (JPEG/PNG/MP3/H.264) requires "
+                "JPEG/MP3/H.264 decode (DCT/entropy pipelines) requires "
                 "PIL/libvips/ffmpeg — not available in this environment; "
-                "uncompressed BMP/WAV decode IS implemented (codecs.py)"
+                "BMP, PCM WAV and PNG (zlib + all 5 scanline filters) "
+                "ARE implemented for real (codecs.py)"
             )
     return pd.DataFrame(
         {"width": widths, "height": heights, "channels": chans, "feature": feats}

@@ -3230,11 +3230,13 @@ def q_changeset_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode: deterministic pixel/sample payloads encode to
-    genuine 24bpp BMP / PCM16 WAV blobs (multimodal/codecs.py), travel
-    as binary columns, then decode_features(real_decode=True) parses
-    the actual file bytes (bottom-up padded BMP rows, RIFF chunks) and
+    genuine 24bpp BMP / PNG (deflate + scanline filters) / PCM16 WAV
+    blobs (multimodal/codecs.py), travel as binary columns, then
+    decode_features(real_decode=True) parses the actual file bytes
+    (bottom-up padded BMP rows, PNG unfiltering, RIFF chunks) and
     histograms the recovered values. The oracle recomputes dims + bins
-    closed-form — any header/stride/byte-order defect shifts them."""
+    closed-form — any header/stride/filter/byte-order defect shifts
+    them, and PNG vs BMP must be invisible to the result."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -3250,7 +3252,14 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             if mid % 2 == 0:
                 w, h = mid % 16 + 4, mid % 12 + 3
                 px = (mid * 31 + np.arange(w * h * 3) * 7) % 256
-                blobs.append(C.encode_bmp(px.astype(np.uint8).reshape(h, w, 3)))
+                img = px.astype(np.uint8).reshape(h, w, 3)
+                # alternate container: same pixels travel as PNG (real
+                # deflate + filter codec) or BMP — the decoded values,
+                # hence the oracle's bins, are container-independent
+                if mid % 4 == 0:
+                    blobs.append(C.encode_png(img))
+                else:
+                    blobs.append(C.encode_bmp(img))
             else:
                 n = mid % 50 + 10
                 s = ((mid * 13 + np.arange(n) * 5) % 65536) - 32768

@@ -53,7 +53,8 @@ def test_sniff():
     wav = C.encode_wav(np.zeros(4, dtype=np.int16))
     assert C.sniff(img) == "bmp"
     assert C.sniff(wav) == "wav"
-    assert C.sniff(b"\x89PNG\r\n\x1a\n....") is None
+    assert C.sniff(b"\x89PNG\r\n\x1a\n....") == "png"
+    assert C.sniff(b"\xff\xd8\xff\xe0jfif") is None  # JPEG: still stubbed
 
 
 def test_resize_nearest():
@@ -70,7 +71,45 @@ def test_compressed_raises_in_decode_features(spark):
     from osm_spark.multimodal.media import decode_features
 
     df = spark.createDataFrame(
-        [(1, bytearray(b"\x89PNG\r\n\x1a\n abc"))], "media_id long, blob binary"
+        [(1, bytearray(b"\xff\xd8\xff\xe0 jpeg"))], "media_id long, blob binary"
     )
     with pytest.raises(Exception, match="PIL|compressed|NotImplemented"):
         decode_features(df, real_decode=True).collect()
+
+
+def test_png_roundtrip_all_filters():
+    """Every scanline filter (the encoder rotates y % 5) must unfilter
+    back to the exact pixels, RGB and grayscale, various widths."""
+    import numpy as np
+
+    from osm_spark.multimodal import codecs as C
+
+    rng = np.random.default_rng(11)
+    for shape in [(11, 13, 3), (7, 5, 3), (9, 4), (1, 1, 3), (6, 1), (5, 2, 3)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        back = C.decode_png(C.encode_png(px))
+        assert back.shape == px.shape
+        assert (back == px).all(), shape
+
+
+def test_png_decode_features_matches_bmp(spark):
+    """The same pixels through PNG and BMP containers must produce
+    identical decode_features rows (dims + histogram)."""
+    import numpy as np
+
+    from osm_spark.multimodal import codecs as C
+    from osm_spark.multimodal.media import decode_features
+
+    px = (np.arange(10 * 6 * 3) * 37 % 256).astype(np.uint8).reshape(6, 10, 3)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(C.encode_png(px))),
+            (2, bytearray(C.encode_bmp(px))),
+        ],
+        "media_id long, blob binary",
+    )
+    rows = {r.media_id: r for r in decode_features(df, real_decode=True).collect()}
+    a, b = rows[1], rows[2]
+    assert (a.width, a.height, a.channels, a.feature) == (
+        b.width, b.height, b.channels, b.feature,
+    )
