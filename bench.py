@@ -43,6 +43,8 @@ HEADLINE = [
     "h3_knn",
     "knn_kring",
     "covering_adaptive",
+    "covering_polygon",
+    "kmeans_bigk",
     "asof_annotate",
     "minhash_lsh",
     "simhash_neardup",
@@ -157,6 +159,55 @@ def hex_assign_job(spark, sf_dir: str, factor: int, parallelism: int) -> int:
     return n_pages
 
 
+def _flagship_child(which: str, cpus: int) -> None:
+    """Child process: FRESH JVM, 1/10-scale JIT warm-up, then
+    best-of-3 measured runs of one flagship job; prints one JSON line.
+
+    Why a child: the default bench runs ~25 headline queries in one
+    session before the flagship; leaked codegen classes / JIT state /
+    heap fragmentation moved the in-session flagship number by ~±20%
+    across rounds with UNCHANGED kernel code (r01 34.5M vs r02 27.8M
+    pages/s). A fresh JVM per measurement makes BENCH_r{N} numbers
+    comparable across rounds — the same protocol --scaling already
+    uses."""
+    from osm_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "8g")
+    spark = get_spark(
+        f"bench-flag-{which}", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    job = flagship_tile_job if which == "tile" else hex_assign_job
+    job(spark, SF_DIR, max(REPLICATE // 10, 1), cpus)
+    best = None
+    pages = 0
+    for _ in range(3):
+        t0 = time.time()
+        pages = job(spark, SF_DIR, REPLICATE, cpus)
+        sec = time.time() - t0
+        best = sec if best is None or sec < best else best
+    print(json.dumps({"which": which, "sec": round(best, 3), "pages": pages}))
+
+
+def _run_flagship_fresh(which: str, jvms: int = 2) -> tuple[float, int]:
+    """Best over ``jvms`` fresh-JVM children (each best-of-3 runs)."""
+    best = None
+    pages = 0
+    for _ in range(jvms):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flagship-child",
+             which, str(CPUS)],
+            capture_output=True, text=True, timeout=1800,
+            env={**os.environ},
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        pages = r["pages"]
+        if best is None or r["sec"] < best:
+            best = r["sec"]
+    return best, pages
+
+
 def run_default() -> None:
     from osm_spark.session import get_spark
 
@@ -164,34 +215,32 @@ def run_default() -> None:
 
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
     spark.sparkContext.setLogLevel("ERROR")
+    from osm_spark.queries import _release_persists
+
     qs = E.queries()
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
-
-    # drop any cache blocks the headline queries persisted so the
-    # flagship measures kernel throughput against a clean heap
-    from osm_spark.queries import _release_persists
-
+        # clean slate per query (leaked cache blocks from an earlier
+        # query measured ~40% on some kernels), then best-of-2: the
+        # second run reuses compiled codegen classes, so min-of-2
+        # estimates steady-state kernel time rather than JIT luck
+        best = None
+        for _ in range(2):
+            _release_persists()
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            sec = time.time() - t0
+            best = sec if best is None or sec < best else best
+        times[name] = round(best, 3)
     _release_persists()
     spark.catalog.clearCache()
 
-    # warm-up at 1/10 scale first: the first executions of the wide
-    # codegen stage pay multi-second C2 JIT compilation; the generated
-    # classes are shared, so the measured run is pure kernel throughput
-    flagship_tile_job(spark, SF_DIR, max(REPLICATE // 10, 1), int(CPUS))
-    t0 = time.time()
-    n_pages = flagship_tile_job(spark, SF_DIR, REPLICATE, int(CPUS))
-    flagship_sec = time.time() - t0
+    # flagships measure in FRESH JVMs (see _flagship_child docstring)
+    flagship_sec, n_pages = _run_flagship_fresh("tile")
     times["flagship_tile_pipeline"] = round(flagship_sec, 3)
-
-    hex_assign_job(spark, SF_DIR, max(REPLICATE // 10, 1), int(CPUS))
-    t0 = time.time()
-    hex_pages = hex_assign_job(spark, SF_DIR, REPLICATE, int(CPUS))
-    hex_sec = time.time() - t0
+    hex_sec, hex_pages = _run_flagship_fresh("hex")
     times["flagship_hex_assign"] = round(hex_sec, 3)
 
     total = round(sum(times.values()), 3)
@@ -209,6 +258,8 @@ def run_default() -> None:
                 "flagship_pages": n_pages,
                 "cpus": int(CPUS),
                 "replicate": REPLICATE,
+                "protocol": "per-query best-of-2 after cache clear;"
+                            " flagships best of 2 fresh JVMs x 3 runs",
             }
         )
     )
@@ -447,5 +498,8 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
         globals()["CPUS"] = sys.argv[2]
         _scaling_child(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--flagship-child":
+        globals()["CPUS"] = sys.argv[3]
+        _flagship_child(sys.argv[2], int(sys.argv[3]))
     else:
         run_default()

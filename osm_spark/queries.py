@@ -2239,6 +2239,60 @@ def q_history_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "osmapi_fetch",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events)
+    SELECT user_id AS id, value AS lat, -value AS lon,
+           CAST(n AS INT) AS version, event_id AS changeset
+    FROM ev WHERE rn = 1 AND user_id % 11 = 0
+    """,
+)
+def q_osmapi_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OSM API source round-trip (sources/osmapi.py — the osmapi
+    package's URL grammar + XML decode with a pluggable transport,
+    datasource.go:28-101): latest-version nodes modeled from events
+    render to OSM XML through the JVM codec, a fake transport serves
+    them under the EXACT reference URL (node.go:49-58 multi-id form),
+    and Datasource.nodes() fetches + re-parses via from_xml. The oracle
+    computes the same nodes directly — the API hop (URL build, XML
+    serialize, transport, XML parse) must be invisible. Doubles survive
+    because Java's Double.toString/parseDouble round-trip exactly."""
+    from osm_spark.functions.xml_codec import node_struct, node_to_xml
+    from osm_spark.sources.osmapi import OsmApiDatasource
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("user_id")))
+        .where((F.col("rn") == 1) & (F.col("user_id") % 11 == 0))
+    )
+    no_tags = F.array().cast("array<struct<k:string,v:string>>")
+    rendered = latest.select(
+        F.col("user_id").alias("id"),
+        node_to_xml(
+            node_struct(
+                "user_id", F.col("value"), -F.col("value"),
+                F.col("n").cast("int"), "event_id", no_tags,
+            )
+        ).alias("xml"),
+    ).collect()  # parameter-sized probe set (|ids| ~ tens)
+
+    ids = sorted(r["id"] for r in rendered)
+    body = "<osm>" + "".join(r["xml"] for r in rendered) + "</osm>"
+    ds = OsmApiDatasource(spark, lambda url: server[url])
+    server = {ds.elements_url("node", ids): body.encode()}
+    return ds.nodes(ids).select("id", "lat", "lon", "version", "changeset")
+
+
+@register(
     "history_at",
     """
     WITH ev AS (
@@ -3918,7 +3972,6 @@ _DRIVER_WINDOW: list[str] = [
     "geojson_way_features",
     # geometry family
     "way_linestring",
-    "way_centroid",
     "multipolygon_assembly",
     "point_on_surface",
     "interesting_nodes",
@@ -3927,6 +3980,7 @@ _DRIVER_WINDOW: list[str] = [
     "relation_annotate",
     "linestring_at",
     "history_at",                # round 3
+    "osmapi_fetch",              # round 3
     # ids / stats family
     "ids_pack_roundtrip",
     "planet_stats",
