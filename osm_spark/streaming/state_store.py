@@ -196,3 +196,59 @@ class BucketedStateStore:
                 shutil.rmtree(full)
                 removed.append(full)
         return removed
+
+
+# ---------------------------------------------------------------------
+# SQL time-travel surface (Iceberg `VERSION AS OF` analog)
+# ---------------------------------------------------------------------
+
+import re as _re
+
+_VAO = _re.compile(
+    r"\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)",
+    _re.IGNORECASE,
+)
+
+
+def time_travel_sql(
+    spark: SparkSession, sql: str, stores: dict[str, "BucketedStateStore"]
+) -> DataFrame:
+    """Run SQL with Iceberg-style ``<table> VERSION AS OF <epoch>``
+    clauses resolved against BucketedStateStore epoch history.
+
+    Spark only honors VERSION AS OF for DataSourceV2 catalogs (real
+    Iceberg/Delta); a PySpark-only store can't register one. This shim
+    provides the SAME query surface over the store's snapshot history:
+    each ``name VERSION AS OF n`` (and each bare ``name``) in ``sql``
+    is bound to a temp view of ``stores[name]`` read at that epoch /
+    at the committed head. In production the store's epochs commit as
+    Iceberg snapshots and this function becomes ``spark.sql`` verbatim
+    — the query text is already the Iceberg dialect.
+
+        time_travel_sql(spark,
+            "SELECT count(*) FROM state VERSION AS OF 2", {"state": st})
+    """
+    views: dict[tuple[str, int | None], str] = {}
+
+    def bind(name: str, epoch: int | None) -> str:
+        key = (name, epoch)
+        if key not in views:
+            store = stores[name]
+            tag = "head" if epoch is None else str(epoch)
+            vname = f"_tt_{name}_{tag}"
+            store.read(epoch=epoch).createOrReplaceTempView(vname)
+            views[key] = vname
+        return views[key]
+
+    def sub(m: "_re.Match[str]") -> str:
+        name, epoch = m.group(1), int(m.group(2))
+        if name not in stores:
+            return m.group(0)
+        return bind(name, epoch)
+
+    rewritten = _VAO.sub(sub, sql)
+    # bare references resolve to the committed head
+    for name in stores:
+        pat = _re.compile(rf"(?<![A-Za-z0-9_.]){name}(?![A-Za-z0-9_])")
+        rewritten = pat.sub(lambda _m: bind(name, None), rewritten)
+    return spark.sql(rewritten)

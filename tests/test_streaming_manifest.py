@@ -290,3 +290,42 @@ def test_bucketed_state_store_bucket_delete(spark, tmp_path):
     assert after.count() == 12 - len(victims)
     assert after.filter(F.col("id").isin(victims)).count() == 0
     assert str(b3) not in store.pointer()["buckets"]
+
+
+def test_version_as_of_sql(spark, tmp_path):
+    """Iceberg-dialect `VERSION AS OF` over the store's epoch history:
+    the same query text reads historical and head snapshots."""
+    from osm_spark.streaming.replication import latest_state
+    from osm_spark.streaming.state_store import (
+        BucketedStateStore, time_travel_sql,
+    )
+
+    store = BucketedStateStore(spark, str(tmp_path / "tt"), n_buckets=4)
+    init = _changes(
+        spark,
+        [(0, "create", "node", i, 1, True, 10, datetime(2024, 1, 1), 0.0, 0.0)
+         for i in range(6)],
+    ).select("type", "id", "version", "visible", "changeset", "ts", "lat", "lon")
+    store.init(init)
+    batch = _changes(
+        spark,
+        [(1, "modify", "node", 2, 2, True, 11, datetime(2024, 1, 2), 5.0, 5.0)],
+    ).select("type", "id", "version", "visible", "changeset", "ts", "lat", "lon")
+    store.apply(batch, latest_state)
+
+    v0 = time_travel_sql(
+        spark,
+        "SELECT max(version) AS v FROM state VERSION AS OF 0 WHERE id = 2",
+        {"state": store},
+    ).collect()[0].v
+    vh = time_travel_sql(
+        spark, "SELECT max(version) AS v FROM state WHERE id = 2",
+        {"state": store},
+    ).collect()[0].v
+    both = time_travel_sql(
+        spark,
+        "SELECT (SELECT count(*) FROM state VERSION AS OF 0)"
+        " = (SELECT count(*) FROM state) AS same",
+        {"state": store},
+    ).collect()[0].same
+    assert (v0, vh, both) == (1, 2, True)
