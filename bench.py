@@ -208,23 +208,41 @@ def _run_flagship_fresh(which: str, jvms: int = 2) -> tuple[float, int]:
     return best, pages
 
 
-def run_default() -> None:
+# Headline queries measure in FRESH JVM children, grouped by operator
+# family. Measured on this VM: a single long session accumulates JIT
+# profile pollution — after ~13 mixed queries the same minhash plan ran
+# 14-22s where a short session runs it 2.5-3.5s warm, and which queries
+# degrade varies run to run, making BENCH numbers incomparable across
+# rounds (the r01->r02 "regressions" were exactly this). Short
+# homogeneous sessions reproduce; shared-session protocol does not.
+QUERY_GROUPS: list[list[str]] = [
+    ["tile_assign", "tile_pyramid", "pip_broadcast", "pip_cells",
+     "pip_cells_adaptive", "pip_wkb"],
+    ["h3_assign", "h3_knn", "knn_kring", "covering_adaptive",
+     "covering_polygon", "kmeans_bigk"],
+    ["asof_annotate", "multipolygon_assembly", "way_centroid", "q1_pricing"],
+    ["minhash_lsh", "simhash_neardup", "dedup_exact", "token_quality",
+     "simhash"],
+    ["embedding_topk", "embedding_lsh_bucket"],
+]
+
+
+def _queries_child(names: list[str]) -> None:
+    """Child process: fresh JVM, best-of-2 per query after a cache
+    clear; prints one JSON dict of times."""
     from osm_spark.session import get_spark
 
     import __spark_entry__ as E
-
-    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
-    spark.sparkContext.setLogLevel("ERROR")
     from osm_spark.queries import _release_persists
 
+    spark = get_spark(
+        "bench-queries", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = qs[name]
-        # clean slate per query (leaked cache blocks from an earlier
-        # query measured ~40% on some kernels), then best-of-2: the
-        # second run reuses compiled codegen classes, so min-of-2
-        # estimates steady-state kernel time rather than JIT luck
         best = None
         for _ in range(2):
             _release_persists()
@@ -234,8 +252,21 @@ def run_default() -> None:
             sec = time.time() - t0
             best = sec if best is None or sec < best else best
         times[name] = round(best, 3)
-    _release_persists()
-    spark.catalog.clearCache()
+    print(json.dumps(times))
+
+
+def run_default() -> None:
+    times: dict[str, float] = {}
+    for group in QUERY_GROUPS:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--queries-child",
+             ",".join(group)],
+            capture_output=True, text=True, timeout=1800,
+            env={**os.environ},
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        times.update(json.loads(line))
+    times = {n: times[n] for n in HEADLINE if n in times}
 
     # flagships measure in FRESH JVMs (see _flagship_child docstring)
     flagship_sec, n_pages = _run_flagship_fresh("tile")
@@ -258,8 +289,9 @@ def run_default() -> None:
                 "flagship_pages": n_pages,
                 "cpus": int(CPUS),
                 "replicate": REPLICATE,
-                "protocol": "per-query best-of-2 after cache clear;"
-                            " flagships best of 2 fresh JVMs x 3 runs",
+                "protocol": "queries best-of-2 in fresh JVMs grouped by"
+                            " family; flagships best of 2 fresh JVMs x 3"
+                            " runs",
             }
         )
     )
@@ -501,5 +533,7 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--flagship-child":
         globals()["CPUS"] = sys.argv[3]
         _flagship_child(sys.argv[2], int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--queries-child":
+        _queries_child(sys.argv[2].split(","))
     else:
         run_default()

@@ -39,6 +39,17 @@ def get_spark(
         # time.Time in UTC).
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # A long session (the driver gate runs ~80 queries; the bench
+        # ~25) generates hundreds of whole-stage-codegen classes; the
+        # JVM's default 240m code cache fills, JIT compilation STOPS,
+        # and late-session wide-codegen stages (md5-heavy dedup) run
+        # interpreted at 5-6x the time — measured on this VM (minhash
+        # 3.4s early-session vs 20s late-session, identical plan).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g "
+            + os.environ.get("SPARK_DRIVER_JAVA_OPTS", ""),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
