@@ -189,7 +189,7 @@ def _flagship_child(which: str, cpus: int) -> None:
     print(json.dumps({"which": which, "sec": round(best, 3), "pages": pages}))
 
 
-def _run_flagship_fresh(which: str, jvms: int = 2) -> tuple[float, int]:
+def _run_flagship_fresh(which: str, jvms: int = 3) -> tuple[float, int]:
     """Best over ``jvms`` fresh-JVM children (each best-of-3 runs)."""
     best = None
     pages = 0
@@ -241,6 +241,14 @@ def _queries_child(names: list[str]) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
     times: dict[str, float] = {}
+    # pass 0 (unmeasured): JIT warm-up for the whole group — C2
+    # compiles asynchronously, so a short query's immediate second run
+    # still executes C1 code; the group pass gives the compiler queue
+    # time to drain before measurement
+    for name in names:
+        _release_persists()
+        spark.catalog.clearCache()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     for name in names:
         fn = qs[name]
         best = None
