@@ -388,7 +388,7 @@ def _scaling_child(cpus: int) -> None:
     # interference-free time for BOTH levels symmetrically
     heavy_tile_stage(spark, SCALE_PAGES // 10, cpus)
     secs = []
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.time()
         heavy_tile_stage(spark, SCALE_PAGES, cpus)
         secs.append(time.time() - t0)
@@ -471,8 +471,8 @@ one wide compute-bound stage + one tiny shuffle; deterministic
 synthetic input) at two parallelism levels on identical input — N vs
 4N cores standing in for N vs 4N executors (no real cluster in this
 sandbox). Fresh Spark session per level, JIT warm-up run excluded,
-best-of-3 measured runs per level (runs vary +/-4% with VM
-interference; min-of-3 is applied to BOTH levels symmetrically).
+best-of-4 measured runs per level (runs vary +/-4% with VM
+interference; min-of-4 is applied to BOTH levels symmetrically).
 
 ## Headline pair: local[4] vs local[16], {pages:,} pages
 
@@ -502,7 +502,7 @@ stand-in. (Pure-integer 32-process scaling on this VM is ~1.0;
 the memory-bus-bound shapes the kernel deliberately avoids are
 documented in bench.py heavy_tile_stage.)
 
-Raw best-of-3 runs: local[{lo}] {rl["runs"]}, local[{hi}] {rh["runs"]},
+Raw best-of-N runs: local[{lo}] {rl["runs"]}, local[{hi}] {rh["runs"]},
 local[{slo}] {srl["runs"]}, local[{shi}] {srh["runs"]}.
 
 Reference single-node comparison (BASELINE.md), with an explicit

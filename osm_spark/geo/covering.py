@@ -329,7 +329,13 @@ def polygon_covering(
     ``polygons`` must carry (wkb_col binary, xmin, xmax, ymin, ymax);
     the bbox seeds the z_min candidate rectangle, everything after
     consults only the rings. One Arrow UDF per level over the frontier
-    (never the interior)."""
+    (never the interior).
+
+    Output rows carry ``cell_full``: true for cells ENTIRELY inside the
+    polygon (every coarse emit, plus z_max tiles classified FULL),
+    false only for z_max boundary tiles. Downstream PIP joins use it to
+    skip the ray-cast refine for interior cells — refine cost becomes
+    O(boundary candidates), not O(all candidates)."""
     cand = _seed_candidates(polygons, z_min)
     outs: list[DataFrame] = []
     for z in range(z_min, z_max + 1):
@@ -340,14 +346,16 @@ def polygon_covering(
         if z == z_max:
             outs.append(
                 cand.filter(F.col("_cls") >= BOUNDARY)
-                .drop("_cls")
                 .withColumn("zoom", F.lit(z))
+                .withColumn("cell_full", F.col("_cls") == FULL)
+                .drop("_cls")
             )
             break
         outs.append(
             cand.filter(F.col("_cls") == FULL)
             .drop("_cls")
             .withColumn("zoom", F.lit(z))
+            .withColumn("cell_full", F.lit(True))
         )
         frontier = cand.filter(F.col("_cls") == BOUNDARY).drop("_cls")
         if checkpoint_every and (z - z_min + 1) % checkpoint_every == 0:

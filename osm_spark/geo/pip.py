@@ -366,3 +366,92 @@ def pip_join_cells_adaptive(
         "zoom", "tile_x", "tile_y"
     )
     return _raycast_refine(cand, x_col, y_col)
+
+
+def _raycast_refine_wkb(
+    cand: DataFrame, x_col: str, y_col: str, wkb_col: str = "wkb"
+) -> DataFrame:
+    """Ray-cast refine over WKB polygon payloads: even-odd across ALL
+    rings (holes subtract — the reference's outer/inner semantics,
+    build_polygon.go:181-243), rings decoded once per polygon per Arrow
+    batch. Same formula-verbatim kernel as every other refine."""
+    from osm_spark.geo import wkb as W
+
+    out_fields = [f for f in cand.schema.fields if f.name != wkb_col]
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
+
+    def refine(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf[out_cols]
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            px = pdf[x_col].to_numpy(dtype=np.float64)
+            py = pdf[y_col].to_numpy(dtype=np.float64)
+            for _pid, idx in pdf.groupby("poly_id").indices.items():
+                _, rings = W.decode(bytes(pdf[wkb_col].iloc[idx[0]]))
+                inside = np.zeros(len(idx), dtype=bool)
+                for xs, ys in rings:
+                    inside ^= ring_contains(
+                        np.asarray(xs, dtype=np.float64),
+                        np.asarray(ys, dtype=np.float64),
+                        px[idx], py[idx],
+                    )
+                keep[idx] = inside
+            yield pdf.loc[keep, out_cols]
+
+    return cand.mapInPandas(refine, schema=out_schema)
+
+
+def pip_join_polygon_covering(
+    points: DataFrame,
+    polygons: DataFrame,
+    z_min: int = 4,
+    z_max: int = 7,
+    x_col: str = "lon",
+    y_col: str = "lat",
+) -> DataFrame:
+    """PIP join through the TRUE polygon covering (geo/covering.py
+    polygon_covering over WKB rings) with the interior/boundary split:
+
+    - points explode to their tile at each zoom (one scan);
+    - polygons explode to ring-exact covering cells;
+    - cells flagged ``cell_full`` accept their points WITHOUT refine —
+      the covering proved the whole tile is inside the polygon;
+    - only z_max BOUNDARY cells ray-cast (over the WKB payload).
+
+    At 10^12 points this moves the Python-kernel cost from O(all
+    candidate pairs) to O(pairs on the polygon BOUNDARY) — interior
+    candidates (the vast majority for large polygons) never leave
+    whole-stage codegen."""
+    from osm_spark.geo.covering import polygon_covering
+
+    zs = list(range(z_min, z_max + 1))
+    zarr = F.array(
+        *[
+            F.struct(
+                F.lit(z).alias("zoom"),
+                tiles.tile_x(x_col, z).alias("tile_x"),
+                tiles.tile_y(y_col, z).alias("tile_y"),
+            )
+            for z in zs
+        ]
+    )
+    ptsz = points.select("*", F.explode(zarr).alias("_zc")).select(
+        "*",
+        F.col("_zc.zoom").alias("zoom"),
+        F.col("_zc.tile_x").alias("tile_x"),
+        F.col("_zc.tile_y").alias("tile_y"),
+    ).drop("_zc")
+    cov = polygon_covering(polygons, z_min, z_max).drop(
+        "xmin", "xmax", "ymin", "ymax"
+    )
+    cand = ptsz.join(cov, ["zoom", "tile_x", "tile_y"]).drop(
+        "zoom", "tile_x", "tile_y"
+    )
+    inside = cand.filter(F.col("cell_full")).drop("cell_full", "wkb")
+    boundary = cand.filter(~F.col("cell_full")).drop("cell_full")
+    return inside.unionByName(_raycast_refine_wkb(boundary, x_col, y_col))

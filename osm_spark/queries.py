@@ -3073,6 +3073,55 @@ def q_covering_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRI_PIP_ORACLE = f"""
+    WITH {_RECTB_SQL[5:]},
+    tri AS (
+      SELECT poly_id, xmin AS x0, xmax AS x1, ymin AS y0, ymax AS y1,
+             xmax - xmin AS dx, ymax - ymin AS dy
+      FROM rectb)
+    SELECT d.doc_id, t.poly_id
+    FROM documents d, tri t
+    WHERE {pages.GEO_LAT_SQL.replace('doc_id', 'd.doc_id')} > t.y0
+      AND {pages.GEO_LON_SQL.replace('doc_id', 'd.doc_id')} > t.x0
+      AND ({pages.GEO_LON_SQL.replace('doc_id', 'd.doc_id')} - t.x0) / t.dx
+        + ({pages.GEO_LAT_SQL.replace('doc_id', 'd.doc_id')} - t.y0) / t.dy < 1
+    """
+
+
+@register("pip_polygon_covering", _TRI_PIP_ORACLE)
+def q_pip_polygon_covering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join through the TRUE polygon covering with the
+    interior/boundary split (geo/pip.py pip_join_polygon_covering):
+    cell_full covering cells accept their points WITHOUT any ray-cast —
+    the covering proved containment — and only z_max boundary cells run
+    the WKB even-odd refine. The fixture is the triangle cut of each
+    rect bbox; the oracle is the closed-form point-in-triangle test, so
+    BOTH the ring-exact covering and the skip-refine shortcut must be
+    exactly right for the join outputs to agree."""
+    from osm_spark.geo import pip
+    from osm_spark.geo import wkb as W
+    from pyspark.sql.functions import pandas_udf
+    import pandas as pd
+
+    def _enc_fn(x0s, x1s, y0s, y1s):
+        return pd.Series(
+            [
+                W.encode_polygon([([x0, x1, x0, x0], [y0, y0, y1, y0])])
+                for x0, x1, y0, y1 in zip(x0s, x1s, y0s, y1s)
+            ]
+        )
+
+    _enc = pandas_udf(_enc_fn, "binary")
+    tri = _rect_polygons_df(spark, sf_dir).select(
+        "poly_id", "xmin", "xmax", "ymin", "ymax",
+        _enc("xmin", "xmax", "ymin", "ymax").alias("wkb"),
+    )
+    pts = pages.page_points(spark, sf_dir)
+    return pip.pip_join_polygon_covering(pts, tri, z_min=4, z_max=7).select(
+        "doc_id", "poly_id"
+    )
+
+
 @register("pip_cells_adaptive", _PIP_ORACLE)
 def q_pip_cells_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIP join through the adaptive multi-zoom covering (points fan
@@ -3966,6 +4015,7 @@ _DRIVER_WINDOW: list[str] = [
     "covering_adaptive",
     "pip_cells_adaptive",
     "covering_polygon",          # round 3
+    "pip_polygon_covering",      # round 3
     # geojson emission family (round 2)
     "geojson_convert",
     "geojson_features",
@@ -3974,7 +4024,6 @@ _DRIVER_WINDOW: list[str] = [
     "way_linestring",
     "multipolygon_assembly",
     "point_on_surface",
-    "interesting_nodes",
     # temporal / history family
     "asof_annotate",
     "relation_annotate",

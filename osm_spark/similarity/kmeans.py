@@ -177,14 +177,18 @@ def trained_ivf_topk(
     def qquant(vec: list[float]) -> list[int]:
         return [int(math.floor(float(x) * QUANT)) for x in vec]
 
+    import numpy as np
+
+    cid_arr = np.array([c for c, _ in centroids], dtype=np.int64)
+    cmat = np.array([v for _, v in centroids], dtype=np.int64)
+
     def cell_rank(qv: list[int]) -> list[int]:
-        scored = sorted(
-            (
-                (sum((a - b) * (a - b) for a, b in zip(qv, cv)), cid)
-                for cid, cv in centroids
-            )
-        )
-        return [cid for _, cid in scored[:nprobe]]
+        # integer L2 is exact in int64, so the numpy vectorization is
+        # bit-identical to the per-centroid loop; lexsort keys mirror
+        # the (dist, cid) ascending tie-break
+        d2 = ((np.asarray(qv, dtype=np.int64) - cmat) ** 2).sum(axis=1)
+        order = np.lexsort((cid_arr, d2))
+        return [int(cid_arr[i]) for i in order[:nprobe]]
 
     spark = df.sparkSession
     probe_rows = []

@@ -285,3 +285,77 @@ class OsmApiDatasource:
         return self._parse_nodes(
             self._fetch(self.map_url(minlon, minlat, maxlon, maxlat, at))
         )
+
+    # ----------------------------------------------- way/relation parse
+    def _snippet_parse(self, body: str, tag: str, schema: str) -> DataFrame:
+        df = self.spark.createDataFrame([(body,)], "body string")
+        pat = rf"(<{tag}\b[^>]*/>|<{tag}\b[\s\S]*?</{tag}>)"
+        snippets = F.regexp_extract_all("body", F.lit(pat), 1)
+        return df.select(F.explode(snippets).alias("xml")).select(
+            F.from_xml("xml", schema, {"rowTag": tag}).alias("e")
+        )
+
+    def _parse_ways(self, body: str) -> DataFrame:
+        """Every <way> of an OSM XML body -> (id, version, changeset,
+        refs array<long>, tags) via the JVM codec."""
+        from osm_spark.functions.xml_codec import _WAY_SCHEMA
+
+        out = self._snippet_parse(body, "way", _WAY_SCHEMA)
+        return out.select(
+            F.col("e._id").alias("id"),
+            F.col("e._version").alias("version"),
+            F.col("e._changeset").alias("changeset"),
+            F.transform("e.nd", lambda n: n["_ref"]).alias("refs"),
+            F.col("e.tag").alias("tags"),
+        )
+
+    def _parse_relations(self, body: str) -> DataFrame:
+        """Every <relation> -> (id, version, changeset, members, tags)."""
+        from osm_spark.functions.xml_codec import _REL_SCHEMA
+
+        out = self._snippet_parse(body, "relation", _REL_SCHEMA)
+        return out.select(
+            F.col("e._id").alias("id"),
+            F.col("e._version").alias("version"),
+            F.col("e._changeset").alias("changeset"),
+            F.transform(
+                "e.member",
+                lambda m: F.struct(
+                    m["_type"].alias("type"),
+                    m["_ref"].alias("ref"),
+                    m["_role"].alias("role"),
+                ),
+            ).alias("members"),
+            F.col("e.tag").alias("tags"),
+        )
+
+    def way(self, eid: int, at: str | None = None) -> DataFrame:
+        """Latest (or as-of) version of one way — way.go:18-36."""
+        df = self._parse_ways(self._fetch(self.element_url("way", eid, at)))
+        if len(df.limit(2).collect()) != 1:
+            raise ValueError("wrong number of ways, expected 1")
+        return df
+
+    def way_history(self, eid: int) -> DataFrame:
+        return self._parse_ways(
+            self._fetch(self.element_history_url("way", eid))
+        )
+
+    def way_full(self, eid: int, at: str | None = None):
+        """way/<id>/full (way.go:136-154): (way df, nodes df)."""
+        body = self._fetch(self.element_full_url("way", eid, at))
+        return self._parse_ways(body), self._parse_nodes(body)
+
+    def relation(self, eid: int, at: str | None = None) -> DataFrame:
+        """Latest (or as-of) version of one relation — relation.go:18-36."""
+        df = self._parse_relations(
+            self._fetch(self.element_url("relation", eid, at))
+        )
+        if len(df.limit(2).collect()) != 1:
+            raise ValueError("wrong number of relations, expected 1")
+        return df
+
+    def relation_history(self, eid: int) -> DataFrame:
+        return self._parse_relations(
+            self._fetch(self.element_history_url("relation", eid))
+        )

@@ -186,3 +186,44 @@ def test_polygon_covering_beats_bbox_cover(spark):
         for zp in range(z_min, r.zoom):
             d = r.zoom - zp
             assert (zp, r.tile_x >> d, r.tile_y >> d) not in seen
+
+
+def test_pip_polygon_covering_matches_bruteforce(spark):
+    """The interior/boundary-split PIP join must return exactly the
+    brute-force ray-cast result for a triangle with a hole (the FULL
+    cells skip refine — any covering error would leak points)."""
+    import numpy as np
+
+    from osm_spark.geo import wkb as W
+    from osm_spark.geo.pip import pip_join_polygon_covering, ring_contains
+
+    outer = ([-10.0005, 30.0005, -10.0005, -10.0005],
+             [-8.0005, -8.0005, 22.0005, -8.0005])
+    hole = ([2.0005, 8.0005, 8.0005, 2.0005, 2.0005],
+            [1.0005, 1.0005, 6.0005, 6.0005, 1.0005])
+    wkb = W.encode_polygon([outer, hole])
+    polys = spark.createDataFrame(
+        [(1, -10.0005, 30.0005, -8.0005, 22.0005, bytearray(wkb))],
+        "poly_id long, xmin double, xmax double, ymin double,"
+        " ymax double, wkb binary",
+    )
+    # deterministic point cloud crossing interior, hole, and exterior
+    pts_rows = [
+        (i, ((i * 37) % 500) / 10.0 - 15.0, ((i * 53) % 400) / 10.0 - 12.0)
+        for i in range(800)
+    ]
+    pts = spark.createDataFrame(pts_rows, "doc_id long, lon double, lat double")
+
+    got = {
+        (r.doc_id, r.poly_id)
+        for r in pip_join_polygon_covering(pts, polys, 3, 8).collect()
+    }
+    px = np.array([p[1] for p in pts_rows])
+    py = np.array([p[2] for p in pts_rows])
+    inside = np.zeros(len(pts_rows), dtype=bool)
+    for xs, ys in (outer, hole):
+        inside ^= ring_contains(
+            np.asarray(xs), np.asarray(ys), px, py
+        )
+    want = {(pts_rows[i][0], 1) for i in np.nonzero(inside)[0]}
+    assert got == want

@@ -118,3 +118,61 @@ def test_status_dispatch():
     with pytest.raises(UnexpectedStatusCodeError, match="503"):
         raise_for_status(503, "u")
     assert not not_found(None)
+
+
+def test_way_relation_fetch_roundtrip(spark):
+    """Ways (ordered nd refs) and relations (typed ordered members)
+    render through the JVM codec, serve, fetch and re-parse losslessly;
+    way_full returns the way AND its nodes from one response."""
+    from pyspark.sql import functions as F
+
+    from osm_spark.functions.xml_codec import (
+        relation_struct, relation_to_xml, way_struct, way_to_xml,
+    )
+
+    b = BASE_URL
+    no_tags = F.array().cast("array<struct<k:string,v:string>>")
+    wdf = spark.createDataFrame(
+        [(9, 2, 70, [3, 1, 2])],
+        "id long, version int, changeset long, refs array<long>",
+    )
+    way_xml = wdf.select(
+        way_to_xml(way_struct("id", "version", "changeset", F.col("refs"), no_tags))
+        .alias("x")
+    ).collect()[0].x
+    members = F.array(
+        F.struct(F.lit("node").alias("type"), F.lit(3).cast("long").alias("ref"),
+                 F.lit("outer").alias("role")),
+        F.struct(F.lit("way").alias("type"), F.lit(9).cast("long").alias("ref"),
+                 F.lit("").alias("role")),
+    )
+    rdf = spark.createDataFrame([(4, 1, 71)], "id long, version int, changeset long")
+    rel_xml = rdf.select(
+        relation_to_xml(
+            relation_struct("id", "version", "changeset", members, no_tags)
+        ).alias("x")
+    ).collect()[0].x
+
+    server = {
+        f"{b}/way/9?": way_xml,
+        f"{b}/way/9/history": "<osm>" + way_xml + "</osm>",
+        f"{b}/way/9/full?": (
+            "<osm>" + _node_xml(3, 1.0, 1.5, 1, 60) + way_xml + "</osm>"
+        ),
+        f"{b}/relation/4?": rel_xml,
+    }
+    ds = OsmApiDatasource(spark, lambda url: server[url].encode())
+
+    w = ds.way(9).collect()[0]
+    assert (w.id, w.version, w.changeset, list(w.refs)) == (9, 2, 70, [3, 1, 2])
+
+    wf, nodes = ds.way_full(9)
+    assert wf.collect()[0].refs == [3, 1, 2]
+    n = nodes.collect()[0]
+    assert (n.id, n.lat) == (3, 1.0)
+
+    r = ds.relation(4).collect()[0]
+    assert [(m["type"], m["ref"], m["role"]) for m in r.members] == [
+        ("node", 3, "outer"), ("way", 9, ""),
+    ]
+    assert ds.way_history(9).count() == 1
