@@ -316,7 +316,6 @@ def polygon_covering(
     z_min: int,
     z_max: int,
     wkb_col: str = "wkb",
-    checkpoint_every: int = 6,
 ) -> DataFrame:
     """Adaptive covering of ARBITRARY polygons carried as WKB: same
     frontier recursion as :func:`adaptive_covering` (candidates at z+1
@@ -340,9 +339,15 @@ def polygon_covering(
     outs: list[DataFrame] = []
     for z in range(z_min, z_max + 1):
         cls = _classify_udf(z, wkb_col)
+        # checkpoint EVERY classified level: the frame is consumed
+        # twice (emit + next frontier) and each emit branch of the
+        # final union would otherwise re-execute the whole classify
+        # chain — level z's Arrow pass would run (z_max - z + 1) times
+        # (measured: 14 ArrowEvalPython nodes for a 4-level covering).
+        # Candidates are O(perimeter) rows — cheap to materialize.
         cand = cand.withColumn(
             "_cls", cls(F.col(wkb_col), F.col("tile_x"), F.col("tile_y"))
-        )
+        ).localCheckpoint(eager=True)
         if z == z_max:
             outs.append(
                 cand.filter(F.col("_cls") >= BOUNDARY)
@@ -357,10 +362,7 @@ def polygon_covering(
             .withColumn("zoom", F.lit(z))
             .withColumn("cell_full", F.lit(True))
         )
-        frontier = cand.filter(F.col("_cls") == BOUNDARY).drop("_cls")
-        if checkpoint_every and (z - z_min + 1) % checkpoint_every == 0:
-            frontier = frontier.localCheckpoint(eager=True)
-        cand = _children4(frontier)
+        cand = _children4(cand.filter(F.col("_cls") == BOUNDARY).drop("_cls"))
     out = outs[0]
     for lv in outs[1:]:
         out = out.unionByName(lv)

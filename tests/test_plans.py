@@ -127,3 +127,20 @@ def test_ivf_assign_arrow_matches_literal(spark):
     full = A.ivf_assign(corpus, cents)
     assert "ArrowEvalPython" in full._jdf.queryExecution().executedPlan().toString()
     assert full.count() == 60
+
+
+def test_pip_polygon_covering_boundary_only_refine(spark):
+    """The interior/boundary split: exactly ONE MapInPandas (the WKB
+    refine over boundary cells); the interior branch is pure JVM, and
+    the covering classify passes are Arrow UDFs over the frontier."""
+    plan = _plan(spark, "pip_polygon_covering")
+    assert _count(plan, "MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_covering_polygon_no_interior_python(spark):
+    """One Arrow classify pass per level (z4..z7 -> 4), nothing else
+    Python-side."""
+    plan = _plan(spark, "covering_polygon")
+    assert _count(plan, "ArrowEvalPython") <= 5
+    assert "BatchEvalPython" not in plan
