@@ -122,6 +122,8 @@ def sniff(buf: bytes) -> str | None:
         return "wav"
     if buf[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if buf[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 

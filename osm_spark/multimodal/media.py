@@ -94,8 +94,15 @@ def _real_decode_batch(blobs: pd.Series) -> pd.DataFrame:
     widths, heights, chans, feats = [], [], [], []
     for b in blobs:
         kind = C.sniff(bytes(b))
-        if kind in ("bmp", "png"):
-            img = C.decode_bmp(b) if kind == "bmp" else C.decode_png(b)
+        if kind in ("bmp", "png", "jpeg"):
+            if kind == "bmp":
+                img = C.decode_bmp(b)
+            elif kind == "png":
+                img = C.decode_png(b)
+            else:
+                from osm_spark.multimodal.jpeg import decode_jpeg
+
+                img = decode_jpeg(bytes(b))
             if img.ndim == 2:
                 img = img[:, :, None]
             h, w, c = img.shape
@@ -114,10 +121,10 @@ def _real_decode_batch(blobs: pd.Series) -> pd.DataFrame:
             feats.append(np.bincount(amp, minlength=8).astype(np.int64).tolist())
         else:
             raise NotImplementedError(
-                "JPEG/MP3/H.264 decode (DCT/entropy pipelines) requires "
-                "PIL/libvips/ffmpeg — not available in this environment; "
-                "BMP, PCM WAV and PNG (zlib + all 5 scanline filters) "
-                "ARE implemented for real (codecs.py)"
+                "MP3/H.264 decode requires ffmpeg — not available in "
+                "this environment; BMP, PCM WAV, PNG (zlib + all 5 "
+                "scanline filters) and baseline JPEG (full DCT/huffman "
+                "pipeline, jpeg.py) ARE implemented for real"
             )
     return pd.DataFrame(
         {"width": widths, "height": heights, "channels": chans, "feature": feats}

@@ -3382,6 +3382,72 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "media_jpeg",
+    """
+    WITH img AS (
+      SELECT doc_id AS media_id, doc_id % 3 + 1 AS bw, doc_id % 2 + 1 AS bh
+      FROM documents),
+    blocks AS (
+      SELECT media_id, bw, bh,
+             ((media_id * 31 + t.i * 17) % 256) >> 5 AS bin
+      FROM img, LATERAL (SELECT unnest(range(0, bw * bh)) AS i) t)
+    SELECT media_id,
+           CAST(bw * 8 AS INT) AS width, CAST(bh * 8 AS INT) AS height,
+           1 AS channels,
+           CAST(sum(CASE WHEN bin = 0 THEN 64 ELSE 0 END) AS BIGINT) AS b0,
+           CAST(sum(CASE WHEN bin = 1 THEN 64 ELSE 0 END) AS BIGINT) AS b1,
+           CAST(sum(CASE WHEN bin = 2 THEN 64 ELSE 0 END) AS BIGINT) AS b2,
+           CAST(sum(CASE WHEN bin = 3 THEN 64 ELSE 0 END) AS BIGINT) AS b3,
+           CAST(sum(CASE WHEN bin = 4 THEN 64 ELSE 0 END) AS BIGINT) AS b4,
+           CAST(sum(CASE WHEN bin = 5 THEN 64 ELSE 0 END) AS BIGINT) AS b5,
+           CAST(sum(CASE WHEN bin = 6 THEN 64 ELSE 0 END) AS BIGINT) AS b6,
+           CAST(sum(CASE WHEN bin = 7 THEN 64 ELSE 0 END) AS BIGINT) AS b7
+    FROM blocks GROUP BY media_id, bw, bh
+    """,
+)
+def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG round-trip through the FULL lossy pipeline
+    (multimodal/jpeg.py: DCT -> quantize -> zigzag -> huffman bitstream
+    with byte stuffing -> markers, then the general decoder back): the
+    fixture images are BLOCK-UNIFORM, which diagonalizes the DCT (each
+    8x8 block is a pure DC coefficient), so the lossy codec becomes
+    bit-exact and the DuckDB oracle can predict every decoded pixel —
+    the one fixture family where a closed-form oracle can check a DCT
+    codec end-to-end. Any defect in the DCT, quantizer, zigzag,
+    huffman tables, bit packing, stuffing or marker layout shifts the
+    histogram."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    from osm_spark.multimodal.jpeg import encode_jpeg
+    from osm_spark.multimodal.media import decode_features
+
+    def _mk_fn(ids):
+        blobs = []
+        for mid in ids:
+            mid = int(mid)
+            bw, bh = mid % 3 + 1, mid % 2 + 1
+            vals = (mid * 31 + np.arange(bw * bh) * 17) % 256
+            blocks = vals.astype(np.uint8).reshape(bh, bw)
+            img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+            blobs.append(encode_jpeg(img))
+        return pd.Series(blobs)
+
+    _mk = pandas_udf(_mk_fn, "binary")
+    docs = pages.load_documents(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), _mk("doc_id").alias("blob")
+    )
+    feats = decode_features(media, real_decode=True)
+    return feats.select(
+        "media_id", "width", "height", "channels",
+        *[F.col("feature")[k].alias(f"b{k}") for k in range(8)],
+    )
+
+
 # =====================================================================
 # Within-distance spatial self-join (range join -> cell equi-join;
 # geo/distance_join.py)
@@ -4023,7 +4089,6 @@ _DRIVER_WINDOW: list[str] = [
     # geometry family
     "way_linestring",
     "multipolygon_assembly",
-    "point_on_surface",
     # temporal / history family
     "asof_annotate",
     "relation_annotate",
@@ -4052,9 +4117,10 @@ _DRIVER_WINDOW: list[str] = [
     "kmeans_bigk",               # round 3
     "knn_kring",
     "within_distance",
-    # media family (round 2)
+    # media family (rounds 2-3)
     "media_decode_real",
     "media_resize",
+    "media_jpeg",                # round 3
     # streaming / replication family
     "replication_actions",
     "replication_state",
