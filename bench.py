@@ -38,6 +38,7 @@ HEADLINE = [
     "pip_broadcast",
     "pip_cells",
     "pip_cells_adaptive",
+    "pip_polygon_covering",
     "pip_wkb",
     "h3_assign",
     "h3_knn",
@@ -56,6 +57,7 @@ HEADLINE = [
     "multipolygon_assembly",
     "way_centroid",
     "q1_pricing",
+    "media_jpeg",
 ]
 
 
@@ -217,13 +219,13 @@ def _run_flagship_fresh(which: str, jvms: int = 3) -> tuple[float, int]:
 # homogeneous sessions reproduce; shared-session protocol does not.
 QUERY_GROUPS: list[list[str]] = [
     ["tile_assign", "tile_pyramid", "pip_broadcast", "pip_cells",
-     "pip_cells_adaptive", "pip_wkb"],
+     "pip_cells_adaptive", "pip_polygon_covering", "pip_wkb"],
     ["h3_assign", "h3_knn", "knn_kring", "covering_adaptive",
      "covering_polygon", "kmeans_bigk"],
     ["asof_annotate", "multipolygon_assembly", "way_centroid", "q1_pricing"],
     ["minhash_lsh", "simhash_neardup", "dedup_exact", "token_quality",
      "simhash"],
-    ["embedding_topk", "embedding_lsh_bucket"],
+    ["embedding_topk", "embedding_lsh_bucket", "media_jpeg"],
 ]
 
 
