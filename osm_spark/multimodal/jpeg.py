@@ -8,8 +8,10 @@ A REAL, spec-compliant baseline JPEG codec with zero dependencies:
   stuffing. Grayscale (1 component) or YCbCr 4:4:4 (3 components,
   JFIF color transform).
 - decoder: general marker parse (any DQT/DHT layout, multi-table),
-  canonical huffman reconstruction from DHT BITS/HUFFVAL, MCU decode,
-  dequantize, IDCT, level shift + clip, YCbCr->RGB.
+  canonical huffman reconstruction from DHT BITS/HUFFVAL, interleaved
+  MCU decode with arbitrary integer sampling factors (4:4:4, 4:2:0,
+  4:2:2 layouts), dequantize, IDCT, replication upsample, level shift
+  + clip, YCbCr->RGB.
 
 The huffman tables the ENCODER emits are deliberately simple (flat
 8-bit AC codes, 4-bit DC codes) — JPEG embeds tables in DHT, so any
@@ -19,10 +21,10 @@ compression, which changes NOTHING structurally. The decoder handles
 arbitrary baseline tables (it rebuilds codes canonically from BITS),
 not just the encoder's.
 
-Not implemented (documented, raises): progressive DCT (SOF2),
-arithmetic coding, restart intervals, 12-bit precision, subsampled
-chroma on the decode path other than 1x1 (the encoder always writes
-4:4:4).
+The encoder writes 4:4:4 by default; ``subsample=True`` switches color
+images to 4:2:0 (2x2-averaged chroma, interleaved 16x16 MCUs). Not
+implemented (documented, raises): progressive DCT (SOF2), arithmetic
+coding, restart intervals, 12-bit precision.
 """
 
 from __future__ import annotations
@@ -186,42 +188,76 @@ def _ycbcr_to_rgb(comps: np.ndarray) -> np.ndarray:
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg(pixels: np.ndarray) -> bytes:
+def _pad_plane(p: np.ndarray, H: int, W: int) -> np.ndarray:
+    """Edge-replicate to (H, W)."""
+    h, w = p.shape
+    pp = np.empty((H, W))
+    pp[:h, :w] = p
+    pp[h:, :w] = p[h - 1 : h, :w]
+    pp[:, w:] = pp[:, w - 1 : w]
+    return pp
+
+
+def _quantize_block(block: np.ndarray, qzz: np.ndarray) -> np.ndarray:
+    coef = dct2(block)
+    # DQT tables travel in zigzag order (T.81 B.2.4.1): bring to
+    # natural order to quantize, then zigzag the quantized coefs
+    return np.round(coef.flatten() / qzz[_UNZIGZAG]).astype(np.int64)[ZIGZAG]
+
+
+def encode_jpeg(pixels: np.ndarray, subsample: bool = False) -> bytes:
     """(h, w, 3) RGB or (h, w) grayscale uint8 -> baseline JPEG bytes
-    (4:4:4, flat quant, DHT-embedded simple huffman tables)."""
+    (flat quant, DHT-embedded simple huffman tables). ``subsample``
+    switches color images from 4:4:4 to 4:2:0 (luma 2x2 sampling,
+    chroma downsampled by 2x2 averaging, interleaved 16x16 MCUs)."""
     pixels = np.asarray(pixels, dtype=np.uint8)
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
+    qtabs = [QTAB_LUMA, QTAB_CHROMA]
     if gray:
         planes = [pixels.astype(np.float64)]
         qids = [0]
+        samps = [(1, 1)]
     else:
         if pixels.shape[2] != 3:
             raise ValueError("expected (h, w, 3) RGB or (h, w) grayscale")
         ycc = _rgb_to_ycbcr(pixels)
-        planes = [ycc[:, :, i] for i in range(3)]
+        if subsample:
+            # 4:2:0 — chroma averaged over 2x2; luma samp 2x2
+            H2 = (h + 1) & ~1
+            W2 = (w + 1) & ~1
+            yp = _pad_plane(ycc[:, :, 0], H2, W2)
+            chroma = [
+                _pad_plane(ycc[:, :, i], H2, W2)
+                .reshape(H2 // 2, 2, W2 // 2, 2)
+                .mean(axis=(1, 3))
+                for i in (1, 2)
+            ]
+            planes = [yp, chroma[0], chroma[1]]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [ycc[:, :, i] for i in range(3)]
+            samps = [(1, 1)] * 3
         qids = [0, 1, 1]
-    qtabs = [QTAB_LUMA, QTAB_CHROMA]
+    ncomp = len(planes)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
 
-    # pad to block multiples by edge replication
-    H = (h + 7) & ~7
-    W = (w + 7) & ~7
+    # pad each component plane to its own MCU-aligned block multiple
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
     padded = []
-    for p in planes:
-        pp = np.empty((H, W))
-        pp[:h, :w] = p
-        pp[h:, :w] = p[-1:, :]
-        pp[:, w:] = pp[:, w - 1 : w]
-        padded.append(pp)
+    for (hi, vi), p in zip(samps, planes):
+        padded.append(_pad_plane(p, mcus_y * 8 * vi, mcus_x * 8 * hi))
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _dqt_segment(0, qtabs[0])
     if not gray:
         out += _dqt_segment(1, qtabs[1])
-    ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, qids[ci]])  # 1x1 sampling
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, qids[ci]])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0, 0, _DC_BITS, _DC_VALS)
     out += _dht_segment(1, 0, _AC_BITS, _AC_VALS)
@@ -233,18 +269,17 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
 
     bw = _BitWriter()
     preds = [0] * ncomp
-    for by in range(0, H, 8):
-        for bx in range(0, W, 8):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             for ci in range(ncomp):
-                block = padded[ci][by : by + 8, bx : bx + 8] - 128.0
-                coef = dct2(block)
-                # DQT tables travel in zigzag order (T.81 B.2.4.1):
-                # bring to natural order to quantize, then zigzag the
-                # quantized coefficients for entropy coding
-                zz = np.round(coef.flatten() / qtabs[qids[ci]][_UNZIGZAG]).astype(
-                    np.int64
-                )[ZIGZAG]
-                preds[ci] = _encode_block(bw, zz, preds[ci])
+                hi, vi = samps[ci]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        y0 = (my * vi + byy) * 8
+                        x0 = (mx * hi + bxx) * 8
+                        block = padded[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        zz = _quantize_block(block, qtabs[qids[ci]])
+                        preds[ci] = _encode_block(bw, zz, preds[ci])
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI
@@ -353,11 +388,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "subsampled chroma decode (encoder emits 4:4:4)"
-                    )
-                comps.append((cid, tq))
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -374,37 +405,63 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         raise ValueError("JPEG missing SOF0/SOS")
 
     r = _BitReader(buf[pos:])
-    H = (h + 7) & ~7
-    W = (w + 7) & ~7
     nc = len(comps)
-    planes = [np.zeros((H, W)) for _ in range(nc)]
-    preds = [0] * nc
-    qsel = {cid: tq for cid, tq in comps}
-    for by in range(0, H, 8):
-        for bx in range(0, W, 8):
-            for ci, (cid, tdc, tac) in enumerate(scan_comps):
-                sym = _decode_huffman(r, htabs[(0, tdc)])
-                diff = _extend(r.bits(sym), sym) if sym else 0
-                preds[ci] += diff
-                zz = np.zeros(64, dtype=np.int64)
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = _decode_huffman(r, htabs[(1, tac)])
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    cat = rs & 0xF
-                    zz[k] = _extend(r.bits(cat), cat)
-                    k += 1
-                # zz and the DQT table are BOTH zigzag-ordered:
-                # dequantize elementwise, then reorder to natural
-                coef = (zz * qtabs[qsel[cid]])[_UNZIGZAG].reshape(8, 8)
-                planes[ci][by : by + 8, bx : bx + 8] = idct2(coef) + 128.0
-    planes = [p[:h, :w] for p in planes]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    samp = {cid: (hi, vi) for cid, hi, vi, _ in comps}
+    qsel = {cid: tq for cid, _, _, tq in comps}
+    comp_order = [cid for cid, _, _, _ in comps]
+    planes = {
+        cid: np.zeros((mcus_y * 8 * vi, mcus_x * 8 * hi))
+        for cid, hi, vi, _ in comps
+    }
+    preds = {cid: 0 for cid in comp_order}
+
+    def decode_block(tdc: int, tac: int, cid: int) -> np.ndarray:
+        sym = _decode_huffman(r, htabs[(0, tdc)])
+        diff = _extend(r.bits(sym), sym) if sym else 0
+        preds[cid] += diff
+        zz = np.zeros(64, dtype=np.int64)
+        zz[0] = preds[cid]
+        k = 1
+        while k < 64:
+            rs = _decode_huffman(r, htabs[(1, tac)])
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            cat = rs & 0xF
+            zz[k] = _extend(r.bits(cat), cat)
+            k += 1
+        # zz and the DQT table are BOTH zigzag-ordered: dequantize
+        # elementwise, then reorder to natural
+        coef = (zz * qtabs[qsel[cid]])[_UNZIGZAG].reshape(8, 8)
+        return idct2(coef) + 128.0
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid, tdc, tac in scan_comps:
+                hi, vi = samp[cid]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        y0 = (my * vi + byy) * 8
+                        x0 = (mx * hi + bxx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = decode_block(
+                            tdc, tac, cid
+                        )
+
+    # upsample subsampled components by pixel replication, crop to (h, w)
+    full = []
+    for cid in comp_order:
+        hi, vi = samp[cid]
+        p = planes[cid]
+        if hi < hmax or vi < vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w])
     if nc == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-    return _ycbcr_to_rgb(np.stack(planes, axis=2))
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(np.stack(full, axis=2))

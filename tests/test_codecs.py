@@ -174,3 +174,31 @@ def test_jpeg_via_decode_features(spark):
     r = decode_features(df, real_decode=True).collect()[0]
     assert (r.width, r.height, r.channels) == (16, 16, 1)
     assert r.feature == [0, 64, 0, 64, 0, 64, 0, 64]
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 path: interleaved 16x16 MCUs, 2x2-averaged chroma,
+    replication upsample; error bounded on smooth data, odd dims crop
+    back exactly."""
+    import numpy as np
+
+    from osm_spark.multimodal import jpeg as J
+
+    grad = np.add.outer(np.arange(33) * 2, np.arange(41) * 3) % 190
+    rgb = np.stack([grad, grad, grad], axis=2).astype(np.uint8)
+    back = J.decode_jpeg(J.encode_jpeg(rgb, subsample=True))
+    assert back.shape == rgb.shape
+    assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 12
+
+    rgb2 = np.stack([
+        np.add.outer(np.arange(20) * 4, np.arange(28) * 2) % 180 + 30,
+        np.add.outer(np.arange(20) * 1, np.arange(28) * 3) % 180 + 20,
+        np.full((20, 28), 90),
+    ], axis=2).astype(np.uint8)
+    back2 = J.decode_jpeg(J.encode_jpeg(rgb2, subsample=True))
+    assert np.abs(back2.astype(int) - rgb2.astype(int)).max() <= 24
+
+    odd = np.stack(
+        [np.full((13, 17), c) for c in (10, 200, 130)], axis=2
+    ).astype(np.uint8)
+    assert J.decode_jpeg(J.encode_jpeg(odd, subsample=True)).shape == odd.shape
