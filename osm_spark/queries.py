@@ -3383,6 +3383,51 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pbf_scan",
+    f"""
+    SELECT doc_id AS id,
+           CAST(floor(0.000000001 * (100 * floor({pages.GEO_LAT_SQL} * 10000000 + 0.5)) * 1000000)
+                AS BIGINT) AS lat_e6,
+           CAST(floor(0.000000001 * (100 * floor({pages.GEO_LON_SQL} * 10000000 + 0.5)) * 1000000)
+                AS BIGINT) AS lon_e6
+    FROM documents
+    """,
+)
+def q_pbf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL OSM PBF wire-format round-trip (sources/pbf.py): geocoded
+    pages encode into DenseNodes PrimitiveBlocks — hand-rolled protobuf
+    varint/zigzag/packed columns, delta coding, string table, zlib
+    blobs, BigEndian BlobHeader framing (decode.go:301-330,
+    osmformat.pb.go DenseNodes) — then the block-parallel Spark scan
+    (mapInPandas over the blob column, cumsum delta-undo) reads them
+    back. The oracle reproduces the 1e-7 coordinate grid closed-form
+    (granularity 100 nano-degrees, floor(x+0.5) grid rounding), so any
+    defect in varint packing, zigzag, delta chains, framing or the
+    granularity math shifts the values."""
+    from osm_spark.sources import pbf as P
+
+    pts = pages.page_points(spark, sf_dir).select("doc_id", "lat", "lon")
+    rows = pts.collect()  # parameter-sized fixture (500 at sf0.01)
+    blocks = []
+    for i in range(0, len(rows), 64):
+        blocks.append(
+            P.encode_primitive_block(
+                nodes=[
+                    {"id": r["doc_id"], "lat": r["lat"], "lon": r["lon"]}
+                    for r in rows[i : i + 64]
+                ]
+            )
+        )
+    buf = P.encode_pbf(blocks)
+    nodes = P.read_pbf_nodes(spark, buf)
+    return nodes.select(
+        "id",
+        F.floor(F.col("lat") * 1e6).cast("long").alias("lat_e6"),
+        F.floor(F.col("lon") * 1e6).cast("long").alias("lon_e6"),
+    )
+
+
+@register(
     "media_jpeg",
     """
     WITH img AS (
@@ -4098,8 +4143,9 @@ _DRIVER_WINDOW: list[str] = [
     # ids / stats family
     "ids_pack_roundtrip",
     "planet_stats",
-    "notes_date_codec",
     "changeset_rollup",
+    # PBF wire format (round 3)
+    "pbf_scan",
     # dedup / text family
     "dedup_exact",
     "minhash_lsh",

@@ -1,0 +1,507 @@
+"""OSM PBF wire format — dependency-free encoder/decoder + Spark scan.
+
+The reference's primary bulk format (osmpbf/decode.go, decode_data.go):
+a length-framed stream of protobuf blobs —
+
+    [4-byte BigEndian size][BlobHeader][Blob] ...   (decode.go:301-330)
+
+with BlobHeader{type=1 string, datasize=3 varint}, Blob{raw=1 |
+zlib_data=3, raw_size=2} (fileformat.pb.go:37-46,122-124), and each
+OSMData blob holding one PrimitiveBlock{stringtable=1,
+primitivegroup=2, granularity=17 (def 100), lat_offset=19,
+lon_offset=20, date_granularity=18 (def 1000)} whose groups carry
+DenseNodes{id=1 sint64 packed DELTA, denseinfo=5, lat=8, lon=9 sint64
+packed DELTA, keys_vals=10} / Way{id=1, keys=2, vals=3, refs=8 sint64
+packed DELTA} / Relation{id=1, keys=2, vals=3, roles_sid=8, memids=9
+DELTA, types=10} (osmformat.pb.go:288-296,387-390, DenseNodes/Way/
+Relation structs). Coordinates decode as
+1e-9 * (offset + granularity * v) (decode_data.go:595-607).
+
+This module implements the protobuf wire layer by hand (varint,
+zigzag, packed repeated fields, length-delimited messages — all public
+spec) so the engine genuinely reads and writes the reference's wire
+format with zero dependencies beyond stdlib zlib + numpy. Delta
+decoding of the packed columns is numpy ``cumsum`` — the wire format
+is ALREADY columnar, which is exactly why it maps onto the DataFrame
+engine without a row-object detour (SURVEY §1: DenseNodes are
+delta-coded parallel arrays).
+
+Spark scan shape: the file splits into blobs on the driver (cheap —
+framing only), the blob payloads parallelize as a binary-column
+DataFrame, and each PrimitiveBlock decodes inside ``mapInPandas`` —
+the distributed analog of the reference's worker fan-out
+(decode.go:113-160, one goroutine per data blob).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ------------------------------------------------------------ wire layer
+_VARINT, _I64, _LEN, _I32 = 0, 1, 2, 5
+
+
+def _uvarint(v: int) -> bytes:
+    out = bytearray()
+    v &= (1 << 64) - 1
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zig(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+
+
+def _unzig(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def _tag(field: int, wt: int) -> bytes:
+    return _uvarint((field << 3) | wt)
+
+
+def _len_field(field: int, payload: bytes) -> bytes:
+    return _tag(field, _LEN) + _uvarint(len(payload)) + payload
+
+
+def _packed(field: int, values, zigzag: bool) -> bytes:
+    if len(values) == 0:
+        return b""
+    body = b"".join(
+        _uvarint(_zig(int(v)) if zigzag else int(v)) for v in values
+    )
+    return _len_field(field, body)
+
+
+def _varint_field(field: int, v: int) -> bytes:
+    return _tag(field, _VARINT) + _uvarint(int(v))
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def uvarint(self) -> int:
+        v = 0
+        shift = 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            v |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return v
+            shift += 7
+
+    def fields(self):
+        """Yield (field, wiretype, value) over one message; LEN values
+        are byte slices, varints ints (i32/i64 raw ints)."""
+        while self.pos < len(self.buf):
+            key = self.uvarint()
+            field, wt = key >> 3, key & 7
+            if wt == _VARINT:
+                yield field, wt, self.uvarint()
+            elif wt == _LEN:
+                ln = self.uvarint()
+                yield field, wt, self.buf[self.pos : self.pos + ln]
+                self.pos += ln
+            elif wt == _I64:
+                yield field, wt, struct.unpack_from("<q", self.buf, self.pos)[0]
+                self.pos += 8
+            elif wt == _I32:
+                yield field, wt, struct.unpack_from("<i", self.buf, self.pos)[0]
+                self.pos += 4
+            else:
+                raise ValueError(f"unsupported wire type {wt}")
+
+
+def _unpack_varints(buf: bytes, zigzag: bool) -> np.ndarray:
+    r = _Reader(buf)
+    out = []
+    while r.pos < len(buf):
+        v = r.uvarint()
+        out.append(_unzig(v) if zigzag else v)
+    return np.array(out, dtype=np.int64)
+
+
+# ---------------------------------------------------------------- encode
+GRANULARITY = 100
+DATE_GRANULARITY = 1000
+NANO = 1_000_000_000
+
+
+class _StringTable:
+    """Index 0 is reserved blank (osmformat.proto: '0 is used as a
+    delimiter' in keys_vals)."""
+
+    def __init__(self):
+        self.idx: dict[str, int] = {"": 0}
+        self.items: list[str] = [""]
+
+    def add(self, s: str) -> int:
+        i = self.idx.get(s)
+        if i is None:
+            i = len(self.items)
+            self.idx[s] = i
+            self.items.append(s)
+        return i
+
+    def encode(self) -> bytes:
+        return b"".join(
+            _len_field(1, s.encode("utf-8")) for s in self.items
+        )
+
+
+def _delta(values) -> list[int]:
+    out = []
+    prev = 0
+    for v in values:
+        out.append(int(v) - prev)
+        prev = int(v)
+    return out
+
+
+def _coord(deg: float) -> int:
+    # nearest granularity unit of nano-degrees; floor(x + 0.5) instead
+    # of round() so the oracle can reproduce the grid exactly (banker's
+    # rounding differs between numpy/python and SQL engines)
+    import math
+
+    return int(math.floor(deg * NANO / GRANULARITY + 0.5))
+
+
+def encode_primitive_block(
+    nodes: list[dict] | None = None,
+    ways: list[dict] | None = None,
+    relations: list[dict] | None = None,
+) -> bytes:
+    """One PrimitiveBlock: nodes as a DenseNodes group (with DenseInfo
+    when any node carries meta), ways/relations as their own group.
+
+    nodes: {id, lat, lon, tags?, version?, timestamp?(unix s),
+            changeset?, uid?, user?, visible?}
+    ways: {id, refs, tags?}; relations: {id, members: [(type, ref,
+    role)], tags?} with type in node/way/relation."""
+    st = _StringTable()
+    groups = []
+
+    if nodes:
+        ids = _packed(1, _delta([n["id"] for n in nodes]), zigzag=True)
+        lats = _packed(
+            8, _delta([_coord(n["lat"]) for n in nodes]), zigzag=True
+        )
+        lons = _packed(
+            9, _delta([_coord(n["lon"]) for n in nodes]), zigzag=True
+        )
+        kv: list[int] = []
+        for n in nodes:
+            for k, v in (n.get("tags") or {}).items():
+                kv.append(st.add(k))
+                kv.append(st.add(v))
+            kv.append(0)
+        kvs = _packed(10, kv, zigzag=False) if any(kv) else b""
+        dense = ids
+        if any("version" in n for n in nodes):
+            info = (
+                _packed(1, [n.get("version", 0) for n in nodes], zigzag=False)
+                + _packed(
+                    2,
+                    _delta(
+                        [
+                            int(n.get("timestamp", 0)) * 1000 // DATE_GRANULARITY
+                            for n in nodes
+                        ]
+                    ),
+                    zigzag=True,
+                )
+                + _packed(
+                    3, _delta([n.get("changeset", 0) for n in nodes]), zigzag=True
+                )
+                + _packed(4, _delta([n.get("uid", 0) for n in nodes]), zigzag=True)
+                + _packed(
+                    5,
+                    _delta([st.add(n.get("user", "")) for n in nodes]),
+                    zigzag=True,
+                )
+                + _packed(
+                    6, [1 if n.get("visible", True) else 0 for n in nodes],
+                    zigzag=False,
+                )
+            )
+            dense += _len_field(5, info)
+        dense += lats + lons + kvs
+        groups.append(_len_field(2, dense))
+
+    for w in ways or []:
+        body = _varint_field(1, w["id"])
+        tags = w.get("tags") or {}
+        body += _packed(2, [st.add(k) for k in tags], zigzag=False)
+        body += _packed(3, [st.add(v) for v in tags.values()], zigzag=False)
+        body += _packed(8, _delta(w["refs"]), zigzag=True)
+        groups.append(_len_field(3, body))
+
+    _MTYPE = {"node": 0, "way": 1, "relation": 2}
+    for r in relations or []:
+        body = _varint_field(1, r["id"])
+        tags = r.get("tags") or {}
+        body += _packed(2, [st.add(k) for k in tags], zigzag=False)
+        body += _packed(3, [st.add(v) for v in tags.values()], zigzag=False)
+        mem = r.get("members") or []
+        body += _packed(8, [st.add(m[2]) for m in mem], zigzag=False)
+        body += _packed(9, _delta([m[1] for m in mem]), zigzag=True)
+        body += _packed(10, [_MTYPE[m[0]] for m in mem], zigzag=False)
+        groups.append(_len_field(4, body))
+
+    block = _len_field(1, st.encode())
+    for g in groups:
+        block = block[:] + _len_field(2, g)
+    block += _varint_field(17, GRANULARITY)
+    block += _varint_field(18, DATE_GRANULARITY)
+    return block
+
+
+def _blob(payload: bytes, compress: bool = True) -> bytes:
+    if compress:
+        z = zlib.compress(payload)
+        return _varint_field(2, len(payload)) + _len_field(3, z)
+    return _len_field(1, payload)
+
+
+def _framed(btype: str, blob: bytes) -> bytes:
+    header = _len_field(1, btype.encode()) + _varint_field(3, len(blob))
+    return struct.pack(">I", len(header)) + header + blob
+
+
+def encode_pbf(blocks: list[bytes], with_history: bool = False) -> bytes:
+    """Frame PrimitiveBlocks into a full .osm.pbf byte stream with an
+    OSMHeader declaring the features the reference requires
+    (decode.go:33-34, scanner feature checks)."""
+    feats = ["OsmSchema-V0.6", "DenseNodes"]
+    if with_history:
+        feats.append("HistoricalInformation")
+    header = b"".join(_len_field(4, f.encode()) for f in feats)
+    out = bytearray(_framed("OSMHeader", _blob(header)))
+    for blk in blocks:
+        out += _framed("OSMData", _blob(blk))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decode
+def split_blobs(buf: bytes) -> list[tuple[str, bytes]]:
+    """Framing walk (decode.go:301-330): -> [(type, blob_bytes)]."""
+    out = []
+    pos = 0
+    while pos < len(buf):
+        (hsize,) = struct.unpack_from(">I", buf, pos)
+        pos += 4
+        hdr = _Reader(buf[pos : pos + hsize])
+        btype = ""
+        datasize = 0
+        for f, wt, v in hdr.fields():
+            if f == 1:
+                btype = v.decode()
+            elif f == 3:
+                datasize = v
+        pos += hsize
+        out.append((btype, buf[pos : pos + datasize]))
+        pos += datasize
+    return out
+
+
+def decompress_blob(blob: bytes) -> bytes:
+    raw = None
+    for f, wt, v in _Reader(blob).fields():
+        if f == 1:
+            raw = v
+        elif f == 3:
+            raw = zlib.decompress(v)
+    if raw is None:
+        raise ValueError("Blob holds neither raw nor zlib_data")
+    return raw
+
+
+def decode_header(payload: bytes) -> dict:
+    feats = []
+    bbox = None
+    for f, wt, v in _Reader(payload).fields():
+        if f == 4:
+            feats.append(v.decode())
+        elif f == 1:
+            b = {}
+            for ff, _, vv in _Reader(v).fields():
+                b[ff] = _unzig(vv) * 1e-9
+            bbox = (b.get(1), b.get(2), b.get(3), b.get(4))
+    return {"required_features": feats, "bbox": bbox}
+
+
+def decode_primitive_block(payload: bytes) -> dict:
+    """-> {"nodes": {col: np.ndarray/list}, "ways": [...],
+    "relations": [...]}; coordinates decoded per decode_data.go:595-607."""
+    strings: list[str] = []
+    groups: list[bytes] = []
+    gran, lat_off, lon_off, dgran = GRANULARITY, 0, 0, DATE_GRANULARITY
+    for f, wt, v in _Reader(payload).fields():
+        if f == 1:
+            for ff, _, vv in _Reader(v).fields():
+                if ff == 1:
+                    strings.append(vv.decode("utf-8"))
+        elif f == 2:
+            groups.append(v)
+        elif f == 17:
+            gran = v
+        elif f == 18:
+            dgran = v
+        elif f == 19:
+            lat_off = v
+        elif f == 20:
+            lon_off = v
+
+    nodes: dict = {}
+    ways: list[dict] = []
+    relations: list[dict] = []
+    _MTYPE = {0: "node", 1: "way", 2: "relation"}
+    for g in groups:
+        for f, wt, v in _Reader(g).fields():
+            if f == 2:  # DenseNodes
+                cols: dict[int, bytes] = {}
+                info: dict[int, bytes] = {}
+                for ff, _, vv in _Reader(v).fields():
+                    if ff == 5:
+                        for f3, _, v3 in _Reader(vv).fields():
+                            info[f3] = v3
+                    else:
+                        cols[ff] = vv
+                ids = np.cumsum(_unpack_varints(cols[1], True))
+                lat = np.cumsum(_unpack_varints(cols[8], True))
+                lon = np.cumsum(_unpack_varints(cols[9], True))
+                nodes["id"] = ids
+                nodes["lat"] = 1e-9 * (lat_off + gran * lat)
+                nodes["lon"] = 1e-9 * (lon_off + gran * lon)
+                if 10 in cols:
+                    kv = _unpack_varints(cols[10], False)
+                    tags = []
+                    cur: dict[str, str] = {}
+                    i = 0
+                    while i < len(kv):
+                        if kv[i] == 0:
+                            tags.append(cur)
+                            cur = {}
+                            i += 1
+                        else:
+                            cur[strings[kv[i]]] = strings[kv[i + 1]]
+                            i += 2
+                    nodes["tags"] = tags
+                else:
+                    nodes["tags"] = [{} for _ in ids]
+                if info:
+                    nodes["version"] = _unpack_varints(info[1], False)
+                    nodes["timestamp"] = (
+                        np.cumsum(_unpack_varints(info[2], True)) * dgran // 1000
+                    )
+                    nodes["changeset"] = np.cumsum(_unpack_varints(info[3], True))
+                    nodes["uid"] = np.cumsum(_unpack_varints(info[4], True))
+                    sids = np.cumsum(_unpack_varints(info[5], True))
+                    nodes["user"] = [strings[s] for s in sids]
+                    if 6 in info:
+                        nodes["visible"] = _unpack_varints(info[6], False) != 0
+            elif f == 3:  # Way
+                w: dict = {"tags": {}}
+                keys = vals = None
+                for ff, _, vv in _Reader(v).fields():
+                    if ff == 1:
+                        w["id"] = vv
+                    elif ff == 2:
+                        keys = _unpack_varints(vv, False)
+                    elif ff == 3:
+                        vals = _unpack_varints(vv, False)
+                    elif ff == 8:
+                        w["refs"] = np.cumsum(
+                            _unpack_varints(vv, True)
+                        ).tolist()
+                if keys is not None:
+                    w["tags"] = {
+                        strings[k]: strings[x] for k, x in zip(keys, vals)
+                    }
+                ways.append(w)
+            elif f == 4:  # Relation
+                r: dict = {"tags": {}, "members": []}
+                keys = vals = roles = mems = types = None
+                for ff, _, vv in _Reader(v).fields():
+                    if ff == 1:
+                        r["id"] = vv
+                    elif ff == 2:
+                        keys = _unpack_varints(vv, False)
+                    elif ff == 3:
+                        vals = _unpack_varints(vv, False)
+                    elif ff == 8:
+                        roles = _unpack_varints(vv, False)
+                    elif ff == 9:
+                        mems = np.cumsum(_unpack_varints(vv, True))
+                    elif ff == 10:
+                        types = _unpack_varints(vv, False)
+                if keys is not None:
+                    r["tags"] = {
+                        strings[k]: strings[x] for k, x in zip(keys, vals)
+                    }
+                if mems is not None:
+                    r["members"] = [
+                        (_MTYPE[int(t)], int(m), strings[s])
+                        for t, m, s in zip(types, mems, roles)
+                    ]
+                relations.append(r)
+    return {"nodes": nodes, "ways": ways, "relations": relations}
+
+
+# ------------------------------------------------------------ Spark scan
+def read_pbf_nodes(spark, pbf_bytes: bytes):
+    """Block-parallel node scan: framing split on the driver (cheap),
+    blob payloads parallelized as a binary column, PrimitiveBlocks
+    decoded in mapInPandas — the reference's per-blob worker fan-out
+    (decode.go:113-160) as a DataFrame."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, LongType, StructField, StructType,
+    )
+
+    blobs = [
+        (i, bytearray(b))
+        for i, (t, b) in enumerate(split_blobs(pbf_bytes))
+        if t == "OSMData"
+    ]
+    df = spark.createDataFrame(blobs, "blob_idx long, blob binary")
+    out_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lat", DoubleType()),
+            StructField("lon", DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for b in pdf["blob"]:
+                blk = decode_primitive_block(decompress_blob(bytes(b)))
+                n = blk["nodes"]
+                if n:
+                    rows.append(
+                        pd.DataFrame(
+                            {"id": n["id"], "lat": n["lat"], "lon": n["lon"]}
+                        )
+                    )
+            yield (
+                pd.concat(rows, ignore_index=True)
+                if rows
+                else pd.DataFrame({"id": [], "lat": [], "lon": []})
+            )
+
+    return df.mapInPandas(gen, schema=out_schema)
