@@ -505,3 +505,80 @@ def read_pbf_nodes(spark, pbf_bytes: bytes):
             )
 
     return df.mapInPandas(gen, schema=out_schema)
+
+
+def _read_pbf_groups(spark, pbf_bytes: bytes, kind: str, out_schema, to_rows):
+    import pandas as pd
+
+    blobs = [
+        (i, bytearray(b))
+        for i, (t, b) in enumerate(split_blobs(pbf_bytes))
+        if t == "OSMData"
+    ]
+    df = spark.createDataFrame(blobs, "blob_idx long, blob binary")
+    empty = {f.name: [] for f in out_schema.fields}
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for b in pdf["blob"]:
+                blk = decode_primitive_block(decompress_blob(bytes(b)))
+                rows.extend(to_rows(blk[kind]))
+            yield (
+                pd.DataFrame(rows, columns=list(empty))
+                if rows
+                else pd.DataFrame(empty)
+            )
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def read_pbf_ways(spark, pbf_bytes: bytes):
+    """Block-parallel way scan -> (id, refs array<long>, tags)."""
+    from pyspark.sql.types import (
+        ArrayType, LongType, MapType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("refs", ArrayType(LongType())),
+            StructField("tags", MapType(StringType(), StringType())),
+        ]
+    )
+    return _read_pbf_groups(
+        spark, pbf_bytes, "ways", schema,
+        lambda ws: [
+            {"id": w["id"], "refs": w.get("refs", []), "tags": w["tags"]}
+            for w in ws
+        ],
+    )
+
+
+def read_pbf_relations(spark, pbf_bytes: bytes):
+    """Block-parallel relation scan -> (id, members, tags)."""
+    from pyspark.sql.types import (
+        ArrayType, LongType, MapType, StringType, StructField, StructType,
+    )
+
+    member = StructType(
+        [
+            StructField("type", StringType()),
+            StructField("ref", LongType()),
+            StructField("role", StringType()),
+        ]
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("members", ArrayType(member)),
+            StructField("tags", MapType(StringType(), StringType())),
+        ]
+    )
+    return _read_pbf_groups(
+        spark, pbf_bytes, "relations", schema,
+        lambda rs: [
+            {"id": r["id"], "members": r.get("members", []), "tags": r["tags"]}
+            for r in rs
+        ],
+    )

@@ -86,3 +86,18 @@ def test_pbf_spark_scan(spark):
     rows = {r.id: r for r in df.collect()}
     assert len(rows) == 40
     assert abs(rows[205].lat - (2 + 5 * 0.001)) < 5e-8
+
+
+def test_pbf_spark_way_relation_scan(spark):
+    blk = P.encode_primitive_block(NODES, WAYS, RELS)
+    buf = P.encode_pbf([blk])
+    ways = {r.id: r for r in P.read_pbf_ways(spark, buf).collect()}
+    assert list(ways[9].refs) == [100, 205, 50]
+    assert ways[9].tags == {"highway": "primary"}
+    assert list(ways[10].refs) == [50, 100]
+    rels = P.read_pbf_relations(spark, buf).collect()
+    assert len(rels) == 1
+    assert [(m["type"], m["ref"], m["role"]) for m in rels[0].members] == [
+        ("node", 100, "outer"), ("way", 9, ""),
+    ]
+    assert rels[0].tags == {"type": "multipolygon"}
