@@ -18,10 +18,27 @@ import pandas as pd
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize like the driver's value hash.
+
+    The driver renders values, so it tolerates integer WIDTH differences
+    (int32 vs int64 both print `26`) but NOT float-vs-int splits
+    (`26.0` != `26`).  Mirror that exactly: widen every integral dtype
+    to int64, widen every float dtype to float64, and keep the
+    int/float distinction so a DuckDB HUGEINT-sum that surfaces as
+    float64 against a Spark int64 FAILS here too (round-3 shipped 3 red
+    driver rows because this harness used check_dtype=False)."""
     df = df[sorted(df.columns)]
-    # normalize dtypes for compare
+    import pandas.api.types as pt
+
     for c in df.columns:
-        if df[c].dtype == "object":
+        dt = df[c].dtype
+        if pt.is_bool_dtype(dt):
+            df[c] = df[c].astype(bool)
+        elif pt.is_integer_dtype(dt):
+            df[c] = df[c].astype("int64")
+        elif pt.is_float_dtype(dt):
+            df[c] = df[c].astype("float64")
+        elif dt == "object":
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
@@ -77,7 +94,7 @@ def main() -> int:
             failures.append(name)
             continue
         try:
-            pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
+            pd.testing.assert_frame_equal(s, o, check_dtype=True, check_exact=True)
             print(f"OK   {name}: {len(s)} rows, {len(s.columns)} cols"
                   f" [{time.time() - t0:.1f}s]", flush=True)
         except AssertionError as ex:

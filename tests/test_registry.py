@@ -1,0 +1,95 @@
+"""Driver-window rotation discipline + oracle-harness strictness.
+
+Round-3 verdict items #2 and #8: (a) new queries must not silently land
+outside the driver's 50-entry correctness window; (b) the local oracle
+harness must be at least as strict as the driver's value hash (which
+renders values, so `26.0` != `26` — float-vs-int splits fail — while
+integer widths are tolerated).
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+import pytest
+
+import osm_spark.queries as Q
+
+# Queries registered in rounds 1-2 that already have >=1 driver-green
+# CORRECTNESS row and are deliberately parked outside the 50-slot
+# window.  FROZEN: adding a new @register name here instead of to
+# _DRIVER_WINDOW is exactly the silent-gap failure this test exists to
+# catch — new queries go into _DRIVER_WINDOW (rotating out a
+# family-redundant green row if the window is full).
+_LEGACY_OUT_OF_WINDOW = frozenset({
+    "change_merge", "doc_fingerprint", "embedding_lsh_bucket",
+    "embedding_neardup", "h3_kring", "history_group", "ids_counts",
+    "ivf_assign", "json_codec_roundtrip", "lang_id",
+    "media_frame_sample", "media_meta", "pip_cells", "prev_version",
+    "q1_pricing", "relation_membership", "replication_seqnum_search",
+    "reverse_detect", "ring_orientation", "route_linestring", "simhash",
+    "tile_bounds", "tile_containment", "tile_pyramid", "tile_quadkey",
+    "token_count_bpe", "updates_upto", "version_index", "way_bounds",
+    "way_centroid", "way_polygon", "wkb_roundtrip",
+})
+
+
+def test_every_query_is_windowed_or_legacy():
+    window = set(Q._DRIVER_WINDOW)
+    unaccounted = set(Q.SPARK_QUERIES) - window - _LEGACY_OUT_OF_WINDOW
+    assert not unaccounted, (
+        f"new queries outside the driver gate: {sorted(unaccounted)} — "
+        "add them to _DRIVER_WINDOW (rotate out a green row if full)"
+    )
+
+
+def test_window_fills_exactly_the_driver_slots():
+    live = [k for k in Q._DRIVER_WINDOW if k in Q.SPARK_QUERIES]
+    assert len(live) == 50, (
+        f"driver gates the FIRST 50 queries; window has {len(live)} live "
+        "entries — >50 means the tail silently falls outside the gate, "
+        "<50 wastes slots"
+    )
+    assert len(set(live)) == len(live), "duplicate names in _DRIVER_WINDOW"
+    # window entries must actually be the first 50 of queries()
+    assert list(Q.SPARK_QUERIES)[:50] == live
+
+
+def test_windowed_queries_have_oracles():
+    live = [k for k in Q._DRIVER_WINDOW if k in Q.SPARK_QUERIES]
+    missing = [k for k in live if k not in Q.ORACLE_SQL]
+    assert not missing, f"windowed queries without oracle SQL: {missing}"
+
+
+def test_harness_canon_fails_on_float_vs_int_split():
+    """A deliberately un-cast DuckDB HUGEINT sum (surfaces as float64)
+    against a Spark-style int64 column must FAIL the local harness —
+    this exact class shipped 3 red driver rows in round 3."""
+    sys.path.insert(0, "/root/repo/scripts")
+    from check_oracle import canon
+
+    con = duckdb.connect()
+    # sum(BIGINT) -> HUGEINT -> pandas float64
+    odf = con.execute(
+        "SELECT sum(CAST(x AS BIGINT)) AS s FROM (VALUES (26)) t(x)"
+    ).fetchdf()
+    assert odf["s"].dtype == "float64", "fixture lost its HUGEINT->float64 path"
+    sdf = pd.DataFrame({"s": pd.array([26], dtype="int64")})
+    s, o = canon(sdf), canon(odf)
+    with pytest.raises(AssertionError):
+        pd.testing.assert_frame_equal(s, o, check_dtype=True, check_exact=True)
+
+
+def test_harness_canon_tolerates_integer_widths():
+    """The driver hash renders `26` identically from int32 and int64 —
+    the harness must too (no false alarms on width-only splits)."""
+    sys.path.insert(0, "/root/repo/scripts")
+    from check_oracle import canon
+
+    a = canon(pd.DataFrame({"s": pd.array([26], dtype="int32")}))
+    b = canon(pd.DataFrame({"s": pd.array([26], dtype="int64")}))
+    pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)
