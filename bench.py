@@ -285,9 +285,10 @@ def run_default() -> None:
     times = {n: times[n] for n in HEADLINE if n in times}
 
     # flagships measure in FRESH JVMs (see _flagship_child docstring)
-    flagship_sec, n_pages = _run_flagship_fresh("tile")
+    flagship_jvms = 3
+    flagship_sec, n_pages = _run_flagship_fresh("tile", jvms=flagship_jvms)
     times["flagship_tile_pipeline"] = round(flagship_sec, 3)
-    hex_sec, hex_pages = _run_flagship_fresh("hex")
+    hex_sec, hex_pages = _run_flagship_fresh("hex", jvms=flagship_jvms)
     times["flagship_hex_assign"] = round(hex_sec, 3)
 
     total = round(sum(times.values()), 3)
@@ -306,8 +307,8 @@ def run_default() -> None:
                 "cpus": int(CPUS),
                 "replicate": REPLICATE,
                 "protocol": "queries best-of-2 in fresh JVMs grouped by"
-                            " family; flagships best of 2 fresh JVMs x 3"
-                            " runs",
+                            f" family; flagships best of {flagship_jvms}"
+                            " fresh JVMs x 3 runs",
             }
         )
     )

@@ -336,8 +336,10 @@ def _decode_huffman(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """Baseline JPEG -> (h, w, 3) uint8 RGB or (h, w) grayscale.
-    Handles arbitrary baseline DQT/DHT layouts; 1x1 sampling only
-    (what the paired encoder emits); progressive/arithmetic raise."""
+    Handles arbitrary baseline DQT/DHT layouts and interleaved MCUs
+    with arbitrary integer sampling factors (4:4:4 / 4:2:0 / 4:2:2 —
+    the paired encoder emits 4:4:4, or 4:2:0 when subsample=True);
+    progressive/arithmetic raise."""
     buf = bytes(buf)
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")

@@ -170,6 +170,17 @@ def _delta(values) -> list[int]:
     return out
 
 
+def _chunked(items, k):
+    """Split items into k contiguous runs (ceil-sized); nothing for
+    empty input."""
+    if not items:
+        return
+    k = max(1, min(int(k), len(items)))
+    step = -(-len(items) // k)
+    for i in range(0, len(items), step):
+        yield items[i : i + step]
+
+
 def _coord(deg: float) -> int:
     # nearest granularity unit of nano-degrees; floor(x + 0.5) instead
     # of round() so the oracle can reproduce the grid exactly (banker's
@@ -183,18 +194,47 @@ def encode_primitive_block(
     nodes: list[dict] | None = None,
     ways: list[dict] | None = None,
     relations: list[dict] | None = None,
+    dense_chunks: int = 1,
+    plain_nodes: list[dict] | None = None,
 ) -> bytes:
-    """One PrimitiveBlock: nodes as a DenseNodes group (with DenseInfo
+    """One PrimitiveBlock: nodes as DenseNodes group(s) (with DenseInfo
     when any node carries meta), ways/relations as their own group.
 
     nodes: {id, lat, lon, tags?, version?, timestamp?(unix s),
             changeset?, uid?, user?, visible?}
     ways: {id, refs, tags?}; relations: {id, members: [(type, ref,
-    role)], tags?} with type in node/way/relation."""
+    role)], tags?} with type in node/way/relation.
+
+    dense_chunks > 1 splits the dense nodes across that many DenseNodes
+    groups (legal — the format allows several groups per block; delta
+    chains restart per group).  plain_nodes emits a non-dense
+    PrimitiveGroup of repeated Node messages (field 1), which the
+    format equally allows (reference decodes both,
+    decode_data.go)."""
     st = _StringTable()
     groups = []
 
-    if nodes:
+    for pn in plain_nodes or []:
+        body = _tag(1, 0) + _uvarint(_zig(int(pn["id"])))
+        tags = pn.get("tags") or {}
+        if tags:
+            body += _packed(2, [st.add(k) for k in tags], zigzag=False)
+            body += _packed(3, [st.add(v) for v in tags.values()], zigzag=False)
+        if "version" in pn:
+            info = _varint_field(1, pn.get("version", 0))
+            info += _varint_field(
+                2, int(pn.get("timestamp", 0)) * 1000 // DATE_GRANULARITY
+            )
+            info += _varint_field(3, pn.get("changeset", 0))
+            info += _varint_field(4, pn.get("uid", 0))
+            info += _varint_field(5, st.add(pn.get("user", "")))
+            info += _varint_field(6, 1 if pn.get("visible", True) else 0)
+            body += _len_field(4, info)
+        body += _tag(8, 0) + _uvarint(_zig(_coord(pn["lat"])))
+        body += _tag(9, 0) + _uvarint(_zig(_coord(pn["lon"])))
+        groups.append(_len_field(1, body))
+
+    for nodes in _chunked(nodes, dense_chunks):
         ids = _packed(1, _delta([n["id"] for n in nodes]), zigzag=True)
         lats = _packed(
             8, _delta([_coord(n["lat"]) for n in nodes]), zigzag=True
@@ -365,13 +405,61 @@ def decode_primitive_block(payload: bytes) -> dict:
         elif f == 20:
             lon_off = v
 
-    nodes: dict = {}
+    node_chunks: list[dict] = []
     ways: list[dict] = []
     relations: list[dict] = []
     _MTYPE = {0: "node", 1: "way", 2: "relation"}
     for g in groups:
+        # plain (non-dense) Node messages in this group — the format
+        # allows both shapes and the reference decodes both
+        # (decode_data.go); round-3 silently dropped these (ADVICE r03)
+        plain: dict[str, list] = {
+            "id": [], "lat": [], "lon": [], "tags": [],
+        }
+        plain_info: dict[str, list] = {}
         for f, wt, v in _Reader(g).fields():
-            if f == 2:  # DenseNodes
+            if f == 1:  # Node (plain)
+                nid = lat_u = lon_u = 0
+                tags: dict[str, str] = {}
+                keys = vals = None
+                info_msg: dict[int, int] = {}
+                for ff, _, vv in _Reader(v).fields():
+                    if ff == 1:
+                        nid = _unzig(vv)
+                    elif ff == 2:
+                        keys = _unpack_varints(vv, False)
+                    elif ff == 3:
+                        vals = _unpack_varints(vv, False)
+                    elif ff == 4:
+                        for f3, _, v3 in _Reader(vv).fields():
+                            info_msg[f3] = v3
+                    elif ff == 8:
+                        lat_u = _unzig(vv)
+                    elif ff == 9:
+                        lon_u = _unzig(vv)
+                if keys is not None:
+                    tags = {strings[k]: strings[x] for k, x in zip(keys, vals)}
+                plain["id"].append(nid)
+                plain["lat"].append(1e-9 * (lat_off + gran * lat_u))
+                plain["lon"].append(1e-9 * (lon_off + gran * lon_u))
+                plain["tags"].append(tags)
+                if info_msg:
+                    n_seen = len(plain["id"]) - 1
+                    for col, default in _NODE_INFO_DEFAULTS.items():
+                        plain_info.setdefault(col, [default] * n_seen)
+                    plain_info["version"].append(info_msg.get(1, 0))
+                    plain_info["timestamp"].append(
+                        info_msg.get(2, 0) * dgran // 1000
+                    )
+                    plain_info["changeset"].append(info_msg.get(3, 0))
+                    plain_info["uid"].append(info_msg.get(4, 0))
+                    plain_info["user"].append(strings[info_msg.get(5, 0)])
+                    plain_info["visible"].append(info_msg.get(6, 1) != 0)
+                elif plain_info:
+                    for col, default in _NODE_INFO_DEFAULTS.items():
+                        plain_info[col].append(default)
+            elif f == 2:  # DenseNodes
+                chunk: dict = {}
                 cols: dict[int, bytes] = {}
                 info: dict[int, bytes] = {}
                 for ff, _, vv in _Reader(v).fields():
@@ -383,9 +471,9 @@ def decode_primitive_block(payload: bytes) -> dict:
                 ids = np.cumsum(_unpack_varints(cols[1], True))
                 lat = np.cumsum(_unpack_varints(cols[8], True))
                 lon = np.cumsum(_unpack_varints(cols[9], True))
-                nodes["id"] = ids
-                nodes["lat"] = 1e-9 * (lat_off + gran * lat)
-                nodes["lon"] = 1e-9 * (lon_off + gran * lon)
+                chunk["id"] = ids
+                chunk["lat"] = 1e-9 * (lat_off + gran * lat)
+                chunk["lon"] = 1e-9 * (lon_off + gran * lon)
                 if 10 in cols:
                     kv = _unpack_varints(cols[10], False)
                     tags = []
@@ -399,20 +487,21 @@ def decode_primitive_block(payload: bytes) -> dict:
                         else:
                             cur[strings[kv[i]]] = strings[kv[i + 1]]
                             i += 2
-                    nodes["tags"] = tags
+                    chunk["tags"] = tags
                 else:
-                    nodes["tags"] = [{} for _ in ids]
+                    chunk["tags"] = [{} for _ in ids]
                 if info:
-                    nodes["version"] = _unpack_varints(info[1], False)
-                    nodes["timestamp"] = (
+                    chunk["version"] = _unpack_varints(info[1], False)
+                    chunk["timestamp"] = (
                         np.cumsum(_unpack_varints(info[2], True)) * dgran // 1000
                     )
-                    nodes["changeset"] = np.cumsum(_unpack_varints(info[3], True))
-                    nodes["uid"] = np.cumsum(_unpack_varints(info[4], True))
+                    chunk["changeset"] = np.cumsum(_unpack_varints(info[3], True))
+                    chunk["uid"] = np.cumsum(_unpack_varints(info[4], True))
                     sids = np.cumsum(_unpack_varints(info[5], True))
-                    nodes["user"] = [strings[s] for s in sids]
+                    chunk["user"] = [strings[s] for s in sids]
                     if 6 in info:
-                        nodes["visible"] = _unpack_varints(info[6], False) != 0
+                        chunk["visible"] = _unpack_varints(info[6], False) != 0
+                node_chunks.append(chunk)
             elif f == 3:  # Way
                 w: dict = {"tags": {}}
                 keys = vals = None
@@ -458,10 +547,100 @@ def decode_primitive_block(payload: bytes) -> dict:
                         for t, m, s in zip(types, mems, roles)
                     ]
                 relations.append(r)
-    return {"nodes": nodes, "ways": ways, "relations": relations}
+        if plain["id"]:
+            chunk = {
+                "id": np.asarray(plain["id"], dtype=np.int64),
+                "lat": np.asarray(plain["lat"], dtype=np.float64),
+                "lon": np.asarray(plain["lon"], dtype=np.float64),
+                "tags": plain["tags"],
+            }
+            if plain_info:
+                chunk.update(plain_info)
+            node_chunks.append(chunk)
+    return {
+        "nodes": _merge_node_chunks(node_chunks),
+        "ways": ways,
+        "relations": relations,
+    }
+
+
+_NODE_INFO_DEFAULTS = {
+    "version": 0,
+    "timestamp": 0,
+    "changeset": 0,
+    "uid": 0,
+    "user": "",
+    "visible": True,
+}
+
+
+def _merge_node_chunks(chunks: list[dict]) -> dict:
+    """Concatenate per-group node chunks in block order (a block may
+    legally carry several DenseNodes groups and/or plain-Node groups;
+    round-3 overwrote on the second group — ADVICE r03).  Info columns
+    are filled with reference defaults for chunks that lack them."""
+    if not chunks:
+        return {}
+    if len(chunks) == 1:
+        return chunks[0]
+    out: dict = {
+        "id": np.concatenate([np.asarray(c["id"], dtype=np.int64) for c in chunks]),
+        "lat": np.concatenate(
+            [np.asarray(c["lat"], dtype=np.float64) for c in chunks]
+        ),
+        "lon": np.concatenate(
+            [np.asarray(c["lon"], dtype=np.float64) for c in chunks]
+        ),
+        "tags": [t for c in chunks for t in c["tags"]],
+    }
+    info_cols = [
+        col
+        for col in _NODE_INFO_DEFAULTS
+        if any(col in c for c in chunks)
+    ]
+    for col in info_cols:
+        default = _NODE_INFO_DEFAULTS[col]
+        parts = [
+            list(c[col]) if col in c else [default] * len(c["id"])
+            for c in chunks
+        ]
+        flat = [x for p in parts for x in p]
+        if col == "user":
+            out[col] = flat
+        elif col == "visible":
+            out[col] = np.asarray(flat, dtype=bool)
+        else:
+            out[col] = np.asarray(flat, dtype=np.int64)
+    return out
 
 
 # ------------------------------------------------------------ Spark scan
+SUPPORTED_FEATURES = frozenset(
+    {"OsmSchema-V0.6", "DenseNodes", "HistoricalInformation"}
+)
+
+
+def _split_data_blobs(pbf_bytes: bytes) -> list[tuple[int, bytearray]]:
+    """Framing walk + the reference scanner's header feature check
+    (decode.go: unsupported required_features abort the scan): returns
+    the OSMData blobs, raising on a header that requires a feature this
+    decoder does not implement."""
+    blobs = []
+    for i, (t, b) in enumerate(split_blobs(pbf_bytes)):
+        if t == "OSMHeader":
+            hdr = decode_header(decompress_blob(b))
+            unsupported = [
+                f for f in hdr["required_features"] if f not in SUPPORTED_FEATURES
+            ]
+            if unsupported:
+                raise ValueError(
+                    f"PBF header requires unsupported features: {unsupported}"
+                )
+        elif t == "OSMData":
+            blobs.append((i, bytearray(b)))
+    return blobs
+
+
 def read_pbf_nodes(spark, pbf_bytes: bytes):
     """Block-parallel node scan: framing split on the driver (cheap),
     blob payloads parallelized as a binary column, PrimitiveBlocks
@@ -472,11 +651,7 @@ def read_pbf_nodes(spark, pbf_bytes: bytes):
         BinaryType, DoubleType, LongType, StructField, StructType,
     )
 
-    blobs = [
-        (i, bytearray(b))
-        for i, (t, b) in enumerate(split_blobs(pbf_bytes))
-        if t == "OSMData"
-    ]
+    blobs = _split_data_blobs(pbf_bytes)
     df = spark.createDataFrame(blobs, "blob_idx long, blob binary")
     out_schema = StructType(
         [
@@ -510,11 +685,7 @@ def read_pbf_nodes(spark, pbf_bytes: bytes):
 def _read_pbf_groups(spark, pbf_bytes: bytes, kind: str, out_schema, to_rows):
     import pandas as pd
 
-    blobs = [
-        (i, bytearray(b))
-        for i, (t, b) in enumerate(split_blobs(pbf_bytes))
-        if t == "OSMData"
-    ]
+    blobs = _split_data_blobs(pbf_bytes)
     df = spark.createDataFrame(blobs, "blob_idx long, blob binary")
     empty = {f.name: [] for f in out_schema.fields}
 

@@ -247,8 +247,19 @@ def time_travel_sql(
         return bind(name, epoch)
 
     rewritten = _VAO.sub(sub, sql)
-    # bare references resolve to the committed head
+    # Bare references resolve to the committed head — but ONLY in table
+    # position (immediately after FROM or JOIN), so a string literal or
+    # a column that happens to share the store's name is never
+    # rewritten (round-3 ADVICE: the unanchored substitution corrupted
+    # such queries silently).  Known limitation: a store named in a
+    # comma-separated FROM-list (`FROM a, state`) is NOT resolved —
+    # spell it as a JOIN.
     for name in stores:
-        pat = _re.compile(rf"(?<![A-Za-z0-9_.]){name}(?![A-Za-z0-9_])")
-        rewritten = pat.sub(lambda _m: bind(name, None), rewritten)
+        pat = _re.compile(
+            rf"(\b(?:FROM|JOIN)\s+){name}(?![A-Za-z0-9_])",
+            _re.IGNORECASE,
+        )
+        rewritten = pat.sub(
+            lambda m, n=name: m.group(1) + bind(n, None), rewritten
+        )
     return spark.sql(rewritten)

@@ -101,3 +101,94 @@ def test_pbf_spark_way_relation_scan(spark):
         ("node", 100, "outer"), ("way", 9, ""),
     ]
     assert rels[0].tags == {"type": "multipolygon"}
+
+def test_pbf_multiple_dense_groups_accumulate():
+    """A block may carry several DenseNodes groups; decode must append,
+    not overwrite (round-3 ADVICE: second group silently replaced the
+    first)."""
+    blk = P.encode_primitive_block(NODES, dense_chunks=3)
+    # really 3 separate DenseNodes groups on the wire
+    payload = P.decompress_blob(P.split_blobs(P.encode_pbf([blk]))[1][1])
+    n_groups = sum(1 for f, _, _ in P._Reader(payload).fields() if f == 2)
+    out = P.decode_primitive_block(payload)
+    n = out["nodes"]
+    assert n_groups == 3
+    assert list(n["id"]) == [100, 205, 50]
+    assert [n["tags"][i] for i in range(3)] == [x["tags"] for x in NODES]
+    assert list(n["user"]) == ["alice", "bob", "alice"]
+    assert [bool(v) for v in n["visible"]] == [True, True, False]
+    for i, src in enumerate(NODES):
+        assert abs(n["lat"][i] - src["lat"]) < 5e-8
+        assert n["timestamp"][i] == src["timestamp"]
+
+
+def test_pbf_plain_node_group_decodes():
+    """Non-dense Node groups (PrimitiveGroup field 1) are legal and the
+    reference decodes them (decode_data.go); round-3 dropped them."""
+    plain = [
+        {"id": 77, "lat": 12.34, "lon": -56.78, "tags": {"k": "v"},
+         "version": 4, "timestamp": 1700000200, "changeset": 99,
+         "uid": 3, "user": "carol", "visible": True},
+        {"id": 78, "lat": -1.5, "lon": 2.5},
+    ]
+    blk = P.encode_primitive_block(plain_nodes=plain)
+    out = P.decode_primitive_block(
+        P.decompress_blob(P.split_blobs(P.encode_pbf([blk]))[1][1])
+    )
+    n = out["nodes"]
+    assert list(n["id"]) == [77, 78]
+    assert abs(n["lat"][0] - 12.34) < 5e-8
+    assert abs(n["lon"][1] - 2.5) < 5e-8
+    assert n["tags"] == [{"k": "v"}, {}]
+    # node 78 has no Info -> reference defaults
+    assert list(n["version"]) == [4, 0]
+    assert n["user"] == ["carol", ""]
+    assert n["timestamp"][0] == 1700000200
+
+
+def test_pbf_mixed_plain_and_dense_groups():
+    blk = P.encode_primitive_block(
+        nodes=NODES[:2],
+        plain_nodes=[{"id": 9000, "lat": 1.0, "lon": 2.0}],
+    )
+    out = P.decode_primitive_block(
+        P.decompress_blob(P.split_blobs(P.encode_pbf([blk]))[1][1])
+    )
+    assert sorted(out["nodes"]["id"]) == [100, 205, 9000]
+
+
+def test_pbf_scan_rejects_unsupported_required_feature(spark):
+    """Reference scanner aborts on unknown required_features
+    (decode.go); the Spark scans must too."""
+    import pytest
+
+    feats = ["OsmSchema-V0.6", "DenseNodes", "Sort.Type_then_ID_v2"]
+    header = b"".join(P._len_field(4, f.encode()) for f in feats)
+    buf = P._framed("OSMHeader", P._blob(header)) + P._framed(
+        "OSMData", P._blob(P.encode_primitive_block(NODES))
+    )
+    with pytest.raises(ValueError, match="Sort.Type_then_ID_v2"):
+        P.read_pbf_nodes(spark, bytes(buf))
+    with pytest.raises(ValueError):
+        P.read_pbf_ways(spark, bytes(buf))
+
+
+def test_pbf_spark_scan_multigroup_blocks(spark):
+    """Block-parallel scan over blocks that each carry 2 DenseNodes
+    groups + 1 plain group: every node survives."""
+    blocks = [
+        P.encode_primitive_block(
+            nodes=[
+                {"id": b * 100 + i, "lat": b + i * 0.001, "lon": -b - i * 0.002}
+                for i in range(10)
+            ],
+            dense_chunks=2,
+            plain_nodes=[{"id": b * 100 + 50, "lat": b + 0.5, "lon": -b - 0.5}],
+        )
+        for b in range(3)
+    ]
+    df = P.read_pbf_nodes(spark, P.encode_pbf(blocks))
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 33
+    assert abs(rows[150].lat - 1.5) < 5e-8
+    assert abs(rows[205].lat - (2 + 5 * 0.001)) < 5e-8

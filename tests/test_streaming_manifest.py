@@ -329,3 +329,32 @@ def test_version_as_of_sql(spark, tmp_path):
         {"state": store},
     ).collect()[0].same
     assert (v0, vh, both) == (1, 2, True)
+
+
+def test_version_as_of_sql_ignores_non_table_occurrences(spark, tmp_path):
+    """The bare-name head rewrite binds only table positions (after
+    FROM/JOIN): a string literal or aliased column named like the store
+    must pass through untouched (round-3 ADVICE)."""
+    from osm_spark.streaming.replication import latest_state
+    from osm_spark.streaming.state_store import (
+        BucketedStateStore, time_travel_sql,
+    )
+
+    store = BucketedStateStore(spark, str(tmp_path / "tt2"), n_buckets=2)
+    init = _changes(
+        spark,
+        [(0, "create", "node", i, 1, True, 10, datetime(2024, 1, 1), 0.0, 0.0)
+         for i in range(3)],
+    ).select("type", "id", "version", "visible", "changeset", "ts", "lat", "lon")
+    store.init(init)
+
+    row = time_travel_sql(
+        spark,
+        "SELECT 'state' AS lit, s.state, count(*) AS n FROM ("
+        "  SELECT id AS state FROM state"
+        ") s GROUP BY s.state ORDER BY s.state LIMIT 1",
+        {"state": store},
+    ).collect()[0]
+    assert row.lit == "state"   # literal untouched
+    assert row.state == 0       # column named `state` untouched
+    assert row.n == 1
