@@ -272,16 +272,27 @@ def _queries_child(names: list[str]) -> None:
 
 
 def run_default() -> None:
+    # Each group measures in TWO independent fresh-JVM children and the
+    # per-query MIN wins: a single JVM instance can develop megamorphic
+    # JIT pollution mid-group (measured r03: knn_kring reported 5.37s
+    # from one unlucky child where 3 re-runs at the same commit gave
+    # 2.5-3.0s; h3_knn likewise 5.64 vs 3.2-3.8). Two instances bound
+    # that failure mode at ~2x query-bench wall time.
+    group_jvms = 2
     times: dict[str, float] = {}
     for group in QUERY_GROUPS:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--queries-child",
-             ",".join(group)],
-            capture_output=True, text=True, timeout=1800,
-            env={**os.environ},
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        times.update(json.loads(line))
+        for _ in range(group_jvms):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--queries-child",
+                 ",".join(group)],
+                capture_output=True, text=True, timeout=1800,
+                env={**os.environ},
+            )
+            line = [
+                l for l in out.stdout.strip().splitlines() if l.startswith("{")
+            ][-1]
+            for name, sec in json.loads(line).items():
+                times[name] = min(times.get(name, sec), sec)
     times = {n: times[n] for n in HEADLINE if n in times}
 
     # flagships measure in FRESH JVMs (see _flagship_child docstring)
@@ -306,8 +317,9 @@ def run_default() -> None:
                 "flagship_pages": n_pages,
                 "cpus": int(CPUS),
                 "replicate": REPLICATE,
-                "protocol": "queries best-of-2 in fresh JVMs grouped by"
-                            f" family; flagships best of {flagship_jvms}"
+                "protocol": f"queries best of {group_jvms} fresh JVMs"
+                            " per family group x best-of-2/3 runs;"
+                            f" flagships best of {flagship_jvms}"
                             " fresh JVMs x 3 runs",
             }
         )
