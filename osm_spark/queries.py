@@ -2293,6 +2293,174 @@ def q_osmapi_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "osmapi_notes",
+    """
+    WITH src AS (
+      SELECT event_id AS id, value AS lat, -value / 2 AS lon,
+             date_trunc('second', ts) AS created,
+             (event_type = 'error') AS is_closed,
+             user_id AS uid
+      FROM events WHERE event_id % 97 = 0)
+    SELECT id, lat, lon,
+           CASE WHEN is_closed THEN 'closed' ELSE 'open' END AS status,
+           epoch_us(created) AS created_us,
+           CASE WHEN is_closed THEN epoch_us(created + INTERVAL 2 DAY)
+                ELSE CAST(-1 AS BIGINT) END AS closed_us,
+           CAST(CASE WHEN is_closed THEN 2 ELSE 1 END AS INT)
+             AS n_comments,
+           CASE WHEN is_closed THEN 'closed' ELSE 'opened' END
+             AS last_action,
+           uid AS last_uid
+    FROM src
+    """,
+)
+def q_osmapi_notes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Notes API round-trip (sources/osmapi.py notes — note.go:44-68
+    bbox fetch + the Note XML shape of note.go:54-82 and its
+    '2006-01-02 15:04:05 MST' Date codec, note.go:16-35): notes modeled
+    from events render to the reference's notes XML (lat/lon
+    attributes, child id/status/dates, ordered <comments> list — open
+    notes carry the 'opened' comment, closed ones also the 'closed'
+    comment), a fake transport serves the body under the EXACT
+    notes_url grammar, and Datasource.notes() fetches + parses through
+    one JVM from_xml. Doubles survive because the server renders them
+    with Java Double.toString (Spark string cast) and from_xml
+    parseDoubles them back. closed_us is -1 (not NULL) for open notes
+    so neither engine's pandas bridge degrades the column to float64."""
+    from osm_spark.sources.osmapi import OsmApiDatasource
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.where(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("id"),
+        F.col("value").cast("string").alias("lat_s"),
+        (-F.col("value") / 2).cast("string").alias("lon_s"),
+        F.date_format(F.col("ts").cast("timestamp"),
+                      "yyyy-MM-dd HH:mm:ss").alias("created_s"),
+        F.date_format(
+            F.col("ts").cast("timestamp") + F.expr("INTERVAL 2 DAYS"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("closed_s"),
+        (F.col("event_type") == "error").alias("is_closed"),
+        F.col("user_id").alias("uid"),
+    ).collect()  # parameter-sized fixture set (~100 notes at sf0.01)
+
+    def render(r) -> str:
+        opened = (
+            f"<comment><date>{r.created_s} UTC</date><uid>{r.uid}</uid>"
+            f"<user>u{r.uid}</user><action>opened</action>"
+            f"<text>note {r.id}</text></comment>"
+        )
+        closed = (
+            f"<comment><date>{r.closed_s} UTC</date><uid>{r.uid}</uid>"
+            f"<user>u{r.uid}</user><action>closed</action>"
+            f"<text/></comment>"
+            if r.is_closed else ""
+        )
+        date_closed = (
+            f"<date_closed>{r.closed_s} UTC</date_closed>"
+            if r.is_closed else ""
+        )
+        status = "closed" if r.is_closed else "open"
+        return (
+            f'<note lon="{r.lon_s}" lat="{r.lat_s}"><id>{r.id}</id>'
+            f"<url>https://api.openstreetmap.org/api/0.6/notes/{r.id}"
+            f"</url><date_created>{r.created_s} UTC</date_created>"
+            f"<status>{status}</status>{date_closed}"
+            f"<comments>{opened}{closed}</comments></note>"
+        )
+
+    body = "<osm>" + "".join(render(r) for r in src) + "</osm>"
+    ds = OsmApiDatasource(spark, lambda url: server[url])
+    server = {ds.notes_url(-180.0, -90.0, 180.0, 90.0): body.encode()}
+    notes = ds.notes(-180.0, -90.0, 180.0, 90.0)
+    return notes.select(
+        "id", "lat", "lon", "status",
+        F.unix_micros("created").alias("created_us"),
+        F.coalesce(
+            F.unix_micros("closed"), F.lit(-1).cast("long")
+        ).alias("closed_us"),
+        F.size("comments").cast("int").alias("n_comments"),
+        F.element_at("comments", -1)["action"].alias("last_action"),
+        F.element_at("comments", -1)["uid"].alias("last_uid"),
+    )
+
+
+@register(
+    "changeset_feed_parse",
+    """
+    SELECT o_orderkey AS id, o_custkey AS uid,
+           'u' || CAST(o_custkey AS VARCHAR) AS user,
+           epoch_us(o_orderdate) AS created_us,
+           epoch_us(o_orderdate + INTERVAL 1 DAY) AS closed_us,
+           (o_orderstatus = 'O') AS open,
+           CAST(o_orderkey % 50 AS INT) AS num_changes,
+           o_totalprice / 100000 AS min_lat,
+           o_totalprice / 100000 + 0.5 AS max_lat,
+           -(o_totalprice / 100000) AS min_lon,
+           CAST(2 AS INT) AS n_tags,
+           o_orderpriority AS created_by
+    FROM orders WHERE o_orderkey % 101 = 0
+    """,
+)
+def q_changeset_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changeset feed decode (sources/osmapi.py _parse_changesets —
+    the element shape of changeset.go:20-38 with ordered <tag>
+    children, served as the replicate_changesets.rb feed of
+    changeset_test.go:13-26 and by the API's changeset/<id> endpoint,
+    changeset.go:17-46): changesets modeled from orders render to
+    attribute-heavy XML (RFC3339 created_at/closed_at, bbox doubles via
+    Java Double.toString) and parse back through one JVM from_xml into
+    the typed frame. The oracle computes the same rows directly from
+    orders — the XML hop must be invisible."""
+    from osm_spark.sources.osmapi import OsmApiDatasource
+
+    o = _t(spark, sf_dir, "orders")
+    src = o.where(F.col("o_orderkey") % 101 == 0).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").alias("uid"),
+        F.date_format(F.col("o_orderdate").cast("timestamp"),
+                      "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("created_s"),
+        F.date_format(
+            F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 1 DAY"),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'",
+        ).alias("closed_s"),
+        (F.col("o_orderstatus") == "O").alias("open"),
+        (F.col("o_orderkey") % 50).cast("int").alias("num_changes"),
+        (F.col("o_totalprice") / 100000).cast("string").alias("minlat_s"),
+        (F.col("o_totalprice") / 100000 + 0.5).cast("string").alias("maxlat_s"),
+        (-(F.col("o_totalprice") / 100000)).cast("string").alias("minlon_s"),
+        (-(F.col("o_totalprice") / 100000) + 0.5).cast("string").alias("maxlon_s"),
+        F.col("o_orderpriority").alias("prio"),
+    ).collect()  # parameter-sized fixture set (~150 changesets)
+
+    def render(r) -> str:
+        return (
+            f'<changeset id="{r.id}" created_at="{r.created_s}" '
+            f'closed_at="{r.closed_s}" open="{str(r.open).lower()}" '
+            f'num_changes="{r.num_changes}" user="u{r.uid}" '
+            f'uid="{r.uid}" min_lat="{r.minlat_s}" max_lat="{r.maxlat_s}" '
+            f'min_lon="{r.minlon_s}" max_lon="{r.maxlon_s}">'
+            f'<tag k="created_by" v="{r.prio}"/>'
+            f'<tag k="bot" v="no"/></changeset>'
+        )
+
+    body = (
+        '<osm version="0.6" generator="replicate_changesets.rb">'
+        + "".join(render(r) for r in src) + "</osm>"
+    )
+    ds = OsmApiDatasource(spark)
+    feed = ds.parse_changeset_feed(body)
+    return feed.select(
+        "id", "uid", "user",
+        F.unix_micros("created_at").alias("created_us"),
+        F.unix_micros("closed_at").alias("closed_us"),
+        "open", "num_changes", "min_lat", "max_lat", "min_lon",
+        F.size("tags").cast("int").alias("n_tags"),
+        F.element_at("tags", 1)["v"].alias("created_by"),
+    )
+
+
+@register(
     "history_at",
     """
     WITH ev AS (

@@ -221,6 +221,28 @@ class OsmApiDatasource:
             params.append(f"closed={max_days_closed}")
         return f"{self.base_url}/notes?{_q(params)}"
 
+    def note_url(self, nid: int) -> str:
+        return f"{self.base_url}/notes/{nid}"  # note.go:21
+
+    def notes_search_url(
+        self,
+        query: str,
+        limit: int | None = None,
+        max_days_closed: int | None = None,
+    ) -> str:
+        # note.go:83-98: q is url.QueryEscape'd (space -> '+', which is
+        # exactly urllib's quote_plus)
+        from urllib.parse import quote_plus
+
+        params = [f"q={quote_plus(query)}"]
+        if limit is not None:
+            if not 1 <= limit <= 10000:
+                raise ValueError("osmapi: limit must be between 1 and 10000")
+            params.append(f"limit={limit}")
+        if max_days_closed is not None:
+            params.append(f"closed={max_days_closed}")
+        return f"{self.base_url}/notes/search?{_q(params)}"
+
     def user_url(self, uid: int) -> str:
         return f"{self.base_url}/user/{uid}"
 
@@ -359,3 +381,234 @@ class OsmApiDatasource:
         return self._parse_relations(
             self._fetch(self.element_history_url("relation", eid))
         )
+
+    # ------------------------------------------ notes/changesets/users
+    def _parse_notes(self, body: str) -> DataFrame:
+        """Every <note> of a notes API body -> typed DataFrame.
+
+        Shape from the reference Note struct (note.go:54-82): lat/lon
+        are ATTRIBUTES, everything else child elements; dates use the
+        '2006-01-02 15:04:05 MST' layout (note.go:16-49, the Date
+        codec) which Spark's 'yyyy-MM-dd HH:mm:ss zzz' parses; comments
+        are an ordered <comments><comment>... list (note.go:71-81)."""
+        out = self._snippet_parse(body, "note", _NOTE_SCHEMA)
+        return out.select(
+            F.col("e.id").alias("id"),
+            F.col("e._lat").alias("lat"),
+            F.col("e._lon").alias("lon"),
+            F.col("e.url").alias("url"),
+            F.col("e.status").alias("status"),
+            note_date(F.col("e.date_created")).alias("created"),
+            note_date(F.col("e.date_closed")).alias("closed"),
+            F.coalesce(
+                F.transform(
+                    "e.comments.comment",
+                    lambda c: F.struct(
+                        note_date(c["date"]).alias("date"),
+                        c["uid"].alias("uid"),
+                        c["user"].alias("user"),
+                        c["action"].alias("action"),
+                        c["text"].alias("text"),
+                    ),
+                ),
+                F.array().cast(
+                    "array<struct<date:timestamp,uid:bigint,"
+                    "user:string,action:string,text:string>>"
+                ),
+            ).alias("comments"),
+        )
+
+    def _parse_changesets(self, body: str) -> DataFrame:
+        """Every <changeset> -> typed DataFrame (changeset.go:20-38:
+        all scalars are attributes, RFC3339 timestamps, ordered <tag>
+        children, optional <discussion><comment> list from
+        changeset.go:105-116)."""
+        out = self._snippet_parse(body, "changeset", _CHANGESET_SCHEMA)
+        return out.select(
+            F.col("e._id").alias("id"),
+            F.col("e._user").alias("user"),
+            F.col("e._uid").alias("uid"),
+            F.to_timestamp("e._created_at").alias("created_at"),
+            F.to_timestamp("e._closed_at").alias("closed_at"),
+            F.col("e._open").alias("open"),
+            F.coalesce("e._num_changes", F.lit(0)).alias("num_changes"),
+            F.col("e._min_lat").alias("min_lat"),
+            F.col("e._max_lat").alias("max_lat"),
+            F.col("e._min_lon").alias("min_lon"),
+            F.col("e._max_lon").alias("max_lon"),
+            F.coalesce("e._comments_count", F.lit(0)).alias(
+                "comments_count"
+            ),
+            F.coalesce(
+                F.transform(
+                    "e.tag",
+                    lambda t: F.struct(
+                        t["_k"].alias("k"), t["_v"].alias("v")
+                    ),
+                ),
+                F.array().cast("array<struct<k:string,v:string>>"),
+            ).alias("tags"),
+            F.coalesce(
+                F.transform(
+                    "e.discussion.comment",
+                    lambda c: F.struct(
+                        c["_uid"].alias("uid"),
+                        c["_user"].alias("user"),
+                        F.to_timestamp(c["_date"]).alias("date"),
+                        c["text"].alias("text"),
+                    ),
+                ),
+                F.array().cast(
+                    "array<struct<uid:bigint,user:string,"
+                    "date:timestamp,text:string>>"
+                ),
+            ).alias("discussion"),
+        )
+
+    def _parse_users(self, body: str) -> DataFrame:
+        """Every <user> -> typed DataFrame (user.go:20-56: id /
+        display_name / account_created attributes, nested single-attr
+        child elements for img/changesets/traces/home/blocks/messages,
+        <languages><lang> string list)."""
+        out = self._snippet_parse(body, "user", _USER_SCHEMA)
+        return out.select(
+            F.col("e._id").alias("id"),
+            F.col("e._display_name").alias("name"),
+            F.col("e.description").alias("description"),
+            F.to_timestamp("e._account_created").alias("created_at"),
+            F.col("e.img._href").alias("img_href"),
+            F.coalesce("e.changesets._count", F.lit(0)).alias(
+                "changeset_count"
+            ),
+            F.coalesce("e.traces._count", F.lit(0)).alias("trace_count"),
+            F.col("e.home._lat").alias("home_lat"),
+            F.col("e.home._lon").alias("home_lon"),
+            F.col("e.home._zoom").alias("home_zoom"),
+            F.coalesce(
+                "e.languages.lang", F.array().cast("array<string>")
+            ).alias("languages"),
+            F.coalesce("e.blocks.received._count", F.lit(0)).alias(
+                "blocks_received"
+            ),
+            F.coalesce("e.blocks.received._active", F.lit(0)).alias(
+                "blocks_active"
+            ),
+            F.coalesce("e.messages.received._count", F.lit(0)).alias(
+                "messages_received"
+            ),
+            F.coalesce("e.messages.received._unread", F.lit(0)).alias(
+                "messages_unread"
+            ),
+            F.coalesce("e.messages.sent._count", F.lit(0)).alias(
+                "messages_sent"
+            ),
+        )
+
+    def note(self, nid: int) -> DataFrame:
+        """One note — note.go:19-32 (errors unless exactly one)."""
+        df = self._parse_notes(self._fetch(self.note_url(nid)))
+        if len(df.limit(2).collect()) != 1:
+            raise ValueError("wrong number of notes, expected 1")
+        return df
+
+    def notes(
+        self,
+        minlon,
+        minlat,
+        maxlon,
+        maxlat,
+        limit: int | None = None,
+        max_days_closed: int | None = None,
+    ) -> DataFrame:
+        """Notes in a bbox — note.go:44-68."""
+        return self._parse_notes(
+            self._fetch(
+                self.notes_url(
+                    minlon, minlat, maxlon, maxlat, limit, max_days_closed
+                )
+            )
+        )
+
+    def notes_search(
+        self,
+        query: str,
+        limit: int | None = None,
+        max_days_closed: int | None = None,
+    ) -> DataFrame:
+        """Notes whose text matches query — note.go:79-98."""
+        return self._parse_notes(
+            self._fetch(
+                self.notes_search_url(query, limit, max_days_closed)
+            )
+        )
+
+    def changeset(
+        self, cid: int, include_discussion: bool = False
+    ) -> DataFrame:
+        """One changeset — changeset.go:17-46 (errors unless exactly
+        one; include_discussion=True keeps the comment list)."""
+        df = self._parse_changesets(
+            self._fetch(self.changeset_url(cid, include_discussion))
+        )
+        if len(df.limit(2).collect()) != 1:
+            raise ValueError("wrong number of changesets, expected 1")
+        return df
+
+    def parse_changeset_feed(self, body: str) -> DataFrame:
+        """Decode a changeset feed — the replicate_changesets.rb XML
+        served by changeset replication (same element shape as the
+        API's changeset/<id> response, changeset_test.go:13-26). Needs
+        no transport: the body is handed in (e.g. from the replication
+        fetcher)."""
+        return self._parse_changesets(body)
+
+    def user(self, uid: int) -> DataFrame:
+        """One user — user.go:17-30 (errors unless exactly one)."""
+        df = self._parse_users(self._fetch(self.user_url(uid)))
+        if len(df.limit(2).collect()) != 1:
+            raise ValueError("wrong number of users, expected 1")
+        return df
+
+
+# XML schemas for the notes/changesets/users payloads (shapes from the
+# reference structs: note.go:54-82, changeset.go:20-38 + 105-116,
+# user.go:20-56; `_`-prefixed = attribute under Spark's XML mapping).
+_NOTE_SCHEMA = (
+    "struct<_lon:double,_lat:double,id:bigint,url:string,"
+    "comment_url:string,close_url:string,reopen_url:string,"
+    "date_created:string,date_closed:string,status:string,"
+    "comments:struct<comment:array<struct<date:string,uid:bigint,"
+    "user:string,user_url:string,action:string,text:string,"
+    "html:string>>>>"
+)
+
+_CHANGESET_SCHEMA = (
+    "struct<_id:bigint,_user:string,_uid:bigint,_created_at:string,"
+    "_closed_at:string,_open:boolean,_num_changes:int,"
+    "_min_lat:double,_max_lat:double,_min_lon:double,_max_lon:double,"
+    "_comments_count:int,tag:array<struct<_k:string,_v:string>>,"
+    "discussion:struct<comment:array<struct<_uid:bigint,_user:string,"
+    "_date:string,text:string>>>>"
+)
+
+_USER_SCHEMA = (
+    "struct<_id:bigint,_display_name:string,_account_created:string,"
+    "description:string,img:struct<_href:string>,"
+    "changesets:struct<_count:int>,traces:struct<_count:int>,"
+    "home:struct<_lat:double,_lon:double,_zoom:int>,"
+    "languages:struct<lang:array<string>>,"
+    "blocks:struct<received:struct<_count:int,_active:int>>,"
+    "messages:struct<received:struct<_count:int,_unread:int>,"
+    "sent:struct<_count:int>>>"
+)
+
+
+def note_date(col) -> "F.Column":
+    """The notes Date codec (note.go:16-49): layout
+    '2006-01-02 15:04:05 MST' — Go's reference-time zone-abbreviation
+    form, which is 'yyyy-MM-dd HH:mm:ss zzz' in Java; empty/missing
+    elements parse to NULL (the reference's zero Date)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.to_timestamp(
+        F.nullif(c, F.lit("")), "yyyy-MM-dd HH:mm:ss zzz"
+    )

@@ -176,3 +176,140 @@ def test_way_relation_fetch_roundtrip(spark):
         ("node", 3, "outer"), ("way", 9, ""),
     ]
     assert ds.way_history(9).count() == 1
+
+
+_NOTE_XML = """<note lon="0.0088488" lat="51.5438971">
+  <id>1302953</id>
+  <url>note url</url>
+  <comment_url>comment url</comment_url>
+  <close_url>close url</close_url>
+  <reopen_url>reopen url</reopen_url>
+  <date_created>2018-02-17 17:34:48 UTC</date_created>
+  <status>closed</status>
+  <date_closed>2018-02-17 22:16:03 UTC</date_closed>
+  <comments>
+    <comment>
+      <date>2018-02-17 17:34:48 UTC</date>
+      <uid>251221</uid>
+      <user>spiregrain</user>
+      <user_url>user url</user_url>
+      <action>opened</action>
+      <text>comment text</text>
+      <html>comment html</html>
+    </comment>
+    <comment>
+      <date>2018-02-17 22:16:03 UTC</date>
+      <uid>251221</uid>
+      <user>spiregrain</user>
+      <user_url>https://api.openstreetmap.org/user/spiregrain</user_url>
+      <action>closed</action>
+      <text/>
+      <html></html>
+    </comment>
+  </comments>
+</note>"""
+
+
+def test_note_parse_reference_fixture(spark):
+    """The note_test.go:13-43 golden XML parses field-for-field: attrs
+    lat/lon, child id/url/status, the '2006-01-02 15:04:05 MST' Date
+    codec (note.go:16-35), and the ordered comment list."""
+    b = BASE_URL
+    server = {f"{b}/notes/1302953": _NOTE_XML}
+    ds = OsmApiDatasource(spark, lambda url: server[url].encode())
+    assert ds.note_url(1302953) == f"{b}/notes/1302953"
+    n = ds.note(1302953).collect()[0]
+    assert (n.id, n.lat, n.lon, n.status) == (
+        1302953, 51.5438971, 0.0088488, "closed",
+    )
+    assert n.created.strftime("%Y-%m-%d %H:%M:%S") == "2018-02-17 17:34:48"
+    assert n.closed.strftime("%Y-%m-%d %H:%M:%S") == "2018-02-17 22:16:03"
+    assert [(c["uid"], c["action"]) for c in n.comments] == [
+        (251221, "opened"), (251221, "closed"),
+    ]
+    assert n.comments[0]["text"] == "comment text"
+
+    # bbox + search URL grammar (note.go:47-61, 83-98: QueryEscape)
+    body = "<osm>" + _NOTE_XML + "</osm>"
+    server[ds.notes_url(0.0, 51.0, 1.0, 52.0, limit=5)] = body
+    server[ds.notes_search_url("fix me", max_days_closed=-1)] = body
+    assert (
+        ds.notes_search_url("fix me", max_days_closed=-1)
+        == f"{b}/notes/search?q=fix+me&closed=-1"
+    )
+    assert ds.notes(0.0, 51.0, 1.0, 52.0, limit=5).count() == 1
+    assert ds.notes_search("fix me", max_days_closed=-1).count() == 1
+    with pytest.raises(ValueError):
+        ds.notes_search("x", limit=99999)
+
+
+def test_changeset_parse_reference_fixture(spark):
+    """changeset_test.go:12-26 two-changeset feed + the discussion
+    shape of changeset.go:105-116."""
+    b = BASE_URL
+    feed = """<osm version="0.6" generator="replicate_changesets.rb">
+  <changeset id="36947117" created_at="2016-02-01T21:57:17Z" closed_at="2016-02-01T23:05:55Z" open="true" num_changes="86" user="padvinder" uid="978786" min_lat="52.7016394" max_lat="52.7236643" min_lon="5.1545597" max_lon="5.2532961" comments_count="5">
+    <tag k="build" v="2.4-16-g0c126d0"/>
+    <tag k="created_by" v="Potlatch 2"/>
+    <tag k="version" v="2.4"/>
+  </changeset>
+</osm>"""
+    disc = """<changeset id="12" created_at="2016-06-26T21:26:41Z" open="false" user="u" uid="3">
+  <discussion>
+    <comment uid="7" user="bob" date="2016-06-27T00:00:00Z"><text>nice</text></comment>
+    <comment uid="8" user="eve" date="2016-06-28T01:02:03Z"><text>ok</text></comment>
+  </discussion>
+</changeset>"""
+    server = {
+        f"{b}/changeset/36947117": feed,
+        f"{b}/changeset/12?include_discussion=true": disc,
+    }
+    ds = OsmApiDatasource(spark, lambda url: server[url].encode())
+    c = ds.changeset(36947117).collect()[0]
+    assert (c.id, c.user, c.uid, c.open, c.num_changes) == (
+        36947117, "padvinder", 978786, True, 86,
+    )
+    assert c.created_at.strftime("%H:%M:%S") == "21:57:17"
+    assert (c.min_lat, c.max_lon) == (52.7016394, 5.2532961)
+    assert [(t["k"], t["v"]) for t in c.tags][0] == ("build", "2.4-16-g0c126d0")
+    assert c.discussion == []
+
+    d = ds.changeset(12, include_discussion=True).collect()[0]
+    assert [(x["uid"], x["user"], x["text"]) for x in d.discussion] == [
+        (7, "bob", "nice"), (8, "eve", "ok"),
+    ]
+    assert d.num_changes == 0 and d.comments_count == 0
+
+
+def test_user_parse_reference_fixture(spark):
+    """user_test.go:13-31 golden user XML — every nested count/attr."""
+    b = BASE_URL
+    user_xml = """<user id="91499" display_name="pm" account_created="2009-01-13T19:49:59Z">
+  <description>mapper</description>
+  <img href="image url"/>
+  <changesets count="2638"/>
+  <traces count="1"/>
+  <blocks>
+    <received count="5" active="6"/>
+  </blocks>
+  <home lat="37.793" lon="-122.2712" zoom="3"/>
+  <languages>
+    <lang>en-UK</lang>
+    <lang>en</lang>
+  </languages>
+  <messages>
+    <received count="15" unread="3"/>
+    <sent count="7"/>
+  </messages>
+</user>"""
+    ds = OsmApiDatasource(
+        spark, lambda url: {f"{b}/user/91499": user_xml}[url].encode()
+    )
+    u = ds.user(91499).collect()[0]
+    assert (u.id, u.name, u.description) == (91499, "pm", "mapper")
+    assert u.created_at.strftime("%Y-%m-%d") == "2009-01-13"
+    assert (u.img_href, u.changeset_count, u.trace_count) == ("image url", 2638, 1)
+    assert (u.home_lat, u.home_lon, u.home_zoom) == (37.793, -122.2712, 3)
+    assert list(u.languages) == ["en-UK", "en"]
+    assert (u.blocks_received, u.blocks_active) == (5, 6)
+    assert (u.messages_received, u.messages_unread, u.messages_sent) == (15, 3, 7)
