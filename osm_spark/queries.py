@@ -2698,6 +2698,107 @@ def q_xml_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "xml_scan",
+    """
+    WITH n AS (
+      SELECT 'node' AS etype, event_id AS id,
+             CAST(user_id % 9 + 1 AS INT) AS version,
+             event_id * 2 AS changeset,
+             value AS lat, -value AS lon,
+             CAST(0 AS INT) AS n_refs, CAST(0 AS BIGINT) AS ref_sum
+      FROM events),
+    w AS (
+      SELECT 'way' AS etype, 1000000 + user_id AS id,
+             CAST(count(*) AS INT) AS version,
+             max(event_id) AS changeset,
+             0.0 AS lat, 0.0 AS lon,
+             CAST(count(*) AS INT) AS n_refs,
+             CAST(sum(event_id) AS BIGINT) AS ref_sum
+      FROM events GROUP BY user_id)
+    SELECT * FROM n UNION ALL SELECT * FROM w
+    """,
+)
+def q_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming XML FILE source (sources/xmlfile.py — the element-wise
+    scan of osmxml/scanner.go:34-125 re-expressed as a byte-range-split
+    parallel read): events render to a multi-split .osm document (nodes
+    via the JVM node codec, per-user ways with ordered <nd> children),
+    the file scans with deliberately tiny split ranges so element
+    boundaries cross every task edge, and the typed parse must
+    reproduce every element exactly once — the oracle recomputes the
+    same rows straight from events. Doubles survive the file because
+    to_xml renders them with Java Double.toString and from_xml parses
+    them back."""
+    import hashlib
+    import os
+    import tempfile
+
+    from osm_spark.functions import xml_codec as X
+    from osm_spark.sources.xmlfile import parse_elements, read_osm_xml
+
+    ev = _t(spark, sf_dir, "events")
+    no_tags = F.array().cast("array<struct<k:string,v:string>>")
+    node_xml = ev.select(
+        F.col("event_id").alias("id"),
+        X.node_to_xml(
+            X.node_struct(
+                "event_id", F.col("value"), -F.col("value"),
+                (F.col("user_id") % 9 + 1).cast("int"),
+                F.col("event_id") * 2, no_tags,
+            )
+        ).alias("xml"),
+    )
+    way_xml = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_list("event_id")).alias("refs"),
+            F.count("*").cast("int").alias("version"),
+            F.max("event_id").alias("changeset"),
+        )
+        .select(
+            (F.col("user_id") + 1000000).alias("id"),
+            X.way_to_xml(
+                X.way_struct(
+                    F.col("user_id") + 1000000, "version", "changeset",
+                    F.col("refs"), no_tags,
+                )
+            ).alias("xml"),
+        )
+    )
+    lines = [
+        r.xml
+        for r in node_xml.unionByName(way_xml).orderBy("id").collect()
+    ]  # fixture-sized render (~10k elements at sf0.01)
+    body = ("<osm version=\"0.6\">\n" + "\n".join(lines) + "\n</osm>\n").encode()
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"osm_spark_xml_scan_{key}.osm")
+    fd, tmp = tempfile.mkstemp(dir=tempfile.gettempdir())
+    with os.fdopen(fd, "wb") as f:
+        f.write(body)
+    os.replace(tmp, path)  # atomic vs concurrent sessions
+
+    # two typed passes (nodes, ways) read the snippet frame — persist
+    # so the file scans once
+    snip = _persist(read_osm_xml(spark, path, split_bytes=128 << 10))
+    nodes = parse_elements(snip, "node").select(
+        F.lit("node").alias("etype"), "id", "version", "changeset",
+        "lat", "lon",
+        F.lit(0).cast("int").alias("n_refs"),
+        F.lit(0).cast("long").alias("ref_sum"),
+    )
+    ways = parse_elements(snip, "way").select(
+        F.lit("way").alias("etype"), "id", "version", "changeset",
+        F.lit(0.0).alias("lat"), F.lit(0.0).alias("lon"),
+        F.size("refs").cast("int").alias("n_refs"),
+        F.aggregate(
+            "refs", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("ref_sum"),
+    )
+    return nodes.unionByName(ways)
+
+
 # =====================================================================
 # Remaining §2 coverage: bounds HOF, point-on-surface, skip rules,
 # changeset rollups, notes date codec
@@ -4284,7 +4385,6 @@ _DRIVER_WINDOW: list[str] = [
     "raster_vector_roundtrip",
     # hex index family (round 2)
     "h3_assign",
-    "h3_parent",
     "h3_knn",
     # WKB + PIP family (round 2)
     "pip_wkb",
@@ -4295,7 +4395,6 @@ _DRIVER_WINDOW: list[str] = [
     "pip_polygon_covering",      # round 3
     # geojson emission family (round 2)
     "geojson_convert",
-    "geojson_features",
     "geojson_way_features",
     # geometry family
     "way_linestring",
@@ -4323,7 +4422,6 @@ _DRIVER_WINDOW: list[str] = [
     # similarity family
     "embedding_topk",
     "ivf_topk",
-    "kmeans_iterate",
     "ann_trained_topk",
     "kmeans_bigk",               # round 3
     "knn_kring",
@@ -4346,6 +4444,14 @@ _DRIVER_WINDOW: list[str] = [
     "interesting_nodes",
     "notes_date_codec",
     "point_on_surface",
+    # round-4 additions (VERDICT_r03 Next #5/#7): osmapi notes +
+    # changeset-feed parsing and the streaming XML file source —
+    # rotated in against the family-redundant r03-green rows h3_parent
+    # / geojson_features / kmeans_iterate (each family keeps >=1
+    # driver-green entry).
+    "osmapi_notes",
+    "changeset_feed_parse",
+    "xml_scan",
 ]
 
 
