@@ -445,6 +445,7 @@ def run_default() -> None:
     # PBF decode rate: fresh JVM, best of 2 children (VERDICT_r03 #6 —
     # the directly-comparable number to the reference's 13.9M el/s)
     pbf_sec = None
+    pbf_pruned = None
     pbf_elements = 0
     for _ in range(2):
         out = subprocess.run(
@@ -458,6 +459,11 @@ def run_default() -> None:
         r = json.loads(line)
         pbf_elements = r["elements"]
         pbf_sec = r["sec"] if pbf_sec is None or r["sec"] < pbf_sec else pbf_sec
+        pbf_pruned = (
+            r["sec_pruned"]
+            if pbf_pruned is None or r["sec_pruned"] < pbf_pruned
+            else pbf_pruned
+        )
     times["pbf_decode"] = pbf_sec
 
     # flagships measure in FRESH JVMs (see _flagship_child docstring)
@@ -479,6 +485,9 @@ def run_default() -> None:
                 "sf": float(sf),
                 "pages_per_sec": round(n_pages / flagship_sec, 1),
                 "pbf_elements_per_sec": round(pbf_elements / pbf_sec, 1),
+                "pbf_pruned_elements_per_sec": round(
+                    pbf_elements / pbf_pruned, 1
+                ),
                 "pbf_elements": pbf_elements,
                 "hex_pages_per_sec": round(hex_pages / hex_sec, 1),
                 "flagship_pages": n_pages,
