@@ -4341,26 +4341,36 @@ def q_geojson_way_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tainted",
     )
     feats = way_features_df(ways)
-    g = lambda p: F.get_json_object("feature", p)
-    gtype = g("$.geometry.type")
+    # ONE from_json pass (r03 advice: the old form re-parsed the JSON
+    # per output column); coordinates captured as raw text (from_json
+    # yields the JSON snippet for string-typed fields), then one typed
+    # parse per geometry branch
+    fschema = (
+        "struct<id:string,geometry:struct<type:string,"
+        "coordinates:string>,properties:struct<tainted:string>>"
+    )
+    parsed = feats.select(F.from_json("feature", fschema).alias("f"))
     coords = F.when(
-        gtype == "Polygon",
+        F.col("f.geometry.type") == "Polygon",
         F.flatten(
-            F.from_json(g("$.geometry.coordinates"), "array<array<array<double>>>")
+            F.from_json("f.geometry.coordinates", "array<array<array<double>>>")
         ),
-    ).otherwise(F.from_json(g("$.geometry.coordinates"), "array<array<double>>"))
+    ).otherwise(
+        F.from_json("f.geometry.coordinates", "array<array<double>>")
+    )
+    parsed = parsed.select("f", coords.alias("coords"))
     qsum = lambda i: F.aggregate(
-        F.transform(coords, lambda c: F.floor(c[i] * 1e6).cast("long")),
+        F.transform("coords", lambda c: F.floor(c[i] * 1e6).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return feats.select(
-        g("$.id").alias("feature_id"),
-        gtype.alias("gtype"),
-        F.size(coords).alias("n_coords"),
+    return parsed.select(
+        F.col("f.id").alias("feature_id"),
+        F.col("f.geometry.type").alias("gtype"),
+        F.size("coords").alias("n_coords"),
         qsum(0).alias("lon_e6_sum"),
         qsum(1).alias("lat_e6_sum"),
-        g("$.properties.tainted").isNotNull().alias("tainted"),
+        F.col("f.properties.tainted").isNotNull().alias("tainted"),
     )
 
 

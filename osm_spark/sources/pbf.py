@@ -890,8 +890,43 @@ def _read_pbf_groups(spark, pbf_bytes: bytes, kind: str, out_schema, to_rows):
     return df.mapInPandas(gen, schema=out_schema)
 
 
-def read_pbf_ways(spark, pbf_bytes: bytes):
-    """Block-parallel way scan -> (id, refs array<long>, tags)."""
+def _read_pbf_file_groups(spark, path: str, kind: str, out_schema, to_rows):
+    """File-based twin of _read_pbf_groups: frame coordinates from the
+    driver's seek walk, payload preads on the executors (same contract
+    as read_pbf_file_nodes)."""
+    import pandas as pd
+
+    datas = [
+        (path, off, ln)
+        for btype, off, ln in walk_frames(path)
+        if btype == "OSMData"
+    ]
+    df = spark.createDataFrame(datas, "path string, off long, len long")
+    empty = {f.name: [] for f in out_schema.fields}
+
+    def gen(batches):
+        handles: dict[str, object] = {}
+        for pdf in batches:
+            rows = []
+            for p, off, ln in zip(pdf["path"], pdf["off"], pdf["len"]):
+                f = handles.get(p)
+                if f is None:
+                    f = handles[p] = open(p, "rb")
+                f.seek(int(off))
+                blk = decode_primitive_block(
+                    decompress_blob(f.read(int(ln)))
+                )
+                rows.extend(to_rows(blk[kind]))
+            yield (
+                pd.DataFrame(rows, columns=list(empty))
+                if rows
+                else pd.DataFrame(empty)
+            )
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def _way_schema_and_rows():
     from pyspark.sql.types import (
         ArrayType, LongType, MapType, StringType, StructField, StructType,
     )
@@ -903,17 +938,25 @@ def read_pbf_ways(spark, pbf_bytes: bytes):
             StructField("tags", MapType(StringType(), StringType())),
         ]
     )
-    return _read_pbf_groups(
-        spark, pbf_bytes, "ways", schema,
-        lambda ws: [
-            {"id": w["id"], "refs": w.get("refs", []), "tags": w["tags"]}
-            for w in ws
-        ],
-    )
+    return schema, lambda ws: [
+        {"id": w["id"], "refs": w.get("refs", []), "tags": w["tags"]}
+        for w in ws
+    ]
 
 
-def read_pbf_relations(spark, pbf_bytes: bytes):
-    """Block-parallel relation scan -> (id, members, tags)."""
+def read_pbf_ways(spark, pbf_bytes: bytes):
+    """Block-parallel way scan -> (id, refs array<long>, tags)."""
+    schema, to_rows = _way_schema_and_rows()
+    return _read_pbf_groups(spark, pbf_bytes, "ways", schema, to_rows)
+
+
+def read_pbf_file_ways(spark, path: str):
+    """Way scan over a .osm.pbf file (executor-side preads)."""
+    schema, to_rows = _way_schema_and_rows()
+    return _read_pbf_file_groups(spark, path, "ways", schema, to_rows)
+
+
+def _relation_schema_and_rows():
     from pyspark.sql.types import (
         ArrayType, LongType, MapType, StringType, StructField, StructType,
     )
@@ -932,10 +975,19 @@ def read_pbf_relations(spark, pbf_bytes: bytes):
             StructField("tags", MapType(StringType(), StringType())),
         ]
     )
-    return _read_pbf_groups(
-        spark, pbf_bytes, "relations", schema,
-        lambda rs: [
-            {"id": r["id"], "members": r.get("members", []), "tags": r["tags"]}
-            for r in rs
-        ],
-    )
+    return schema, lambda rs: [
+        {"id": r["id"], "members": r.get("members", []), "tags": r["tags"]}
+        for r in rs
+    ]
+
+
+def read_pbf_relations(spark, pbf_bytes: bytes):
+    """Block-parallel relation scan -> (id, members, tags)."""
+    schema, to_rows = _relation_schema_and_rows()
+    return _read_pbf_groups(spark, pbf_bytes, "relations", schema, to_rows)
+
+
+def read_pbf_file_relations(spark, path: str):
+    """Relation scan over a .osm.pbf file (executor-side preads)."""
+    schema, to_rows = _relation_schema_and_rows()
+    return _read_pbf_file_groups(spark, path, "relations", schema, to_rows)

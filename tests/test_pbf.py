@@ -289,3 +289,37 @@ def test_file_scan_and_column_pruning(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown node columns"):
         read_pbf_file_nodes(spark, str(p), columns=("id", "nope"))
+
+
+def test_file_scan_ways_relations(spark, tmp_path):
+    from osm_spark.sources.pbf import (
+        encode_pbf, encode_primitive_block, read_pbf_file_relations,
+        read_pbf_file_ways,
+    )
+
+    blocks = [
+        encode_primitive_block(
+            ways=[
+                {"id": 7, "refs": [1, 2, 3], "tags": {"highway": "a"}},
+                {"id": 8, "refs": [3, 1]},
+            ],
+            relations=[
+                {
+                    "id": 9,
+                    "members": [("way", 7, "outer"), ("node", 1, "")],
+                    "tags": {"type": "multipolygon"},
+                }
+            ],
+        )
+    ]
+    p = tmp_path / "wr.osm.pbf"
+    p.write_bytes(encode_pbf(blocks))
+
+    ws = {r.id: r for r in read_pbf_file_ways(spark, str(p)).collect()}
+    assert list(ws[7].refs) == [1, 2, 3] and dict(ws[7].tags) == {"highway": "a"}
+    assert list(ws[8].refs) == [3, 1]
+    rel = read_pbf_file_relations(spark, str(p)).collect()[0]
+    assert rel.id == 9
+    assert [(m["type"], m["ref"], m["role"]) for m in rel.members] == [
+        ("way", 7, "outer"), ("node", 1, ""),
+    ]
