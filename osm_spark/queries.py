@@ -2799,6 +2799,54 @@ def q_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.unionByName(ways)
 
 
+@register(
+    "table_prune_scan",
+    """
+    SELECT user_id,
+           count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           TRUE AS pruned
+    FROM events
+    WHERE event_id >= 2500 AND event_id < 5000
+    GROUP BY user_id
+    """,
+)
+def q_table_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-shaped snapshot table (pipeline/table.py): events write
+    range-partitioned into a SnapshotTable whose manifest carries
+    per-file event_id bounds; the scan's predicate prunes files on
+    those bounds BEFORE any data I/O (plan_files), then filters
+    row-level. The oracle recomputes the same aggregate straight from
+    events — the storage hop (snapshot commit, manifest stats, pruned
+    read) must be invisible; the `pruned` column asserts the planner
+    actually skipped files (a contiguous id predicate over
+    range-partitioned files must leave some file fully outside)."""
+    import tempfile
+
+    from osm_spark.pipeline.table import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events")
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="osm_spark_snap_"),
+        stats_cols=("event_id",),
+    )
+    t.append(
+        ev.select("event_id", "user_id").repartitionByRange(8, "event_id")
+    )
+    preds = [("event_id", ">=", 2500), ("event_id", "<", 5000)]
+    n_total = len(t.plan_files())
+    n_scan = len(t.plan_files(preds))
+    return (
+        t.scan(preds)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("id_sum"),
+        )
+        .withColumn("pruned", F.lit(n_scan < n_total))
+    )
+
+
 # =====================================================================
 # Remaining §2 coverage: bounds HOF, point-on-surface, skip rules,
 # changeset rollups, notes date codec
@@ -4398,7 +4446,6 @@ _DRIVER_WINDOW: list[str] = [
     "h3_knn",
     # WKB + PIP family (round 2)
     "pip_wkb",
-    "pip_broadcast",
     "covering_adaptive",
     "pip_cells_adaptive",
     "covering_polygon",          # round 3
@@ -4462,6 +4509,10 @@ _DRIVER_WINDOW: list[str] = [
     "osmapi_notes",
     "changeset_feed_parse",
     "xml_scan",
+    # round-4: snapshot-table stats pruning (Missing #5 Iceberg-proper)
+    # — rotated in against r03-green pip_broadcast (PIP family keeps
+    # pip_wkb / pip_cells_adaptive / pip_polygon_covering in-window).
+    "table_prune_scan",
 ]
 
 

@@ -39,7 +39,7 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # osmapi_notes / changeset_feed_parse / xml_scan (families keep
     # h3_assign+h3_knn / geojson_convert+geojson_way_features /
     # ivf_topk+ann_trained_topk+kmeans_bigk in-window).
-    "h3_parent", "geojson_features", "kmeans_iterate",
+    "h3_parent", "geojson_features", "kmeans_iterate", "pip_broadcast",
 })
 
 
