@@ -395,7 +395,11 @@ def _pbf_child(cpus: str) -> None:
         )
         return time.time() - t0, row["n"]
 
-    run(all_cols)  # unmeasured warm-up: JIT + Arrow + numpy page faults
+    # two unmeasured warm-ups: the allocation-heavy full decode keeps
+    # improving over the first ~3 runs of a fresh worker set (page
+    # faults + CPU frequency + JIT), measured 35 -> 7.8 -> 5.4 -> 5.6s
+    run(all_cols)
+    run(all_cols)
     best = None
     n = 0
     for _ in range(3):
