@@ -2699,6 +2699,111 @@ def q_xml_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "osc_roundtrip",
+    """
+    SELECT CASE WHEN event_type = 'error' THEN 'delete'
+                WHEN event_type = 'view' THEN 'modify'
+                ELSE 'create' END AS action,
+           event_id AS id, value AS lat, -value * 2 AS lon,
+           CAST(user_id % 5 + 1 AS INT) AS version,
+           event_id + 7 AS changeset
+    FROM events WHERE event_id % 2 = 0
+    """,
+)
+def q_osc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """osmChange document codec (functions/osmchange.py — the Change
+    wrapper casing of change.go:65-124 and the replication .osc
+    payload): events classify into create/modify/delete, render
+    through render_osc (element XML from the JVM codec, blocks in the
+    reference's action order) and parse back with parse_osc — the
+    document hop must be invisible vs the direct oracle. Repeated
+    blocks / doubles survive for the usual reasons (accumulating
+    parse; Double.toString round-trip)."""
+    from osm_spark.functions.osmchange import parse_osc, render_osc
+    from osm_spark.functions.xml_codec import node_struct, node_to_xml
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 2 == 0)
+    no_tags = F.array().cast("array<struct<k:string,v:string>>")
+    xml = ev.select(
+        F.when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_type") == "view", "modify")
+        .otherwise("create")
+        .alias("action"),
+        F.col("event_id").alias("order"),
+        node_to_xml(
+            node_struct(
+                "event_id", F.col("value"), -F.col("value") * 2,
+                (F.col("user_id") % 5 + 1).cast("int"),
+                F.col("event_id") + 7, no_tags,
+            )
+        ).alias("xml"),
+    )
+    doc = render_osc(xml, generator="osm_spark")  # batch-sized document
+    return parse_osc(spark, doc, "node").select(
+        "action", "id", "lat", "lon", "version", "changeset"
+    )
+
+
+@register(
+    "diff_roundtrip",
+    """
+    WITH src AS (
+      SELECT event_id AS id, value AS lat,
+             CASE WHEN event_type = 'error' THEN 'delete'
+                  WHEN event_type = 'view' THEN 'modify'
+                  ELSE 'create' END AS type,
+             CAST(user_id % 6 + 2 AS INT) AS new_version
+      FROM events WHERE event_id % 13 = 0),
+    new_rows AS (
+      SELECT type AS action, 'new' AS role, id, new_version AS version,
+             lat FROM src),
+    old_rows AS (
+      SELECT type AS action, 'old' AS role, id,
+             new_version - 1 AS version, lat - 0.25 AS lat
+      FROM src WHERE type <> 'create')
+    SELECT * FROM new_rows UNION ALL SELECT * FROM old_rows
+    """,
+)
+def q_diff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmented-diff document codec (functions/osmchange.py
+    parse_diff/render_diff — diff.go:21-109: create actions carry the
+    bare new element, modify/delete carry <old>/<new> wrappers):
+    events model an action stream, render through render_diff and
+    parse back; the oracle recomputes old/new roles directly. Roles,
+    versions and coordinate doubles must survive the document hop."""
+    from osm_spark.functions.osmchange import parse_diff, render_diff
+    from osm_spark.functions.xml_codec import node_struct, node_to_xml
+
+    ev = _t(spark, sf_dir, "events")
+    no_tags = F.array().cast("array<struct<k:string,v:string>>")
+    src = ev.where(F.col("event_id") % 13 == 0).select(
+        F.col("event_id").alias("id"),
+        F.col("value").alias("lat"),
+        F.when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_type") == "view", "modify")
+        .otherwise("create")
+        .alias("type"),
+        (F.col("user_id") % 6 + 2).cast("int").alias("new_version"),
+    )
+    mk = lambda ver, lat: node_to_xml(
+        node_struct("id", lat, F.lit(0.0), ver, F.lit(1), no_tags)
+    )
+    xml = src.select(
+        "type",
+        F.col("id").cast("int").alias("order"),
+        mk(F.col("new_version"), F.col("lat")).alias("new_xml"),
+        F.when(
+            F.col("type") != "create",
+            mk(F.col("new_version") - 1, F.col("lat") - 0.25),
+        ).alias("old_xml"),
+    )
+    doc = render_diff(xml)  # batch-sized document (~770 actions)
+    return parse_diff(spark, doc, "node").select(
+        "action", "role", "id", "version", "lat"
+    )
+
+
+@register(
     "xml_scan",
     """
     WITH n AS (
@@ -4473,7 +4578,6 @@ _DRIVER_WINDOW: list[str] = [
     "minhash_lsh",
     "ngram_jaccard",
     "simhash_neardup",
-    "token_quality",
     "url_canonical_rollup",
     "corpus_prep",
     # similarity family
@@ -4486,7 +4590,6 @@ _DRIVER_WINDOW: list[str] = [
     # media family (rounds 2-3)
     "media_decode_real",
     "media_resize",
-    "media_jpeg",                # round 3
     # streaming / replication family
     "replication_actions",
     "replication_state",
@@ -4513,6 +4616,15 @@ _DRIVER_WINDOW: list[str] = [
     # — rotated in against r03-green pip_broadcast (PIP family keeps
     # pip_wkb / pip_cells_adaptive / pip_polygon_covering in-window).
     "table_prune_scan",
+    # round-4: osmChange document codec — rotated in against r03-green
+    # token_quality (text family keeps dedup_exact / minhash_lsh /
+    # ngram_jaccard / simhash_neardup / url_canonical_rollup /
+    # corpus_prep in-window).
+    "osc_roundtrip",
+    # round-4: augmented-diff codec — rotated in against r03-green
+    # media_jpeg (media family keeps media_decode_real / media_resize,
+    # both value-correct with the r04 oracle CAST fix).
+    "diff_roundtrip",
 ]
 
 

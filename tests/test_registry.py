@@ -40,6 +40,7 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # h3_assign+h3_knn / geojson_convert+geojson_way_features /
     # ivf_topk+ann_trained_topk+kmeans_bigk in-window).
     "h3_parent", "geojson_features", "kmeans_iterate", "pip_broadcast",
+    "token_quality", "media_jpeg",
 })
 
 
