@@ -366,7 +366,7 @@ def _pbf_child(cpus: str) -> None:
     import pyspark.sql.functions as F
 
     from osm_spark.session import get_spark
-    from osm_spark.sources.pbf import read_pbf_file_nodes
+    from osm_spark.sources.pbf import read_pbf_file_nodes_arrow
 
     path, n_elements = _make_bench_planet(PBF_BLOCKS, PBF_PER_BLOCK)
 
@@ -377,7 +377,8 @@ def _pbf_child(cpus: str) -> None:
 
     # FULL node decode — tags + every DenseInfo column — to match what
     # BenchmarkLondon_nodes materializes; the sums force every row
-    # into the plan. File-based scan: executors pread their own blobs.
+    # into the plan. Arrow-native file scan: executors pread their own
+    # blobs and yield RecordBatches with zero per-node Python objects.
     all_cols = (
         "id", "lat", "lon", "tags", "version", "timestamp",
         "changeset", "uid", "user", "visible",
@@ -386,7 +387,7 @@ def _pbf_child(cpus: str) -> None:
     def run(cols) -> tuple[float, int]:
         t0 = time.time()
         row = (
-            read_pbf_file_nodes(spark, path, columns=cols)
+            read_pbf_file_nodes_arrow(spark, path, columns=cols)
             .agg(
                 F.count("*").alias("n"),
                 F.sum("id").alias("s"),

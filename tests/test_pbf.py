@@ -323,3 +323,55 @@ def test_file_scan_ways_relations(spark, tmp_path):
     assert [(m["type"], m["ref"], m["role"]) for m in rel.members] == [
         ("way", 7, "outer"), ("node", 1, ""),
     ]
+
+
+def test_arrow_scan_matches_row_scan(spark, tmp_path):
+    """The Arrow-native scan (decode_block_nodes_arrow + mapInArrow)
+    is row-identical to the pandas-path scan on every column incl.
+    tags maps and DenseInfo, with and without projection."""
+    from osm_spark.sources.pbf import (
+        encode_pbf, encode_primitive_block, read_pbf_file_nodes,
+        read_pbf_file_nodes_arrow,
+    )
+
+    nodes = [
+        {
+            "id": i * 3 + 1, "lat": i * 0.25 - 10.0, "lon": 5.0 - i * 0.5,
+            "tags": {"highway": "x", "name": f"n{i}"} if i % 4 == 0 else None,
+            "version": i % 3 + 1, "timestamp": 1_450_000_000 + i * 60,
+            "changeset": 1000 + i, "uid": i % 11, "user": f"u{i % 3}",
+        }
+        for i in range(200)
+    ]
+    blocks = [
+        encode_primitive_block(nodes=nodes[:120], dense_chunks=2),
+        encode_primitive_block(nodes=nodes[120:]),
+    ]
+    p = tmp_path / "arrow.osm.pbf"
+    p.write_bytes(encode_pbf(blocks))
+
+    cols = ("id", "lat", "lon", "tags", "version", "timestamp",
+            "changeset", "uid", "user", "visible")
+    key = lambda r: r.id
+    a = sorted(read_pbf_file_nodes_arrow(spark, str(p), columns=cols).collect(), key=key)
+    b = sorted(read_pbf_file_nodes(spark, str(p), columns=cols).collect(), key=key)
+    assert len(a) == 200
+    for ra, rb in zip(a, b):
+        assert ra.id == rb.id and ra.lat == rb.lat and ra.lon == rb.lon
+        assert dict(ra.tags) == dict(rb.tags)
+        assert (ra.version, ra.timestamp, ra.changeset, ra.uid,
+                ra.user, ra.visible) == (
+            rb.version, rb.timestamp, rb.changeset, rb.uid,
+            rb.user, rb.visible,
+        )
+
+    ap = sorted(read_pbf_file_nodes_arrow(spark, str(p)).collect(), key=key)
+    assert ap[0].__fields__ == ["id", "lat", "lon"]
+    assert [r.id for r in ap] == [r.id for r in a]
+
+    # blocks without DenseInfo fill reference defaults, same as row path
+    bare = [{"id": 5, "lat": 0.5, "lon": 0.25}]
+    p2 = tmp_path / "bare.osm.pbf"
+    p2.write_bytes(encode_pbf([encode_primitive_block(nodes=bare)]))
+    r = read_pbf_file_nodes_arrow(spark, str(p2), columns=cols).collect()[0]
+    assert (r.version, r.user, r.visible, dict(r.tags)) == (0, "", True, {})
