@@ -35,10 +35,13 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     "tile_bounds", "tile_containment", "tile_pyramid", "tile_quadkey",
     "token_count_bpe", "updates_upto", "version_index", "way_bounds",
     "way_centroid", "way_polygon", "wkb_roundtrip",
-    # round-4 rotation: driver-green in r03, parked to make room for
-    # osmapi_notes / changeset_feed_parse / xml_scan (families keep
-    # h3_assign+h3_knn / geojson_convert+geojson_way_features /
-    # ivf_topk+ann_trained_topk+kmeans_bigk in-window).
+    # round-4 rotations: driver-green in r03, parked to make room for
+    # osmapi_notes / changeset_feed_parse / xml_scan / table_prune_scan
+    # / osc_roundtrip / diff_roundtrip; every family keeps >=1 entry
+    # in-window (h3_assign+h3_knn; geojson_convert+geojson_way_features;
+    # ivf_topk+ann_trained_topk+kmeans_bigk; pip_wkb+pip_cells_adaptive+
+    # pip_polygon_covering; dedup/minhash/ngram/simhash/url/corpus;
+    # media_decode_real+media_resize).
     "h3_parent", "geojson_features", "kmeans_iterate", "pip_broadcast",
     "token_quality", "media_jpeg",
 })
