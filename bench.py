@@ -58,6 +58,10 @@ HEADLINE = [
     "way_centroid",
     "q1_pricing",
     "media_jpeg",
+    "html_extract",
+    "quality_repetition",
+    "pii_scrub",
+    "chunk_dedup",
 ]
 
 
@@ -226,6 +230,9 @@ QUERY_GROUPS: list[list[str]] = [
     ["minhash_lsh", "simhash_neardup", "dedup_exact", "token_quality",
      "simhash"],
     ["embedding_topk", "embedding_lsh_bucket", "media_jpeg"],
+    # round-4 web-page-prep suite (html round trip, repetition signals,
+    # PII scrub, chunk-granularity dedup)
+    ["html_extract", "quality_repetition", "pii_scrub", "chunk_dedup"],
 ]
 
 

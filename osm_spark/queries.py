@@ -4528,6 +4528,196 @@ def q_geojson_way_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Web-page preparation suite (round 4): HTML render/extract with the
+# north rule's byte-identical invariant, Gopher-style repetition
+# signals, PII scrub, C4-style chunk-granularity corpus dedup.
+# =====================================================================
+
+from osm_spark.text import webprep as _wp
+
+
+@register(
+    "html_extract",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             text || ' <#' || CAST(doc_id AS VARCHAR) || ' & "tail">' AS rich
+      FROM documents),
+    h AS (
+      SELECT doc_id, rich,
+             '<!DOCTYPE html><html lang="' || lang || '"><head><title>p' ||
+             CAST(doc_id AS VARCHAR) || '</title></head><body><p id="c' ||
+             CAST(doc_id AS VARCHAR) || '">' ||
+             replace(replace(replace(replace(rich,
+                 '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;') ||
+             '</p></body></html>' AS html
+      FROM r),
+    e AS (
+      SELECT doc_id, rich, length(html) AS n_html_chars,
+             replace(replace(replace(replace(
+                 regexp_extract(html, '<p[^>]*>(.*)</p>', 1),
+                 '&quot;', '"'), '&gt;', '>'), '&lt;', '<'), '&amp;', '&') AS x
+      FROM h)
+    SELECT doc_id,
+           CAST(n_html_chars AS BIGINT) AS n_html_chars,
+           CAST((x = rich) AS BIGINT) AS byte_identical,
+           md5(x) AS text_md5,
+           CAST(length(x) AS BIGINT) AS n_text_chars
+    FROM e
+    """,
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule per-row invariant, exercised end-to-end: render each
+    document into a real HTML5 page (**binary** column, entity-escaped
+    body on text deliberately containing ``& < > "``), then extract the
+    text back and prove it **byte-identical** per row.  Column-only
+    (replace/regexp/encode/decode) — single narrow scan-project, no
+    shuffle, no UDF; survives 10^12 rows trivially."""
+    docs = _t(spark, sf_dir, "documents")
+    rich = _wp.rich_text(F.col("text"), F.col("doc_id"))
+    page = docs.select(
+        F.col("doc_id"),
+        rich.alias("rich"),
+        _wp.render_html(rich, F.col("doc_id"), F.col("lang")).alias("html"),
+    )
+    ext = page.select(
+        "doc_id",
+        F.length(F.decode("html", "UTF-8")).cast("long").alias("n_html_chars"),
+        F.col("rich"),
+        _wp.extract_text(F.col("html")).alias("x"),
+    )
+    return ext.select(
+        "doc_id",
+        "n_html_chars",
+        (F.col("x") == F.col("rich")).cast("long").alias("byte_identical"),
+        F.md5("x").alias("text_md5"),
+        F.length("x").cast("long").alias("n_text_chars"),
+    )
+
+
+@register(
+    "quality_repetition",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq,
+             {_dd.shingles_sql("text", 2)} AS bg
+      FROM documents),
+    bgx AS (SELECT doc_id, unnest(bg) AS bg FROM base),
+    per AS (SELECT doc_id, bg, count(*) AS n FROM bgx GROUP BY doc_id, bg),
+    top AS (SELECT doc_id, max(n) AS top_bigram_count, sum(n) AS n_bigrams
+            FROM per GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n_words AS BIGINT) AS n_words,
+           CAST(floor((1.0 - CAST(b.n_uniq AS DOUBLE) / CAST(b.n_words AS DOUBLE))
+                * 1000000.0) AS BIGINT) AS dup_word_frac_e6,
+           CAST(coalesce(t.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(t.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+           CAST(coalesce(floor(CAST(t.top_bigram_count AS DOUBLE)
+                / CAST(t.n_bigrams AS DOUBLE) * 1000000.0), 0) AS BIGINT)
+             AS top_bigram_frac_e6
+    FROM base b LEFT JOIN top t USING (doc_id)
+    """,
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-word fraction
+    (column-only) + top-bigram fraction (one (doc, bigram)-keyed
+    shuffle with map-side partial agg — key space is per-document, so
+    no hot keys at any corpus size)."""
+    # seed parquet is a single split; spread before the shingle-heavy
+    # stage (same local-mode ergonomic as _docs2 — a real corpus
+    # arrives already multi-split and skips this)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(32, "doc_id")
+    )
+    return _wp.repetition_metrics(docs, "doc_id", "text")
+
+
+@register(
+    "pii_scrub",
+    """
+    WITH a AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example'
+                  || ' call 555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST(doc_id * 7 % 256 AS VARCHAR) AS t
+      FROM documents),
+    s AS (
+      SELECT doc_id, t,
+             regexp_replace(regexp_replace(regexp_replace(t,
+                 '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                 '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
+                 '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrub
+      FROM a)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t,
+             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
+           md5(scrub) AS scrub_md5,
+           CAST(length(scrub) AS BIGINT) AS scrub_len
+    FROM s
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (email / phone / IPv4) with RE2-compatible
+    character-class regexes; PII is injected deterministically per row
+    (the sandbox word-soup has none) so the counts and the redacted-md5
+    are non-vacuous.  Column-only regex — narrow scan-project."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        F.col("doc_id"),
+        _wp.pii_augment(F.col("text"), F.col("doc_id")).alias("t"),
+    )
+    return _wp.pii_metrics(aug, "doc_id", F.col("t"))
+
+
+@register(
+    "chunk_dedup",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+      SELECT doc_id,
+             list_transform(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT)),
+                 i -> array_to_string(
+                     list_slice(w, CAST(i * 8 + 1 AS BIGINT),
+                                CAST(i * 8 + 8 AS BIGINT)), ' ')) AS ch
+      FROM w),
+    x AS (SELECT doc_id, unnest(range(0, len(ch))) AS chunk,
+                 unnest(ch) AS chunk_text FROM c),
+    k AS (SELECT doc_id, chunk, chunk_text,
+                 row_number() OVER (PARTITION BY md5(chunk_text)
+                                    ORDER BY doc_id, chunk) AS rn FROM x),
+    a AS (SELECT doc_id, count(*) AS kept_chunks,
+                 md5(string_agg(chunk_text, ' ' ORDER BY chunk)) AS dedup_md5
+          FROM k WHERE rn = 1 GROUP BY doc_id)
+    SELECT c.doc_id,
+           CAST(len(c.ch) AS BIGINT) AS n_chunks,
+           CAST(coalesce(a.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+           coalesce(a.dedup_md5, md5('')) AS dedup_md5
+    FROM c LEFT JOIN a USING (doc_id)
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-global exact dedup at 8-word-chunk granularity:
+    first occurrence per chunk digest wins (deterministic (doc_id,
+    chunk) order), documents reassembled from surviving chunks.  ONE
+    digest-keyed shuffle + one doc-keyed reassembly shuffle — the same
+    shape at 10^12 docs."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(32, "doc_id")
+    )
+    return _wp.chunk_dedup(docs, "doc_id", "text")
+
+
+# =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
 #
@@ -4564,21 +4754,17 @@ _DRIVER_WINDOW: list[str] = [
     # temporal / history family
     "asof_annotate",
     "relation_annotate",
-    "linestring_at",
     "history_at",                # round 3
     "osmapi_fetch",              # round 3
     # ids / stats family
     "ids_pack_roundtrip",
     "planet_stats",
-    "changeset_rollup",
     # PBF wire format (round 3)
     "pbf_scan",
     # dedup / text family
     "dedup_exact",
     "minhash_lsh",
     "ngram_jaccard",
-    "simhash_neardup",
-    "url_canonical_rollup",
     "corpus_prep",
     # similarity family
     "embedding_topk",
@@ -4625,6 +4811,17 @@ _DRIVER_WINDOW: list[str] = [
     # media_jpeg (media family keeps media_decode_real / media_resize,
     # both value-correct with the r04 oracle CAST fix).
     "diff_roundtrip",
+    # round-4 web-page prep suite — rotated in against the r03-green
+    # family-redundant rows simhash_neardup (text family keeps
+    # dedup_exact / minhash_lsh / ngram_jaccard / corpus_prep),
+    # url_canonical_rollup (same family), linestring_at (temporal
+    # family keeps asof_annotate / relation_annotate / history_at) and
+    # changeset_rollup (stats family keeps planet_stats /
+    # ids_pack_roundtrip).
+    "html_extract",
+    "quality_repetition",
+    "pii_scrub",
+    "chunk_dedup",
 ]
 
 

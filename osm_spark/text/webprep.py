@@ -1,0 +1,264 @@
+"""Web-page preparation operators: HTML render/extract, repetition
+quality signals, PII scrubbing, chunk-level corpus dedup.
+
+These extend the engine beyond the reference's OSM operators into the
+training-data-pipeline surface the north rule targets: Common-Crawl
+style pages ``(url, warc_ts, html:binary, text, lang)`` with a
+**byte-identical extracted-text invariant per url**.  The reference has
+no HTML path at all; the invariant discipline mirrors how its decode
+paths round-trip elements bit-exactly (e.g. ``osmpbf`` decode ==
+``osmxml`` decode for the same planet region).
+
+Everything here is column-only (split / higher-order functions /
+regex) — no Python UDFs — and every operator has an exact DuckDB twin
+for the correctness gate:
+
+- ``render_html`` / ``extract_text``: deterministic HTML5 wrapping of a
+  text column (entity escaping: ``& < > "``) into a ``binary`` html
+  column, and the inverse extractor (body isolate -> tag strip ->
+  entity unescape).  ``extract_text(render_html(t)) == t`` **bytewise**
+  — the north rule's per-row invariant, exercised on text that
+  deliberately contains markup-significant bytes.
+- ``repetition_metrics``: Gopher-style repetition quality signals
+  (duplicate-word fraction, top-bigram fraction).  The bigram mode is
+  one (doc, bigram)-keyed shuffle — scales to 10^12 docs because the
+  key space is per-document, never global.
+- ``pii_metrics``: email / phone / IPv4 detection counts + redaction
+  via RE2-compatible character-class regexes (no lookarounds, no
+  backrefs, so Java regex and RE2 agree byte-for-byte).
+- ``chunk_dedup``: C4-style exact dedup at sub-document granularity —
+  fixed-width word chunks, global first-occurrence keep keyed by chunk
+  digest (ONE digest-keyed shuffle at any corpus size), documents
+  reassembled from surviving chunks in order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from osm_spark.text.dedup import shingles, words
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+# ---------------------------------------------------------------------
+# HTML render / extract (byte-identical round trip)
+# ---------------------------------------------------------------------
+
+def rich_text(text, doc_id) -> Column:
+    """Canonical per-row text INCLUDING markup-significant bytes.
+
+    The sandbox ``documents`` word-soup contains no ``& < > "`` at all,
+    which would make entity escaping a vacuous identity; appending a
+    deterministic suffix with all four forces the escape/unescape path
+    to carry real weight.  Both engines compute the identical string.
+    """
+    return F.concat(
+        _c(text), F.lit(' <#'), _c(doc_id).cast("string"), F.lit(' & "tail">')
+    )
+
+
+def escape_html(c) -> Column:
+    """HTML entity escape: ``&`` FIRST (order is what makes the chain
+    invertible), then ``<``, ``>``, ``"``."""
+    c = _c(c)
+    c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    c = F.replace(c, F.lit(">"), F.lit("&gt;"))
+    return F.replace(c, F.lit('"'), F.lit("&quot;"))
+
+
+def unescape_html(c) -> Column:
+    """Inverse of :func:`escape_html`: named entities back, ``&amp;``
+    LAST (so ``&amp;lt;`` — an escaped literal ``&lt;`` — decodes to
+    ``&lt;`` and not ``<``)."""
+    c = _c(c)
+    c = F.replace(c, F.lit("&quot;"), F.lit('"'))
+    c = F.replace(c, F.lit("&gt;"), F.lit(">"))
+    c = F.replace(c, F.lit("&lt;"), F.lit("<"))
+    return F.replace(c, F.lit("&amp;"), F.lit("&"))
+
+
+def render_html(rich, doc_id, lang) -> Column:
+    """Deterministic HTML5 document around an escaped text body; the
+    result is a ``binary`` column (utf-8), matching the north-rule
+    input shape ``html: binary``."""
+    s = F.concat(
+        F.lit('<!DOCTYPE html><html lang="'), _c(lang),
+        F.lit('"><head><title>p'), _c(doc_id).cast("string"),
+        F.lit('</title></head><body><p id="c'), _c(doc_id).cast("string"),
+        F.lit('">'), escape_html(rich), F.lit("</p></body></html>"),
+    )
+    return F.encode(s, "UTF-8")
+
+
+def extract_text(html_bin) -> Column:
+    """binary html -> extracted text, byte-identical to what was
+    rendered: isolate the body paragraph (escaped text cannot contain
+    ``<`` or ``>``, so the greedy group is exact), then unescape."""
+    s = F.decode(_c(html_bin), "UTF-8")
+    body = F.regexp_extract(s, r"<p[^>]*>(.*)</p>", 1)
+    return unescape_html(body)
+
+
+# ---------------------------------------------------------------------
+# Repetition quality signals (Gopher-style)
+# ---------------------------------------------------------------------
+
+def repetition_metrics(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc repetition signals:
+
+    - ``dup_word_frac_e6``: 1 - distinct/total words (column-only);
+    - ``top_bigram_frac_e6``: most frequent word-bigram count / total
+      bigrams — one (doc, bigram)-keyed shuffle, partial-agg friendly.
+    """
+    w = words(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_uniq"),
+        shingles(text_col, 2).alias("bg"),
+    )
+    per_bg = (
+        base.select(id_col, F.explode("bg").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = per_bg.groupBy(id_col).agg(
+        F.max("n").alias("top_bigram_count"),
+        F.sum("n").alias("n_bigrams"),
+    )
+    return (
+        base.drop("bg")
+        .join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.floor(
+                (F.lit(1.0) - F.col("n_uniq").cast("double")
+                 / F.col("n_words").cast("double")) * 1e6
+            ).alias("dup_word_frac_e6"),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("top_bigram_count"), F.lit(0)).cast("long")
+            .alias("top_bigram_count"),
+            F.coalesce(
+                F.floor(
+                    F.col("top_bigram_count").cast("double")
+                    / F.col("n_bigrams").cast("double") * 1e6
+                ),
+                F.lit(0),
+            ).cast("long").alias("top_bigram_frac_e6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------
+
+# Character-class-only patterns: identical semantics under Java regex
+# (Spark) and RE2 (DuckDB) — no lookarounds, no backrefs, no \b.
+EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
+PHONE_RE = "[0-9]{3}-[0-9]{4}"
+IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def pii_augment(text, doc_id) -> Column:
+    """Deterministically inject one email, one phone, one IPv4 per row
+    (the sandbox word-soup has none) so detection/redaction is
+    non-vacuous; both engines compute the identical string."""
+    d = _c(doc_id)
+    return F.concat(
+        _c(text),
+        F.lit(" contact user"), d.cast("string"), F.lit("@mail.example"),
+        F.lit(" call 555-0"), F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit(" from 192.168."), (d % 256).cast("string"),
+        F.lit("."), ((d * 7) % 256).cast("string"),
+    )
+
+
+def pii_metrics(docs: DataFrame, id_col: str, text_col) -> DataFrame:
+    """Counts per PII class on the raw text + md5 of the redacted text.
+
+    Redaction order: email -> IPv4 -> phone (the classes are disjoint
+    on any input: emails contain ``@``, phones contain ``-``, and the
+    email pass removes its dotted-host before the IPv4 pass runs)."""
+    t = _c(text_col)
+    scrub = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    scrub = F.regexp_replace(scrub, IPV4_RE, "<IP>")
+    scrub = F.regexp_replace(scrub, PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+        .cast("long").alias("n_phone"),
+        F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0)))
+        .cast("long").alias("n_ip"),
+        F.md5(scrub).alias("scrub_md5"),
+        F.length(scrub).cast("long").alias("scrub_len"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Chunk-level exact dedup (C4-style)
+# ---------------------------------------------------------------------
+
+def chunk_array(text, chunk_words: int = 8) -> Column:
+    """Non-overlapping ``chunk_words``-word chunks as array<string>
+    (column-only; trailing partial chunk kept)."""
+    w = words(text)
+    n = F.ceil(F.size(w).cast("double") / float(chunk_words)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(w, i * chunk_words + 1, chunk_words), " "),
+    )
+
+
+def chunk_dedup(docs: DataFrame, id_col: str, text_col: str,
+                chunk_words: int = 8) -> DataFrame:
+    """Corpus-global exact dedup at chunk granularity.
+
+    Keep the FIRST occurrence of every distinct chunk digest (order:
+    (doc_id, chunk index) — deterministic), drop the rest, reassemble
+    each document from its surviving chunks in order.
+
+    100 TB shape: ONE shuffle keyed by chunk digest (row_number per
+    digest; partial information never widens beyond (digest, doc,
+    idx)), then one doc-keyed shuffle to reassemble.  No global sort,
+    no driver collection.
+    """
+    ch = docs.select(
+        F.col(id_col),
+        F.posexplode(chunk_array(text_col, chunk_words)).alias("chunk", "chunk_text"),
+    ).withColumn("h", F.md5("chunk_text"))
+    win = Window.partitionBy("h").orderBy(F.col(id_col), F.col("chunk"))
+    kept = (
+        ch.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == 1)
+        .drop("rn", "h")
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("kept_chunks"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk", "chunk_text"))),
+                    lambda x: x["chunk_text"],
+                ),
+                " ",
+            )
+        ).alias("dedup_md5"),
+    )
+    totals = docs.select(
+        F.col(id_col), F.size(chunk_array(text_col, chunk_words)).alias("n_chunks")
+    )
+    return totals.join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.coalesce(F.col("kept_chunks"), F.lit(0)).cast("long").alias("kept_chunks"),
+        F.coalesce(F.col("dedup_md5"), F.md5(F.lit(""))).alias("dedup_md5"),
+    )

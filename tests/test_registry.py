@@ -44,6 +44,14 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # media_decode_real+media_resize).
     "h3_parent", "geojson_features", "kmeans_iterate", "pip_broadcast",
     "token_quality", "media_jpeg",
+    # round-4 web-page-prep rotations: driver-green in r03, parked to
+    # make room for html_extract / quality_repetition / pii_scrub /
+    # chunk_dedup; text family keeps dedup_exact + minhash_lsh +
+    # ngram_jaccard + corpus_prep in-window, temporal keeps
+    # asof_annotate + relation_annotate + history_at, stats keeps
+    # planet_stats + ids_pack_roundtrip.
+    "simhash_neardup", "url_canonical_rollup", "linestring_at",
+    "changeset_rollup",
 })
 
 

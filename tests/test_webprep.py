@@ -1,0 +1,101 @@
+"""Web-page prep suite: HTML byte-identical round trip, repetition
+signals, PII scrub, chunk dedup."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from osm_spark.text import webprep as wp
+
+TRICKY = [
+    'plain words only',
+    'amp & lt < gt > quot " mixed',
+    'pre-escaped literal &amp;lt; stays &amp;lt;',  # escape-order trap
+    '<p>looks like markup</p> & "done"',
+    '',
+]
+
+
+def test_escape_unescape_inverts(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TRICKY)], "i int, t string")
+    out = df.select(
+        "t", wp.unescape_html(wp.escape_html(F.col("t"))).alias("rt")
+    ).collect()
+    for r in out:
+        assert r.rt == r.t, f"escape/unescape not inverse for {r.t!r}"
+
+
+def test_render_extract_byte_identical(spark):
+    df = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(TRICKY)], "doc_id int, text string, lang string"
+    )
+    rich = wp.rich_text(F.col("text"), F.col("doc_id"))
+    out = df.select(
+        rich.alias("rich"),
+        wp.extract_text(
+            wp.render_html(rich, F.col("doc_id"), F.col("lang"))
+        ).alias("x"),
+    ).collect()
+    for r in out:
+        assert r.x == r.rich
+        assert r.x.encode("utf-8") == r.rich.encode("utf-8")  # bytewise
+
+
+def test_html_is_binary_and_wellformed(spark):
+    df = spark.createDataFrame([(7, 'a & b', "de")], "doc_id int, text string, lang string")
+    row = df.select(
+        wp.render_html(wp.rich_text(F.col("text"), F.col("doc_id")),
+                       F.col("doc_id"), F.col("lang")).alias("html")
+    ).collect()[0]
+    assert isinstance(row.html, (bytes, bytearray))
+    s = bytes(row.html).decode("utf-8")
+    assert s.startswith('<!DOCTYPE html><html lang="de">')
+    assert "&amp;" in s and "<p id=\"c7\">" in s and s.endswith("</p></body></html>")
+
+
+def test_chunk_array_trailing_partial(spark):
+    txt = " ".join(f"w{i}" for i in range(19))  # 19 words -> 8+8+3
+    df = spark.createDataFrame([(txt,)], "text string")
+    chunks = df.select(wp.chunk_array("text", 8).alias("c")).collect()[0].c
+    assert len(chunks) == 3
+    assert chunks[0] == " ".join(f"w{i}" for i in range(8))
+    assert chunks[2] == "w16 w17 w18"
+
+
+def test_chunk_dedup_first_occurrence(spark):
+    # doc 1 and doc 2 share an identical first chunk; doc 1 keeps it
+    a = " ".join(["dup"] * 8) + " " + " ".join(f"a{i}" for i in range(8))
+    b = " ".join(["dup"] * 8) + " " + " ".join(f"b{i}" for i in range(8))
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id int, text string")
+    out = {r.doc_id: r for r in wp.chunk_dedup(df, "doc_id", "text").collect()}
+    assert out[1].n_chunks == 2 and out[1].kept_chunks == 2
+    assert out[2].n_chunks == 2 and out[2].kept_chunks == 1  # lost the dup chunk
+
+
+def test_pii_counts_and_redaction(spark):
+    t = "mail me at a.b_1@host-x.example or 555-0199 from 10.0.0.1 ok"
+    df = spark.createDataFrame([(1, t)], "doc_id int, t string")
+    r = wp.pii_metrics(df, "doc_id", F.col("t")).collect()[0]
+    assert (r.n_email, r.n_phone, r.n_ip) == (1, 1, 1)
+    scrub = df.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("t", wp.EMAIL_RE, "<EMAIL>"),
+                wp.IPV4_RE, "<IP>"),
+            wp.PHONE_RE, "<PHONE>").alias("s")
+    ).collect()[0].s
+    assert scrub == "mail me at <EMAIL> or <PHONE> from <IP> ok"
+
+
+def test_repetition_metrics_handcheck(spark):
+    # "x y x y x" -> bigrams: "x y","y x","x y","y x" -> top 2 of 4
+    df = spark.createDataFrame([(1, "x y x y x")], "doc_id int, text string")
+    r = wp.repetition_metrics(df, "doc_id", "text").collect()[0]
+    assert r.n_words == 5
+    assert r.n_bigrams == 4 and r.top_bigram_count == 2
+    assert r.top_bigram_frac_e6 == 500000
+    assert r.dup_word_frac_e6 == 599999 or r.dup_word_frac_e6 == 600000  # 1-2/5
