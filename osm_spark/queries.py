@@ -4622,9 +4622,10 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals: duplicate-word fraction
-    (column-only) + top-bigram fraction (one (doc, bigram)-keyed
-    shuffle with map-side partial agg — key space is per-document, so
-    no hot keys at any corpus size)."""
+    + top-bigram fraction.  The bigram key space is per-document, so
+    the frequency argmax is computed IN-ROW (sorted-array max run, see
+    webprep._max_run) — the whole operator is one narrow scan-project
+    with zero shuffles at any corpus size."""
     # seed parquet is a single split; spread before the shingle-heavy
     # stage (same local-mode ergonomic as _docs2 — a real corpus
     # arrives already multi-split and skips this)
