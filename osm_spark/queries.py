@@ -4718,6 +4718,92 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wp.chunk_dedup(docs, "doc_id", "text")
 
 
+@register(
+    "warc_scan",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             text || ' <#' || CAST(doc_id AS VARCHAR) || ' & "tail">' AS rich
+      FROM documents),
+    h AS (
+      SELECT doc_id, rich,
+             '<!DOCTYPE html><html lang="' || lang || '"><head><title>p' ||
+             CAST(doc_id AS VARCHAR) || '</title></head><body><p id="c' ||
+             CAST(doc_id AS VARCHAR) || '">' ||
+             replace(replace(replace(replace(rich,
+                 '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;') ||
+             '</p></body></html>' AS html
+      FROM r)
+    SELECT doc_id,
+           strftime(make_timestamp((1483228800 + doc_id) * 1000000),
+                    '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+           CAST(octet_length(encode(html)) AS BIGINT) AS content_length,
+           CAST(1 AS BIGINT) AS byte_identical,
+           md5(rich) AS text_md5
+    FROM h
+    """,
+)
+def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container source (sources/warc.py — Common Crawl's actual
+    page format, one gzip member per record, offset-splittable exactly
+    like the PBF blob framing in osmpbf/scanner.go): documents render
+    to HTML pages, pack into a .warc.gz with deliberately tiny split
+    ranges so member boundaries cross every task edge, then scan back
+    block-parallel; the extracted text must come back byte-identical
+    per url (joined against the source rows), and WARC-Date /
+    Content-Length must survive the container round trip.  The oracle
+    recomputes every value straight from documents — byte_identical=1
+    IS the asserted invariant (the oracle cannot see the file, so any
+    container corruption reds the hash)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from osm_spark.sources import warc as W
+
+    docs = _t(spark, sf_dir, "documents")
+    rich = _wp.rich_text(F.col("text"), F.col("doc_id"))
+    rendered = (
+        docs.select(
+            "doc_id",
+            _wp.render_html(rich, F.col("doc_id"), F.col("lang")).alias("html"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )  # fixture-sized render (500 rows at sf0.01)
+    records = [
+        W.build_record(
+            payload=bytes(r.html),
+            target_uri=f"https://crawl.example/doc/{r.doc_id}",
+            warc_date_epoch=1483228800 + r.doc_id,
+            record_id=f"<urn:uuid:{r.doc_id:08d}-0000-4000-8000-000000000000>",
+        )
+        for r in rendered
+    ]
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"osm_spark_warc_{key}.warc.gz")
+    W.write_warc(path, records)
+
+    rec = W.read_warc(spark, path, split_bytes=16 << 10)
+    ext = rec.where(F.col("warc_type") == "response").select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        F.col("warc_date"),
+        F.length("payload").cast("long").alias("content_length"),
+        _wp.extract_text(F.col("payload")).alias("x"),
+    )
+    orig = docs.select(
+        "doc_id", _wp.rich_text(F.col("text"), F.col("doc_id")).alias("rich")
+    )
+    return ext.join(orig, "doc_id").select(
+        "doc_id",
+        "warc_date",
+        "content_length",
+        (F.col("x") == F.col("rich")).cast("long").alias("byte_identical"),
+        F.md5("x").alias("text_md5"),
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -4765,7 +4851,6 @@ _DRIVER_WINDOW: list[str] = [
     # dedup / text family
     "dedup_exact",
     "minhash_lsh",
-    "ngram_jaccard",
     "corpus_prep",
     # similarity family
     "embedding_topk",
@@ -4823,6 +4908,10 @@ _DRIVER_WINDOW: list[str] = [
     "quality_repetition",
     "pii_scrub",
     "chunk_dedup",
+    # WARC container source (Common Crawl's page format) — rotated in
+    # against ngram_jaccard (r03-green; text family keeps dedup_exact /
+    # minhash_lsh / corpus_prep / chunk_dedup).
+    "warc_scan",
 ]
 
 

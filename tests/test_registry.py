@@ -52,6 +52,10 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # planet_stats + ids_pack_roundtrip.
     "simhash_neardup", "url_canonical_rollup", "linestring_at",
     "changeset_rollup",
+    # round-4 WARC-source rotation: ngram_jaccard (driver-green in r03)
+    # parked for warc_scan; text family keeps dedup_exact + minhash_lsh
+    # + corpus_prep + chunk_dedup in-window.
+    "ngram_jaccard",
 })
 
 
