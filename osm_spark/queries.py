@@ -4719,6 +4719,86 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "main_content",
+    """
+    WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    pg AS (
+      SELECT doc_id, text,
+             '<header><a href="/">Home</a> <a href="/about">About</a></header>' ||
+             array_to_string(list_transform(range(0, 3), i ->
+                 '<p>' ||
+                 replace(replace(replace(replace(array_to_string(
+                     list_slice(w, CAST(i * ceil(len(w) / 3.0) + 1 AS BIGINT),
+                                CAST((i + 1) * ceil(len(w) / 3.0) AS BIGINT)), ' '),
+                     '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;') ||
+                 '</p>'), '') ||
+             '<footer>Copyright ' || CAST(doc_id % 10 + 2010 AS VARCHAR) ||
+             ' <a href="/tos">Terms</a></footer>' AS html
+      FROM w),
+    bl AS (
+      SELECT doc_id, text, unnest(range(0, len(b))) AS bi, unnest(b) AS raw
+      FROM (SELECT doc_id, text,
+                   regexp_extract_all(html,
+                       '<(?:p|li|div|nav|footer|header|aside)[^>]*>(.*?)</(?:p|li|div|nav|footer|header|aside)>',
+                       1) AS b
+            FROM pg) t
+    ),
+    cl AS (
+      SELECT doc_id, text, bi,
+             replace(replace(replace(replace(
+                 regexp_replace(raw, '<[^>]*>', '', 'g'),
+                 '&quot;', '"'), '&gt;', '>'), '&lt;', '<'), '&amp;', '&') AS txt,
+             list_sum(list_transform(
+                 regexp_extract_all(raw, '<a[^>]*>(.*?)</a>', 1),
+                 a -> length(replace(replace(replace(replace(a,
+                     '&quot;', '"'), '&gt;', '>'), '&lt;', '<'),
+                     '&amp;', '&')))) AS link_chars
+      FROM bl),
+    cf AS (
+      SELECT doc_id, text, bi, txt,
+             (coalesce(link_chars, 0) * 3 < length(txt)
+              AND len(string_split(txt, ' ')) >= 5) AS is_content
+      FROM cl)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(CAST(is_content AS INT)) AS BIGINT) AS n_content_blocks,
+           CAST(coalesce(sum(length(txt)) FILTER (WHERE is_content), 0) AS BIGINT)
+             AS main_chars,
+           CAST(coalesce(sum(length(txt)) FILTER (WHERE NOT is_content), 0)
+             AS BIGINT) AS boiler_chars,
+           md5(coalesce(string_agg(txt, ' ' ORDER BY bi)
+                 FILTER (WHERE is_content), '')) AS main_md5,
+           CAST((coalesce(string_agg(txt, ' ' ORDER BY bi)
+                 FILTER (WHERE is_content), '') = any_value(text)) AS BIGINT)
+             AS main_is_exact
+    FROM cf GROUP BY doc_id
+    """,
+)
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (webprep.main_content): each document is
+    wrapped into a page with a link-dense header, three flat content
+    paragraphs (entity-escaped) and a short footer; block segmentation
+    + per-block link-density classification must keep exactly the
+    content blocks, whose space-joined text is byte-equal to the
+    original document (main_is_exact — honestly 0 for the ~5% of docs
+    whose word count leaves a tail paragraph under MIN_CONTENT_WORDS,
+    which the densitometric rule legitimately drops; both engines must
+    agree on every such row).  One explode + one doc-keyed reassembly
+    shuffle — the chunk_dedup shape at any corpus size."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(32, "doc_id")
+    )
+    pages = docs.select(
+        "doc_id",
+        F.col("text"),
+        _wp.synth_page(F.col("text"), F.col("doc_id")).alias("html"),
+    )
+    return _wp.main_content(pages, "doc_id", F.col("html"), F.col("text"))
+
+
+@register(
     "warc_scan",
     """
     WITH r AS (
@@ -4828,7 +4908,6 @@ _DRIVER_WINDOW: list[str] = [
     "h3_knn",
     # WKB + PIP family (round 2)
     "pip_wkb",
-    "covering_adaptive",
     "pip_cells_adaptive",
     "covering_polygon",          # round 3
     "pip_polygon_covering",      # round 3
@@ -4912,6 +4991,10 @@ _DRIVER_WINDOW: list[str] = [
     # against ngram_jaccard (r03-green; text family keeps dedup_exact /
     # minhash_lsh / corpus_prep / chunk_dedup).
     "warc_scan",
+    # main-content extraction (boilerplate removal) — rotated in
+    # against covering_adaptive (r03-green; covering family keeps
+    # covering_polygon + pip_cells_adaptive + pip_polygon_covering).
+    "main_content",
 ]
 
 

@@ -105,6 +105,124 @@ def extract_text(html_bin) -> Column:
 
 
 # ---------------------------------------------------------------------
+# Main-content extraction (boilerplate removal, block link-density)
+# ---------------------------------------------------------------------
+
+# Flat block-level elements; group 1 is the inner HTML.  Non-greedy,
+# no backreferences or lookarounds, so Java regex (Spark) and RE2
+# (DuckDB) agree byte-for-byte.  Nested block tags match open-to-first-
+# closer (documented limit of a regex segmenter; the page synthesizer
+# emits flat blocks).
+BLOCK_RE = (
+    r"<(?:p|li|div|nav|footer|header|aside)[^>]*>"
+    r"(.*?)"
+    r"</(?:p|li|div|nav|footer|header|aside)>"
+)
+ANCHOR_TEXT_RE = r"<a[^>]*>(.*?)</a>"
+TAG_RE = r"<[^>]*>"
+
+# Kohlschuetter-style densitometric rule, integer-exact so both engines
+# agree: a block is CONTENT iff its anchor-text share is under 1/3 of
+# its visible chars AND it has at least MIN_CONTENT_WORDS words.
+MIN_CONTENT_WORDS = 5
+
+
+def synth_page(text, doc_id, n_paras: int = 3) -> Column:
+    """Deterministic page with real boilerplate around the document
+    text: a link-dense header, the text split into ``n_paras`` flat
+    ``<p>`` blocks (entity-escaped), and a short footer.  Joining the
+    content blocks back with single spaces reconstructs ``text``
+    byte-exactly — that is the operator's provable invariant."""
+    w = words(text)
+    per = F.ceil(F.size(w).cast("double") / float(n_paras)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.lit(n_paras - 1)),
+        lambda i: F.concat(
+            F.lit("<p>"),
+            escape_html(F.array_join(F.slice(w, i * per + 1, per), " ")),
+            F.lit("</p>"),
+        ),
+    )
+    return F.concat(
+        F.lit('<header><a href="/">Home</a> <a href="/about">About</a>'
+              "</header>"),
+        F.array_join(paras, ""),
+        F.lit("<footer>Copyright "),
+        (_c(doc_id) % 10 + 2010).cast("string"),
+        F.lit(' <a href="/tos">Terms</a></footer>'),
+    )
+
+
+def main_content(pages: DataFrame, id_col: str, html_col, text_col=None) -> DataFrame:
+    """Boilerplate removal by block link-density: segment the page into
+    flat blocks, strip tags + unescape per block, classify each block
+    content-vs-boilerplate (anchor-char share < 1/3 AND >=
+    MIN_CONTENT_WORDS words), and reassemble the surviving blocks in
+    document order.
+
+    100 TB shape: one explode + one doc-keyed reassembly shuffle (the
+    same shape as chunk_dedup); all classification math is per-block
+    integer arithmetic, JVM-side.  If ``text_col`` is given, emits
+    ``main_is_exact`` — main text byte-equal to the original.
+    """
+    blocks = pages.select(
+        F.col(id_col),
+        *( [ _c(text_col).alias("__orig") ] if text_col is not None else [] ),
+        F.posexplode(
+            F.regexp_extract_all(_c(html_col), F.lit(BLOCK_RE), F.lit(1))
+        ).alias("bi", "raw"),
+    )
+    txt = unescape_html(F.regexp_replace(F.col("raw"), TAG_RE, ""))
+    link_chars = F.aggregate(
+        F.regexp_extract_all(F.col("raw"), F.lit(ANCHOR_TEXT_RE), F.lit(1)),
+        F.lit(0).cast("long"),
+        lambda acc, a: acc + F.length(unescape_html(a)),
+    )
+    b = blocks.select(
+        F.col(id_col),
+        *( [F.col("__orig")] if text_col is not None else [] ),
+        F.col("bi"),
+        txt.alias("txt"),
+        (
+            (link_chars * 3 < F.length(txt))
+            & (F.size(words(txt)) >= MIN_CONTENT_WORDS)
+        ).alias("is_content"),
+    )
+    main_txt = F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(F.collect_list(F.struct("bi", "txt", "is_content"))),
+                lambda x: x["is_content"],
+            ),
+            lambda x: x["txt"],
+        ),
+        " ",
+    )
+    agg = b.groupBy(id_col, *(["__orig"] if text_col is not None else [])).agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.col("is_content").cast("long")).alias("n_content_blocks"),
+        F.sum(
+            F.when(F.col("is_content"), F.length("txt")).otherwise(0)
+        ).cast("long").alias("main_chars"),
+        F.sum(
+            F.when(~F.col("is_content"), F.length("txt")).otherwise(0)
+        ).cast("long").alias("boiler_chars"),
+        main_txt.alias("__main"),
+    )
+    out = [
+        F.col(id_col), F.col("n_blocks"), F.col("n_content_blocks"),
+        F.col("main_chars"), F.col("boiler_chars"),
+        F.md5("__main").alias("main_md5"),
+    ]
+    if text_col is not None:
+        out.append(
+            (F.col("__main") == F.col("__orig")).cast("long")
+            .alias("main_is_exact")
+        )
+    return agg.select(*out)
+
+
+# ---------------------------------------------------------------------
 # Repetition quality signals (Gopher-style)
 # ---------------------------------------------------------------------
 

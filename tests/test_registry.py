@@ -56,6 +56,10 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # parked for warc_scan; text family keeps dedup_exact + minhash_lsh
     # + corpus_prep + chunk_dedup in-window.
     "ngram_jaccard",
+    # round-4 main-content rotation: covering_adaptive (driver-green in
+    # r03) parked for main_content; covering family keeps
+    # covering_polygon + pip_cells_adaptive + pip_polygon_covering.
+    "covering_adaptive",
 })
 
 

@@ -99,3 +99,55 @@ def test_repetition_metrics_handcheck(spark):
     assert r.n_bigrams == 4 and r.top_bigram_count == 2
     assert r.top_bigram_frac_e6 == 500000
     assert r.dup_word_frac_e6 == 599999 or r.dup_word_frac_e6 == 600000  # 1-2/5
+
+
+# ---------------------------------------------------------------------
+# Main-content extraction (boilerplate removal)
+# ---------------------------------------------------------------------
+
+def test_main_content_reconstructs_text_and_drops_boilerplate(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lam mu nu xi omicron"  # 15 words -> three 5-word paragraphs
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    pages = df.select(
+        "doc_id", "text",
+        wp.synth_page(F.col("text"), F.col("doc_id")).alias("html"),
+    )
+    r = wp.main_content(pages, "doc_id", F.col("html"), F.col("text")).collect()[0]
+    assert r.n_blocks == 5            # header + 3 paras + footer
+    assert r.n_content_blocks == 3
+    assert r.main_is_exact == 1
+    assert r.boiler_chars > 0         # header/footer text was seen and dropped
+
+
+def test_main_content_link_density_rule(spark):
+    # long but link-saturated block must be boilerplate; short plain
+    # block must be boilerplate; long plain block is content
+    linky = "<div>" + " ".join(
+        f'<a href="/{i}">word{i} word{i} word{i}</a>' for i in range(4)
+    ) + "</div>"
+    shorty = "<p>too few words</p>"
+    content = "<p>" + " ".join(f"w{i}" for i in range(12)) + "</p>"
+    df = spark.createDataFrame(
+        [(1, linky + shorty + content)], "doc_id long, html string"
+    )
+    r = wp.main_content(df, "doc_id", F.col("html")).collect()[0]
+    assert r.n_blocks == 3
+    assert r.n_content_blocks == 1
+    assert r.main_chars == len(" ".join(f"w{i}" for i in range(12)))
+
+
+def test_main_content_entity_unescape_in_blocks(spark):
+    body = "an &amp; escaped &lt;tag&gt; with &quot;five&quot; words here"
+    df = spark.createDataFrame([(1, f"<p>{body}</p>")], "doc_id long, html string")
+    r = wp.main_content(df, "doc_id", F.col("html")).collect()[0]
+    assert r.n_content_blocks == 1
+    expected = 'an & escaped <tag> with "five" words here'
+    import hashlib
+    assert r.main_md5 == hashlib.md5(expected.encode()).hexdigest()
+
+
+def test_main_content_no_blocks(spark):
+    df = spark.createDataFrame([(1, "no markup at all")], "doc_id long, html string")
+    out = wp.main_content(df, "doc_id", F.col("html")).collect()
+    assert out == []  # explode of zero blocks -> no group row (documented)
