@@ -4719,6 +4719,133 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "top_terms",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM t GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                     ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+          FROM tf JOIN df USING (term))
+    SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df
+    FROM r WHERE rank <= 3
+    """,
+)
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 salient terms (webprep.term_counts + top_terms):
+    TF-IDF-style ranking made integer-exact — (tf desc, df asc, term
+    asc) instead of a float tf*log(N/df) score, the same order for any
+    monotone idf and bit-reproducible in both engines.  Document
+    frequencies aggregate from the persisted (doc, term) counts and
+    broadcast back; the top-k window shuffles on doc_id only."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(32, "doc_id")
+    )
+    tf = _persist(_wp.term_counts(docs, "doc_id", "text"))
+    return _wp.top_terms(tf, "doc_id", k=3)
+
+
+@register(
+    "robots_filter",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             lower(source) || '.example.com' AS host,
+             CASE doc_id % 5
+               WHEN 0 THEN '/p' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '/private/ok' || CAST(doc_id AS VARCHAR)
+               WHEN 3 THEN '/data' || CAST(doc_id AS VARCHAR) || '.zip'
+               ELSE '/tmp/' || CAST(doc_id AS VARCHAR) || '/file'
+             END AS path
+      FROM documents)
+    SELECT doc_id, host, path,
+           CAST(CASE doc_id % 5
+             WHEN 0 THEN 1
+             WHEN 1 THEN CASE WHEN length(host) % 2 = 0 THEN 1 ELSE 0 END
+             WHEN 2 THEN 1
+             WHEN 3 THEN 0
+             ELSE 0
+           END AS BIGINT) AS allowed,
+           CASE doc_id % 5
+             WHEN 0 THEN NULL
+             WHEN 1 THEN '/private/'
+             WHEN 2 THEN '/private/ok*'
+             WHEN 3 THEN '/*.zip$'
+             ELSE '/tmp*'
+           END AS matched,
+           CAST(0 AS BIGINT) AS gptbot_allowed
+    FROM u
+    """,
+)
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl-policy gate (text/robots.py): per-host robots
+    files (a gptbot deny-all group and a ``*`` group with prefix,
+    wildcard and $-anchored rules — even-length hosts add a tie-making
+    ``Allow: /private/``) parse via the windowed group-propagation
+    pass, and five deterministic path shapes per doc evaluate under RFC
+    9309 longest-match + Allow-wins-ties for two different agents.  The
+    oracle derives every expected decision in CLOSED FORM from doc_id
+    and host parity — fully independent of the parser, so any parse or
+    precedence defect reds the hash.  Rules broadcast; the page side
+    takes zero shuffles."""
+    from osm_spark.text import robots as _rb
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lower("source"), F.lit(".example.com"))
+    ds = d.cast("string")
+    path = (
+        F.when(d % 5 == 0, F.concat(F.lit("/p"), ds))
+        .when(d % 5 == 1, F.concat(F.lit("/private/x"), ds))
+        .when(d % 5 == 2, F.concat(F.lit("/private/ok"), ds))
+        .when(d % 5 == 3, F.concat(F.lit("/data"), ds, F.lit(".zip")))
+        .otherwise(F.concat(F.lit("/tmp/"), ds, F.lit("/file")))
+    )
+    urls = docs.select(d.alias("doc_id"), host.alias("host"), path.alias("path"))
+    base = (
+        "# crawl policy\n"
+        "User-agent: gptbot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok*\n"
+        "Disallow: /*.zip$\n"
+        "Disallow: /tmp*\n"
+    )
+    files = (
+        docs.select(host.alias("host"))
+        .distinct()
+        .select(
+            "host",
+            F.concat(
+                F.lit(base),
+                F.when(F.length("host") % 2 == 0, F.lit("Allow: /private/\n"))
+                .otherwise(F.lit("")),
+            ).alias("txt"),
+        )
+    )
+    rules = _rb.parse_robots(files, "host", "txt")
+    cc = _rb.robots_eval(urls, rules, agent="ccbot")
+    gp = _rb.robots_eval(urls.select("doc_id", "host", "path"), rules,
+                         agent="gptbot").select(
+        "doc_id", F.col("allowed").alias("g_allowed")
+    )
+    return cc.join(gp, "doc_id").select(
+        "doc_id", "host", "path",
+        F.col("allowed").cast("long").alias("allowed"),
+        F.col("matched"),
+        F.col("g_allowed").cast("long").alias("gptbot_allowed"),
+    )
+
+
+@register(
     "main_content",
     """
     WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
@@ -4798,6 +4925,42 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wp.main_content(pages, "doc_id", F.col("html"), F.col("text"))
 
 
+def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Render every document into an HTML page and pack the pages into
+    a deterministic `.warc.gz` (one gzip member per record — the Common
+    Crawl layout).  Shared by the warc_scan and warc_cdx_fetch queries;
+    the write is atomic per sf_dir key."""
+    import hashlib
+    import os
+    import tempfile
+
+    from osm_spark.sources import warc as W
+
+    docs = _t(spark, sf_dir, "documents")
+    rich = _wp.rich_text(F.col("text"), F.col("doc_id"))
+    rendered = (
+        docs.select(
+            "doc_id",
+            _wp.render_html(rich, F.col("doc_id"), F.col("lang")).alias("html"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )  # fixture-sized render (500 rows at sf0.01)
+    records = [
+        W.build_record(
+            payload=bytes(r.html),
+            target_uri=f"https://crawl.example/doc/{r.doc_id}",
+            warc_date_epoch=1483228800 + r.doc_id,
+            record_id=f"<urn:uuid:{r.doc_id:08d}-0000-4000-8000-000000000000>",
+        )
+        for r in rendered
+    ]
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"osm_spark_warc_{key}.warc.gz")
+    W.write_warc(path, records)
+    return path
+
+
 @register(
     "warc_scan",
     """
@@ -4835,35 +4998,10 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes every value straight from documents — byte_identical=1
     IS the asserted invariant (the oracle cannot see the file, so any
     container corruption reds the hash)."""
-    import hashlib
-    import os
-    import tempfile
-
     from osm_spark.sources import warc as W
 
     docs = _t(spark, sf_dir, "documents")
-    rich = _wp.rich_text(F.col("text"), F.col("doc_id"))
-    rendered = (
-        docs.select(
-            "doc_id",
-            _wp.render_html(rich, F.col("doc_id"), F.col("lang")).alias("html"),
-        )
-        .orderBy("doc_id")
-        .collect()
-    )  # fixture-sized render (500 rows at sf0.01)
-    records = [
-        W.build_record(
-            payload=bytes(r.html),
-            target_uri=f"https://crawl.example/doc/{r.doc_id}",
-            warc_date_epoch=1483228800 + r.doc_id,
-            record_id=f"<urn:uuid:{r.doc_id:08d}-0000-4000-8000-000000000000>",
-        )
-        for r in rendered
-    ]
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"osm_spark_warc_{key}.warc.gz")
-    W.write_warc(path, records)
-
+    path = _warc_fixture(spark, sf_dir)
     rec = W.read_warc(spark, path, split_bytes=16 << 10)
     ext = rec.where(F.col("warc_type") == "response").select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
@@ -4881,6 +5019,81 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_length",
         (F.col("x") == F.col("rich")).cast("long").alias("byte_identical"),
         F.md5("x").alias("text_md5"),
+    )
+
+
+@register(
+    "warc_cdx_fetch",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             text || ' <#' || CAST(doc_id AS VARCHAR) || ' & "tail">' AS rich
+      FROM documents WHERE doc_id % 7 = 0),
+    h AS (
+      SELECT doc_id, rich,
+             '<!DOCTYPE html><html lang="' || lang || '"><head><title>p' ||
+             CAST(doc_id AS VARCHAR) || '</title></head><body><p id="c' ||
+             CAST(doc_id AS VARCHAR) || '">' ||
+             replace(replace(replace(replace(rich,
+                 '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;') ||
+             '</p></body></html>' AS html
+      FROM r)
+    SELECT doc_id,
+           CAST(octet_length(encode(html)) AS BIGINT) AS content_length,
+           CAST(1 AS BIGINT) AS digest_match,
+           CAST(1 AS BIGINT) AS byte_identical,
+           md5(rich) AS text_md5
+    FROM h
+    """,
+)
+def q_warc_cdx_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-indexed random access into the WARC container
+    (sources/warc.py cdx_index + read_warc_at — Common Crawl's actual
+    consumption pattern: one full scan builds the capture index, then
+    consumers pread single records by byte offset without scanning):
+    the offsets scan indexes every record, every 7th document's record
+    is fetched back via seek+read of exactly its member bytes, and the
+    fetched payload must (a) hash-match the index digest recorded by
+    the INDEPENDENT full-scan decode and (b) extract to text
+    byte-identical to the source row.  The oracle recomputes the
+    expected lengths/hashes in closed form from documents — offsets
+    are physical and never surface in the compared frame."""
+    from osm_spark.sources import warc as W
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _warc_fixture(spark, sf_dir)
+    idx = _persist(
+        W.cdx_index(W.read_warc(spark, path, split_bytes=32 << 10,
+                                with_offsets=True))
+        .withColumn(
+            "doc_id",
+            F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long"),
+        )
+    )
+    pick = idx.where(F.col("doc_id") % 7 == 0)
+    fetched = W.read_warc_at(spark, path, pick)
+    ext = fetched.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        F.col("member_offset").alias("offset"),
+        F.length("payload").cast("long").alias("content_length"),
+        F.md5("payload").alias("fetched_digest"),
+        _wp.extract_text(F.col("payload")).alias("x"),
+    )
+    orig = docs.select(
+        "doc_id", _wp.rich_text(F.col("text"), F.col("doc_id")).alias("rich")
+    )
+    return (
+        ext.join(pick.select("doc_id", "offset", "digest"), ["doc_id", "offset"])
+        .join(orig, "doc_id")
+        .select(
+            "doc_id",
+            "content_length",
+            (F.col("fetched_digest") == F.col("digest")).cast("long")
+            .alias("digest_match"),
+            (F.col("x") == F.col("rich")).cast("long").alias("byte_identical"),
+            F.md5("x").alias("text_md5"),
+        )
     )
 
 
@@ -4907,7 +5120,6 @@ _DRIVER_WINDOW: list[str] = [
     "h3_assign",
     "h3_knn",
     # WKB + PIP family (round 2)
-    "pip_wkb",
     "pip_cells_adaptive",
     "covering_polygon",          # round 3
     "pip_polygon_covering",      # round 3
@@ -4915,13 +5127,11 @@ _DRIVER_WINDOW: list[str] = [
     "geojson_convert",
     "geojson_way_features",
     # geometry family
-    "way_linestring",
     "multipolygon_assembly",
     # temporal / history family
     "asof_annotate",
     "relation_annotate",
     "history_at",                # round 3
-    "osmapi_fetch",              # round 3
     # ids / stats family
     "ids_pack_roundtrip",
     "planet_stats",
@@ -4995,6 +5205,18 @@ _DRIVER_WINDOW: list[str] = [
     # against covering_adaptive (r03-green; covering family keeps
     # covering_polygon + pip_cells_adaptive + pip_polygon_covering).
     "main_content",
+    # salient terms (integer-exact TF-IDF ranking) — rotated in against
+    # pip_wkb (r03-green; the PIP family keeps pip_cells_adaptive +
+    # pip_polygon_covering in-window).
+    "top_terms",
+    # robots.txt crawl-policy gate — rotated in against osmapi_fetch
+    # (r03-green; osmapi family keeps osmapi_notes +
+    # changeset_feed_parse in-window).
+    "robots_filter",
+    # CDX-indexed WARC random access — rotated in against
+    # way_linestring (r03-green; the way-geometry path stays exercised
+    # by multipolygon_assembly and the flagship pipeline).
+    "warc_cdx_fetch",
 ]
 
 

@@ -57,6 +57,9 @@ WARC_SCHEMA = (
     "warc_date string, content_type string, content_length long, "
     "payload binary"
 )
+# with_offsets=True adds the CDX columns (member byte position/size in
+# the container — what Common Crawl's cdx index stores per capture).
+WARC_OFFSET_SCHEMA = WARC_SCHEMA + ", member_offset long, member_size long"
 
 
 # ---------------------------------------------------------------------
@@ -159,7 +162,9 @@ def _iter_plain(buf: bytes):
             if k.strip().lower() == b"content-length":
                 n = int(v)
         end = head_end + 4 + n + 4
-        yield parse_record(buf[pos:end])
+        rec = parse_record(buf[pos:end])
+        rec["member_offset"], rec["member_size"] = pos, end - pos
+        yield rec
         pos = end
 
 
@@ -194,15 +199,19 @@ def read_warc(
     path: str,
     split_bytes: int = 64 << 20,
     read_step: int = 1 << 20,
+    with_offsets: bool = False,
 ) -> DataFrame:
-    """Block-parallel WARC scan -> DataFrame with :data:`WARC_SCHEMA`.
+    """Block-parallel WARC scan -> DataFrame with :data:`WARC_SCHEMA`
+    (or :data:`WARC_OFFSET_SCHEMA` when ``with_offsets``, adding each
+    record's gzip-member byte position/size — the CDX index columns).
 
     ``.warc.gz`` (member-per-record) splits into ``split_bytes`` byte
     ranges; a task owns every gzip member whose start offset falls in
     its range (verified by inflate + ``WARC/`` prefix), walking
     member-to-member via the inflater's consumed-byte count and reading
     past its range end only to finish the last owned member.  Plain
-    ``.warc`` scans as one split (see module contract).
+    ``.warc`` scans as one split (see module contract; offsets there
+    are the record's byte span in the uncompressed file).
     """
     size = os.path.getsize(path)
     is_gz = path.endswith(".gz")
@@ -253,18 +262,75 @@ def read_warc(
                         if got is None:
                             break
                         plain, consumed = got
-                        rows.append(parse_record(plain))
+                        rec = parse_record(plain)
+                        rec["member_offset"], rec["member_size"] = off, consumed
+                        rows.append(rec)
                         off += consumed
             if rows:
-                yield pd.DataFrame(
-                    rows,
-                    columns=[
-                        "warc_type", "record_id", "target_uri", "warc_date",
-                        "content_type", "content_length", "payload",
-                    ],
-                )
+                yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(gen, schema=WARC_SCHEMA)
+    cols = [
+        "warc_type", "record_id", "target_uri", "warc_date",
+        "content_type", "content_length", "payload",
+    ]
+    if with_offsets:
+        cols += ["member_offset", "member_size"]
+    return df.mapInPandas(
+        gen, schema=WARC_OFFSET_SCHEMA if with_offsets else WARC_SCHEMA
+    )
+
+
+def cdx_index(records: DataFrame) -> DataFrame:
+    """CDX-style capture index from a ``with_offsets`` scan: one row
+    per record — (url, warc_date, offset, length, digest).  This is the
+    Common Crawl access pattern: the index is built once by a full
+    scan, then consumers pread single records by offset without ever
+    scanning the container again (:func:`read_warc_at`)."""
+    return records.select(
+        F.col("target_uri").alias("url"),
+        F.col("warc_date"),
+        F.col("member_offset").alias("offset"),
+        F.col("member_size").alias("length"),
+        F.md5(F.col("payload")).alias("digest"),
+    )
+
+
+def read_warc_at(spark: SparkSession, path: str, index: DataFrame) -> DataFrame:
+    """Random access: decode ONLY the records named by the index's
+    (offset, length) rows — each task preads exactly its members'
+    byte ranges (one seek+read per record, zero container scanning).
+    Output schema = :data:`WARC_OFFSET_SCHEMA`."""
+    is_gz = path.endswith(".gz")
+    sel = index.select(
+        F.col("offset").cast("long").alias("offset"),
+        F.col("length").cast("long").alias("length"),
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        with open(path, "rb") as f:
+            for pdf in batches:
+                rows: list[dict] = []
+                for off, ln in zip(pdf["offset"], pdf["length"]):
+                    f.seek(int(off))
+                    buf = f.read(int(ln))
+                    plain = gzip.decompress(buf) if is_gz else buf
+                    rec = parse_record(plain)
+                    rec["member_offset"] = int(off)
+                    rec["member_size"] = int(ln)
+                    rows.append(rec)
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=[
+                            "warc_type", "record_id", "target_uri",
+                            "warc_date", "content_type", "content_length",
+                            "payload", "member_offset", "member_size",
+                        ],
+                    )
+
+    return sel.mapInPandas(gen, schema=WARC_OFFSET_SCHEMA)
 
 
 def pages_from_warc(records: DataFrame) -> DataFrame:

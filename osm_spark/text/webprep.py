@@ -289,6 +289,52 @@ def repetition_metrics(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------
+# Salient terms (TF-IDF-style, integer-exact ranking)
+# ---------------------------------------------------------------------
+
+def term_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, term, tf) — one explode + one (doc, term)-keyed count with
+    map-side partial agg.  Callers persist this when feeding both
+    :func:`top_terms` stages (it is consumed twice: per-doc and for
+    document frequencies)."""
+    return (
+        docs.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def top_terms(tf: DataFrame, id_col: str, k: int = 3) -> DataFrame:
+    """Per-doc top-``k`` salient terms, TF-IDF-style but with an
+    INTEGER-EXACT ordering both engines reproduce bit-for-bit: rank by
+    (tf desc, df asc, term asc) — high in-doc frequency, low corpus
+    frequency, lexicographic tiebreak — instead of a float
+    ``tf*log(N/df)`` score (transcendental cross-engine parity is
+    exactly the trap the repo's float-parity rules exist to avoid; the
+    ordering is the same for any monotone idf).
+
+    100 TB shape: document frequencies aggregate from the (doc, term)
+    counts (vocab-sized output) and BROADCAST back; the top-k window
+    shuffles on doc_id only."""
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    j = tf.join(F.broadcast(df_), "term")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("term"),
+            F.col("tf"),
+            F.col("df"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
 # PII scrub
 # ---------------------------------------------------------------------
 

@@ -60,6 +60,16 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # r03) parked for main_content; covering family keeps
     # covering_polygon + pip_cells_adaptive + pip_polygon_covering.
     "covering_adaptive",
+    # round-4 top_terms / robots_filter rotations: pip_wkb and
+    # osmapi_fetch (both driver-green in r03) parked; the PIP family
+    # keeps pip_cells_adaptive + pip_polygon_covering (+ wkb_roundtrip
+    # for the codec), the osmapi family keeps osmapi_notes +
+    # changeset_feed_parse.
+    "pip_wkb", "osmapi_fetch",
+    # round-4 warc_cdx_fetch rotation: way_linestring (driver-green in
+    # r03) parked; way-geometry resolution stays exercised by
+    # multipolygon_assembly and the flagship tile pipeline.
+    "way_linestring",
 })
 
 

@@ -158,3 +158,47 @@ def test_inflate_member_rejects_false_magic(tmp_path):
 def test_parse_record_rejects_non_warc():
     with pytest.raises(ValueError):
         W.parse_record(b"HTTP/1.1 200 OK\r\n\r\n")
+
+
+# ---------------------------------------------------------------------
+# CDX offsets + random access
+# ---------------------------------------------------------------------
+
+def test_read_warc_with_offsets_gz(spark, tmp_path):
+    path = str(tmp_path / "t.warc.gz")
+    W.write_warc(path, _mk_records(10))
+    df = W.read_warc(spark, path, split_bytes=512, with_offsets=True)
+    rows = sorted(df.collect(), key=lambda r: r.member_offset)
+    assert len(rows) == 10
+    assert rows[0].member_offset == 0
+    # members tile the file exactly: offsets are cumulative sizes
+    for a, b in zip(rows, rows[1:]):
+        assert b.member_offset == a.member_offset + a.member_size
+    assert rows[-1].member_offset + rows[-1].member_size == os.path.getsize(path)
+
+
+def test_read_warc_at_fetches_exact_records(spark, tmp_path):
+    path = str(tmp_path / "t.warc.gz")
+    W.write_warc(path, _mk_records(20))
+    idx = W.cdx_index(W.read_warc(spark, path, with_offsets=True))
+    pick = idx.where(idx.url.isin(
+        "https://crawl.example/doc/3", "https://crawl.example/doc/17"))
+    got = W.read_warc_at(spark, path, pick).collect()
+    assert sorted(r.target_uri for r in got) == [
+        "https://crawl.example/doc/17", "https://crawl.example/doc/3"]
+    by = {r.target_uri: r for r in got}
+    assert bytes(by["https://crawl.example/doc/3"].payload) == b"<html>page 3</html>"
+    # digest recorded by the scan == digest of the pread bytes
+    import hashlib
+    d = {r.url: r.digest for r in pick.collect()}
+    for r in got:
+        assert hashlib.md5(bytes(r.payload)).hexdigest() == d[r.target_uri]
+
+
+def test_read_warc_at_plain_file(spark, tmp_path):
+    path = str(tmp_path / "t.warc")
+    W.write_warc(path, _mk_records(6), gzip_records=False)
+    idx = W.cdx_index(W.read_warc(spark, path, with_offsets=True))
+    got = W.read_warc_at(spark, path, idx.limit(6)).collect()
+    assert sorted(r.target_uri for r in got) == sorted(
+        f"https://crawl.example/doc/{i}" for i in range(6))

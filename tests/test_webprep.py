@@ -151,3 +151,43 @@ def test_main_content_no_blocks(spark):
     df = spark.createDataFrame([(1, "no markup at all")], "doc_id long, html string")
     out = wp.main_content(df, "doc_id", F.col("html")).collect()
     assert out == []  # explode of zero blocks -> no group row (documented)
+
+
+# ---------------------------------------------------------------------
+# Salient terms (integer-exact TF-IDF ranking)
+# ---------------------------------------------------------------------
+
+def test_top_terms_ordering_and_broadcast_df(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple common rare common"),
+            (2, "common common banana banana banana rare"),
+            (3, "common rare cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    tf = wp.term_counts(docs, "doc_id", "text")
+    out = wp.top_terms(tf, "doc_id", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.tf, r.df))
+    for v in by_doc.values():
+        v.sort()
+    # doc 1: apple tf=3 (df=1) then common tf=2 (df=3)
+    assert by_doc[1] == [(1, "apple", 3, 1), (2, "common", 2, 3)]
+    # doc 2: banana tf=3 beats common tf=2
+    assert by_doc[2] == [(1, "banana", 3, 1), (2, "common", 2, 3)]
+    # doc 3: all tf=1 -> df asc breaks the tie (cherry df=1, rare df=3)
+    assert by_doc[3][0][1] == "cherry"
+
+
+def test_top_terms_tie_breaks_are_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a c"), (2, "a b c")], "doc_id long, text string"
+    )
+    tf = wp.term_counts(docs, "doc_id", "text")
+    out = wp.top_terms(tf, "doc_id", k=3).collect()
+    for doc in (1, 2):
+        terms = [r.term for r in sorted(out, key=lambda r: r.rank)
+                 if r.doc_id == doc]
+        assert terms == ["a", "b", "c"]  # (tf, df) equal -> term asc
