@@ -4925,6 +4925,81 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wp.main_content(pages, "doc_id", F.col("html"), F.col("text"))
 
 
+def _pagerank_oracle_sql(iters: int = 4) -> str:
+    """Chained-CTE DuckDB twin of plans/pagerank.py pagerank_int: the
+    edge formula in closed form (independent of the Spark side's html
+    link EXTRACTION), then ``iters`` integer-exact steps — `//` in
+    DuckDB and `DIV` in Spark both floor for the all-positive scores,
+    so the fixed point matches bit-for-bit."""
+    parts = ["""
+    WITH n AS (SELECT doc_id FROM documents),
+    cnt AS (SELECT count(*) AS c FROM documents),
+    e AS (
+      SELECT doc_id AS src,
+             (doc_id * 7 + 3) % (SELECT c FROM cnt) AS dst FROM documents
+      UNION ALL
+      SELECT doc_id AS src,
+             (doc_id * 13 + 5) % (SELECT c FROM cnt) AS dst FROM documents),
+    od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS indeg FROM e GROUP BY dst),
+    pr0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS pr FROM n)"""]
+    for k in range(iters):
+        parts.append(f""",
+    c{k} AS (SELECT e.dst AS node, pr{k}.pr // od.outdeg AS c
+             FROM e JOIN pr{k} ON e.src = pr{k}.node
+                    JOIN od ON od.src = e.src),
+    s{k} AS (SELECT node, sum(c) AS s FROM c{k} GROUP BY node),
+    pr{k + 1} AS (SELECT n.doc_id AS node,
+                      CAST(150000 + (85 * coalesce(s{k}.s, 0)) // 100 AS BIGINT)
+                        AS pr
+                  FROM n LEFT JOIN s{k} ON s{k}.node = n.doc_id)""")
+    parts.append(f"""
+    SELECT pr{iters}.node AS doc_id, pr{iters}.pr AS pr,
+           CAST(coalesce(ind.indeg, 0) AS BIGINT) AS indeg
+    FROM pr{iters} LEFT JOIN ind ON ind.dst = pr{iters}.node""")
+    return "".join(parts)
+
+
+@register("link_pagerank", _pagerank_oracle_sql(4))
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (plans/pagerank.py): every document renders
+    into a page with two deterministic outlinks, the edge list is
+    EXTRACTED from the html (column regex + explode — any extraction
+    defect changes the graph and reds the hash against the oracle's
+    closed-form edges), and four scaled-integer PageRank steps
+    propagate over it — one join + one node-keyed aggregation per
+    step, integer DIV throughout so both engines hit the identical
+    fixed point.  The iterative analogue of the reference's child-first
+    relation-DAG ordering (plans/iterate.py)."""
+    from osm_spark.plans import pagerank as _pg
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    d = F.col("doc_id")
+    t1 = ((d * 7 + 3) % n_docs).cast("string")
+    t2 = ((d * 13 + 5) % n_docs).cast("string")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body><nav><a href="/doc/'), t1,
+            F.lit('">n1</a> <a href="/doc/'), t2,
+            F.lit('">n2</a></nav><p>'), F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    edges = _persist(_pg.extract_links(pages, "doc_id", "html"))
+    pr = _pg.pagerank_int(docs, edges, "doc_id", iters=4,
+                          persist_fn=_persist)
+    indeg = edges.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("long").alias("indeg")
+    )
+    return pr.join(indeg, pr["node"] == indeg["dst"], "left").select(
+        F.col("node").alias("doc_id"),
+        F.col("pr"),
+        F.coalesce("indeg", F.lit(0)).cast("long").alias("indeg"),
+    )
+
+
 def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Render every document into an HTML page and pack the pages into
     a deterministic `.warc.gz` (one gzip member per record — the Common
@@ -5138,7 +5213,6 @@ _DRIVER_WINDOW: list[str] = [
     # PBF wire format (round 3)
     "pbf_scan",
     # dedup / text family
-    "dedup_exact",
     "minhash_lsh",
     "corpus_prep",
     # similarity family
@@ -5217,6 +5291,10 @@ _DRIVER_WINDOW: list[str] = [
     # way_linestring (r03-green; the way-geometry path stays exercised
     # by multipolygon_assembly and the flagship pipeline).
     "warc_cdx_fetch",
+    # link-graph PageRank — rotated in against dedup_exact (r03-green;
+    # exact-dedup semantics stay exercised in-window by chunk_dedup's
+    # digest-keyed first-occurrence keep and corpus_prep).
+    "link_pagerank",
 ]
 
 

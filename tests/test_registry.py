@@ -70,6 +70,10 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # r03) parked; way-geometry resolution stays exercised by
     # multipolygon_assembly and the flagship tile pipeline.
     "way_linestring",
+    # round-4 link_pagerank rotation: dedup_exact (driver-green in r03)
+    # parked; exact dedup stays exercised in-window by chunk_dedup and
+    # corpus_prep.
+    "dedup_exact",
 })
 
 
