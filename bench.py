@@ -361,6 +361,137 @@ def _make_bench_planet(n_blocks: int, per_block: int) -> tuple[str, int]:
     return path, n_elements
 
 
+WARC_MEMBERS = 1 << 20  # 1M pages ≈ 300 MB .warc.gz
+
+
+def _make_bench_warc(n_members: int) -> tuple[str, int]:
+    """Synthetic Common-Crawl-style .warc.gz (one gzip member per
+    record) for the page-ingest-rate bench, cached in /tmp.
+
+    1024 DISTINCT members (LCG-scrambled word payloads so zlib sees
+    realistic entropy) tile to n_members — decode work is identical per
+    member regardless of content, so tiling scales the corpus without
+    scaling the one-time encode."""
+    import tempfile
+
+    from osm_spark.sources import warc as W
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"osm_spark_bench_warc_{n_members}.warc.gz"
+    )
+    if os.path.exists(path):
+        return path, n_members
+
+    import gzip as _gzip
+
+    distinct = min(1024, n_members)
+    x = 88172645463325252
+
+    def rnd(mod):
+        nonlocal x
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return (x >> 17) % mod
+
+    members = []
+    for i in range(distinct):
+        body = " ".join(f"w{rnd(99991)}" for _ in range(40))
+        html = (
+            f'<!DOCTYPE html><html lang="en"><head><title>p{i}</title>'
+            f'</head><body><p id="c{i}">{body}</p></body></html>'
+        ).encode()
+        rec = W.build_record(
+            payload=html,
+            target_uri=f"https://crawl.example/doc/{i}",
+            warc_date_epoch=1483228800 + i,
+            record_id=f"<urn:uuid:{i:08d}-0000-4000-8000-000000000000>",
+        )
+        members.append(_gzip.compress(rec, compresslevel=6, mtime=0))
+    blob = b"".join(members)
+    reps, rem = divmod(n_members, distinct)
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        for _ in range(reps):
+            f.write(blob)
+        f.write(b"".join(members[:rem]))
+    os.replace(tmp, path)
+    return path, n_members
+
+
+def _warc_child(cpus: str) -> None:
+    """Fresh JVM: block-parallel WARC page-ingest rate over the cached
+    synthetic crawl — the webtext counterpart of the PBF decode bench.
+    Two numbers: full record decode (gzip member walk + header parse +
+    payload materialization, count+sum so every row crosses into the
+    plan) and end-to-end page ingest (decode + html->text extraction,
+    the north-rule input path).  Best of 3 after 2 warm-ups."""
+    import pyspark.sql.functions as F
+
+    from osm_spark.session import get_spark
+    from osm_spark.sources.warc import pages_from_warc, read_warc
+    from osm_spark.text.webprep import extract_text
+
+    path, n_members = _make_bench_warc(WARC_MEMBERS)
+    spark = get_spark(
+        "bench-warc", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    split = max(os.path.getsize(path) // (int(cpus) * 3), 1 << 20)
+
+    def run_decode() -> tuple[float, int]:
+        t0 = time.time()
+        row = (
+            read_warc(spark, path, split_bytes=split)
+            .agg(F.count("*").alias("n"), F.sum("content_length").alias("s"))
+            .collect()[0]
+        )
+        return time.time() - t0, row["n"]
+
+    def run_extract() -> tuple[float, int]:
+        t0 = time.time()
+        pages = pages_from_warc(read_warc(spark, path, split_bytes=split))
+        row = (
+            pages.select(extract_text(F.col("html")).alias("x"))
+            .agg(F.count("*").alias("n"), F.sum(F.length("x")).alias("s"))
+            .collect()[0]
+        )
+        return time.time() - t0, row["n"]
+
+    run_decode()
+    run_decode()
+    best = None
+    n = 0
+    for _ in range(3):
+        sec, n = run_decode()
+        best = sec if best is None or sec < best else best
+    assert n == n_members, (n, n_members)
+    best_ex = None
+    for _ in range(3):
+        sec, n2 = run_extract()
+        best_ex = sec if best_ex is None or sec < best_ex else best_ex
+        assert n2 == n_members
+
+    def run_pruned() -> tuple[float, int]:
+        t0 = time.time()
+        row = (
+            read_warc(spark, path, split_bytes=split,
+                      columns=("target_uri", "content_length"))
+            .agg(F.count("*").alias("n"), F.sum("content_length").alias("s"))
+            .collect()[0]
+        )
+        return time.time() - t0, row["n"]
+
+    best_pr = None
+    for _ in range(3):
+        sec, n3 = run_pruned()
+        best_pr = sec if best_pr is None or sec < best_pr else best_pr
+        assert n3 == n_members
+    print(json.dumps({
+        "which": "warc", "sec": round(best, 3),
+        "sec_extract": round(best_ex, 3),
+        "sec_pruned": round(best_pr, 3), "pages": n_members,
+    }))
+
+
 def _pbf_child(cpus: str) -> None:
     """Fresh JVM: block-parallel PBF node decode rate over the cached
     synthetic planet — the one number directly comparable to the
@@ -478,6 +609,36 @@ def run_default() -> None:
         )
     times["pbf_decode"] = pbf_sec
 
+    # WARC page-ingest rate: fresh JVM, best of 2 children (the webtext
+    # counterpart of the PBF number — container decode + text extract)
+    warc_sec = None
+    warc_extract = None
+    warc_pruned = None
+    warc_pages = 0
+    for _ in range(2):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--warc-child", CPUS],
+            capture_output=True, text=True, timeout=1800,
+            env={**os.environ},
+        )
+        line = [
+            l for l in out.stdout.strip().splitlines() if l.startswith("{")
+        ][-1]
+        r = json.loads(line)
+        warc_pages = r["pages"]
+        warc_sec = r["sec"] if warc_sec is None or r["sec"] < warc_sec else warc_sec
+        warc_extract = (
+            r["sec_extract"]
+            if warc_extract is None or r["sec_extract"] < warc_extract
+            else warc_extract
+        )
+        warc_pruned = (
+            r["sec_pruned"]
+            if warc_pruned is None or r["sec_pruned"] < warc_pruned
+            else warc_pruned
+        )
+    times["warc_decode"] = warc_sec
+
     # flagships measure in FRESH JVMs (see _flagship_child docstring)
     flagship_jvms = 3
     flagship_sec, n_pages = _run_flagship_fresh("tile", jvms=flagship_jvms)
@@ -501,6 +662,14 @@ def run_default() -> None:
                     pbf_elements / pbf_pruned, 1
                 ),
                 "pbf_elements": pbf_elements,
+                "warc_pages_per_sec": round(warc_pages / warc_sec, 1),
+                "warc_extract_pages_per_sec": round(
+                    warc_pages / warc_extract, 1
+                ),
+                "warc_pruned_pages_per_sec": round(
+                    warc_pages / warc_pruned, 1
+                ),
+                "warc_pages": warc_pages,
                 "hex_pages_per_sec": round(hex_pages / hex_sec, 1),
                 "flagship_pages": n_pages,
                 "cpus": int(CPUS),
@@ -754,5 +923,7 @@ if __name__ == "__main__":
         _queries_child(sys.argv[2].split(","))
     elif len(sys.argv) > 1 and sys.argv[1] == "--pbf-child":
         _pbf_child(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--warc-child":
+        _warc_child(sys.argv[2])
     else:
         run_default()

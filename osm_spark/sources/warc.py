@@ -190,9 +190,86 @@ def _inflate_member(f, offset: int, read_step: int) -> tuple[bytes, int] | None:
         consumed += len(chunk)
 
 
+_FEED = 64 << 10  # bytes fed to the inflater per call while walking
+
+
+def _walk_members_buffered(f, start: int, end: int, read_step: int):
+    """Yield ``(abs_offset, member_size, plaintext)`` for every gzip
+    member STARTING in ``[start, end)``, reading the split's byte range
+    exactly once (plus a bounded overrun to finish the last owned
+    member) — linear I/O regardless of member count.
+
+    The first member start is found by magic-candidate scan + inflate
+    verification; subsequent starts come from the inflater's consumed
+    byte counts, so verification never repeats."""
+    f.seek(start)
+    # +2 so a member whose start is just before `end` still exposes its
+    # full 3-byte magic for detection (ownership stays start-offset<end)
+    data = bytearray(f.read(end - start + 2))
+
+    def _extend() -> bool:
+        more = f.read(read_step)
+        if not more:
+            return False
+        data.extend(more)
+        return True
+
+    def _inflate_at(pos: int):
+        """(plaintext, consumed) for a member at pos, or None."""
+        d = zlib.decompressobj(wbits=31)
+        out = bytearray()
+        i = pos
+        while True:
+            if i >= len(data) and not _extend():
+                return None  # truncated
+            chunk = bytes(memoryview(data)[i:i + _FEED])
+            try:
+                out += d.decompress(chunk)
+            except zlib.error:
+                return None
+            i += len(chunk)
+            if d.eof:
+                return bytes(out), i - pos - len(d.unused_data)
+
+    # locate the first VERIFIED member start at/after `start`
+    pos, found = 0, False
+    while start + pos < end:
+        hit = data.find(_GZ_MAGIC, pos)
+        if hit == -1 or start + hit >= end:
+            return
+        got = _inflate_at(hit)
+        if got is not None and got[0].startswith(b"WARC/"):
+            pos, found = hit, True
+            break
+        pos = hit + 1
+    if not found:
+        return
+    # walk member-to-member
+    while start + pos < end:
+        got = _inflate_at(pos)
+        if got is None:
+            return
+        plain, consumed = got
+        yield start + pos, consumed, plain
+        pos += consumed
+
+
 # ---------------------------------------------------------------------
 # Parallel scan
 # ---------------------------------------------------------------------
+
+_FIELD_TYPES = {
+    "warc_type": "string", "record_id": "string", "target_uri": "string",
+    "warc_date": "string", "content_type": "string",
+    "content_length": "long", "payload": "binary",
+    "member_offset": "long", "member_size": "long",
+}
+_HEADER_KEY = {
+    "warc_type": "warc-type", "record_id": "warc-record-id",
+    "target_uri": "warc-target-uri", "warc_date": "warc-date",
+    "content_type": "content-type",
+}
+
 
 def read_warc(
     spark: SparkSession,
@@ -200,10 +277,14 @@ def read_warc(
     split_bytes: int = 64 << 20,
     read_step: int = 1 << 20,
     with_offsets: bool = False,
+    columns: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Block-parallel WARC scan -> DataFrame with :data:`WARC_SCHEMA`
     (or :data:`WARC_OFFSET_SCHEMA` when ``with_offsets``, adding each
     record's gzip-member byte position/size — the CDX index columns).
+    ``columns`` prunes the output to a subset — projection pushed into
+    the decode itself (a header-only scan skips materializing payload
+    bytes into Arrow entirely), mirroring the PBF pruned scan.
 
     ``.warc.gz`` (member-per-record) splits into ``split_bytes`` byte
     ranges; a task owns every gzip member whose start offset falls in
@@ -225,59 +306,67 @@ def read_warc(
     df = spark.createDataFrame(splits, "path string, start long, end long")
     df = df.repartition(len(splits))
 
-    def gen(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows: list[dict] = []
-            for p, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
-                with open(p, "rb") as f:
-                    if not is_gz:
-                        rows.extend(_iter_plain(f.read()))
-                        continue
-                    # find the first VERIFIED member start at/after
-                    # `start` (candidate = magic bytes, proof = inflates
-                    # to a WARC/ header)
-                    off = int(start)
-                    while off < end:
-                        f.seek(off)
-                        window = f.read(read_step)
-                        if not window:
-                            off = end
-                            break
-                        hit = window.find(_GZ_MAGIC)
-                        while hit != -1 and off + hit < end:
-                            got = _inflate_member(f, off + hit, read_step)
-                            if got is not None and got[0].startswith(b"WARC/"):
-                                off = off + hit
-                                hit = -2  # found
-                                break
-                            hit = window.find(_GZ_MAGIC, hit + 1)
-                        if hit == -2:
-                            break
-                        off += max(len(window) - 2, 1)  # magic may straddle
-                    # walk members owned by this range
-                    while off < end:
-                        got = _inflate_member(f, off, read_step)
-                        if got is None:
-                            break
-                        plain, consumed = got
-                        rec = parse_record(plain)
-                        rec["member_offset"], rec["member_size"] = off, consumed
-                        rows.append(rec)
-                        off += consumed
-            if rows:
-                yield pd.DataFrame(rows, columns=cols)
-
     cols = [
         "warc_type", "record_id", "target_uri", "warc_date",
         "content_type", "content_length", "payload",
     ]
     if with_offsets:
         cols += ["member_offset", "member_size"]
-    return df.mapInPandas(
-        gen, schema=WARC_OFFSET_SCHEMA if with_offsets else WARC_SCHEMA
-    )
+    if columns is not None:
+        unknown = set(columns) - set(cols)
+        if unknown:
+            raise ValueError(f"read_warc: unknown columns {sorted(unknown)}")
+        cols = [c for c in cols if c in columns]
+        if not cols:
+            raise ValueError("read_warc: columns must name at least one field")
+    header_cols = [c for c in cols if c in _HEADER_KEY]
+    want_len = "content_length" in cols
+    want_payload = "payload" in cols
+    want_off = "member_offset" in cols
+    want_size = "member_size" in cols
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            # columnar accumulation: pd.DataFrame from equal-length
+            # lists is O(columns), not O(rows) like list-of-dicts
+            out: dict[str, list] = {c: [] for c in cols}
+
+            def add(plain: bytes, off: int, sz: int) -> None:
+                head_end = plain.index(b"\r\n\r\n")
+                h: dict[str, str] = {}
+                for line in plain[:head_end].split(_CRLF)[1:]:
+                    k, _, v = line.partition(b":")
+                    h[k.strip().lower().decode()] = v.strip().decode()
+                for c in header_cols:
+                    out[c].append(h.get(_HEADER_KEY[c], ""))
+                n = int(h.get("content-length", "0"))
+                if want_len:
+                    out["content_length"].append(n)
+                if want_payload:
+                    out["payload"].append(plain[head_end + 4:head_end + 4 + n])
+                if want_off:
+                    out["member_offset"].append(off)
+                if want_size:
+                    out["member_size"].append(sz)
+
+            for p, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
+                with open(p, "rb") as f:
+                    if not is_gz:
+                        for rec in _iter_plain(f.read()):
+                            for c in cols:
+                                out[c].append(rec[c])
+                        continue
+                    for off, consumed, plain in _walk_members_buffered(
+                        f, int(start), int(end), read_step
+                    ):
+                        add(plain, off, consumed)
+            if out[cols[0]]:
+                yield pd.DataFrame(out)
+
+    schema = ", ".join(f"{c} {_FIELD_TYPES[c]}" for c in cols)
+    return df.mapInPandas(gen, schema=schema)
 
 
 def cdx_index(records: DataFrame) -> DataFrame:
