@@ -4832,16 +4832,19 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rules = _rb.parse_robots(files, "host", "txt")
-    cc = _rb.robots_eval(urls, rules, agent="ccbot")
-    gp = _rb.robots_eval(urls.select("doc_id", "host", "path"), rules,
-                         agent="gptbot").select(
-        "doc_id", F.col("allowed").alias("g_allowed")
-    )
-    return cc.join(gp, "doc_id").select(
+    # chain both agents' evaluations over ONE page-side pass (each is a
+    # broadcast 1:1 join) — never self-join the page table
+    cc = _rb.robots_eval(urls, rules, agent="ccbot").select(
         "doc_id", "host", "path",
-        F.col("allowed").cast("long").alias("allowed"),
-        F.col("matched"),
-        F.col("g_allowed").cast("long").alias("gptbot_allowed"),
+        F.col("allowed").alias("cc_allowed"),
+        F.col("matched").alias("cc_matched"),
+    )
+    both = _rb.robots_eval(cc, rules, agent="gptbot")
+    return both.select(
+        "doc_id", "host", "path",
+        F.col("cc_allowed").cast("long").alias("allowed"),
+        F.col("cc_matched").alias("matched"),
+        F.col("allowed").cast("long").alias("gptbot_allowed"),
     )
 
 
