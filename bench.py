@@ -361,7 +361,10 @@ def _make_bench_planet(n_blocks: int, per_block: int) -> tuple[str, int]:
     return path, n_elements
 
 
-WARC_MEMBERS = 1 << 20  # 1M pages ≈ 300 MB .warc.gz
+WARC_MEMBERS = int(
+    os.environ.get("SPARK_GRAFT_WARC_MEMBERS", str(1 << 20))
+)  # 1M pages ≈ 300 MB .warc.gz; scaling pairs override via env so the
+#   fixture grows with the core count under test
 
 
 def _make_bench_warc(n_members: int) -> tuple[str, int]:

@@ -319,54 +319,129 @@ def read_warc(
         cols = [c for c in cols if c in columns]
         if not cols:
             raise ValueError("read_warc: columns must name at least one field")
+    schema = ", ".join(f"{c} {_FIELD_TYPES[c]}" for c in cols)
+    gen = _make_arrow_gen(cols, is_gz, read_step)
+    return df.mapInArrow(gen, schema=schema)
+
+
+class _BytesAcc:
+    """Arrow string/binary column built from one growing byte buffer +
+    int32 offsets — zero per-value Python objects (the PBF Arrow node
+    scan's trick, pbf.py read_pbf_file_nodes_arrow)."""
+
+    __slots__ = ("buf", "offs", "_pa_type")
+
+    def __init__(self, pa_type):
+        self.buf = bytearray()
+        self.offs = [0]
+        self._pa_type = pa_type
+
+    def add(self, b: bytes) -> None:
+        self.buf += b
+        self.offs.append(len(self.buf))
+
+    def array(self):
+        import numpy as np
+        import pyarrow as pa
+
+        n = len(self.offs) - 1
+        return pa.Array.from_buffers(
+            self._pa_type, n,
+            [None,
+             pa.py_buffer(np.asarray(self.offs, dtype=np.int32).tobytes()),
+             pa.py_buffer(bytes(self.buf))],
+        )
+
+
+def _make_arrow_gen(cols, is_gz: bool, read_step: int):
+    """mapInArrow generator: walks members and accumulates straight
+    into Arrow buffers — no pandas, no per-record Python objects for
+    strings/payloads.  One RecordBatch per input split keeps the int32
+    offset buffers far under their 2 GB bound (splits are <= 64 MB)."""
     header_cols = [c for c in cols if c in _HEADER_KEY]
+    hdr_keys = [(c, b"\n" + _HEADER_KEY[c].encode() + b":")
+                for c in header_cols]
     want_len = "content_length" in cols
     want_payload = "payload" in cols
     want_off = "member_offset" in cols
     want_size = "member_size" in cols
 
     def gen(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            # columnar accumulation: pd.DataFrame from equal-length
-            # lists is O(columns), not O(rows) like list-of-dicts
-            out: dict[str, list] = {c: [] for c in cols}
+        def new_acc():
+            acc = {}
+            for c in cols:
+                t = _FIELD_TYPES[c]
+                acc[c] = (
+                    _BytesAcc(pa.binary()) if t == "binary"
+                    else _BytesAcc(pa.string()) if t == "string"
+                    else []
+                )
+            return acc
 
-            def add(plain: bytes, off: int, sz: int) -> None:
-                head_end = plain.index(b"\r\n\r\n")
-                h: dict[str, str] = {}
-                for line in plain[:head_end].split(_CRLF)[1:]:
-                    k, _, v = line.partition(b":")
-                    h[k.strip().lower().decode()] = v.strip().decode()
-                for c in header_cols:
-                    out[c].append(h.get(_HEADER_KEY[c], ""))
-                n = int(h.get("content-length", "0"))
-                if want_len:
-                    out["content_length"].append(n)
-                if want_payload:
-                    out["payload"].append(plain[head_end + 4:head_end + 4 + n])
-                if want_off:
-                    out["member_offset"].append(off)
-                if want_size:
-                    out["member_size"].append(sz)
+        def emit(acc, n):
+            return pa.RecordBatch.from_arrays(
+                [acc[c].array() if isinstance(acc[c], _BytesAcc)
+                 else pa.array(acc[c], pa.int64()) for c in cols],
+                names=list(cols),
+            )
 
-            for p, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
+        for batch in batches:
+            d = {name: batch.column(i).to_pylist()
+                 for i, name in enumerate(batch.schema.names)}
+            for p, start, end in zip(d["path"], d["start"], d["end"]):
+                acc = new_acc()
+                n = 0
                 with open(p, "rb") as f:
                     if not is_gz:
                         for rec in _iter_plain(f.read()):
                             for c in cols:
-                                out[c].append(rec[c])
-                        continue
-                    for off, consumed, plain in _walk_members_buffered(
-                        f, int(start), int(end), read_step
-                    ):
-                        add(plain, off, consumed)
-            if out[cols[0]]:
-                yield pd.DataFrame(out)
+                                v = rec[c]
+                                if isinstance(acc[c], _BytesAcc):
+                                    acc[c].add(
+                                        v if isinstance(v, bytes)
+                                        else v.encode()
+                                    )
+                                else:
+                                    acc[c].append(v)
+                            n += 1
+                    else:
+                        for off, consumed, plain in _walk_members_buffered(
+                            f, int(start), int(end), read_step
+                        ):
+                            head_end = plain.index(b"\r\n\r\n")
+                            head = plain[:head_end]
+                            low = head.lower()
 
-    schema = ", ".join(f"{c} {_FIELD_TYPES[c]}" for c in cols)
-    return df.mapInPandas(gen, schema=schema)
+                            def val(key: bytes) -> bytes:
+                                i = low.find(key)
+                                if i == -1:
+                                    return b""
+                                j = i + len(key)
+                                k = low.find(b"\r", j)
+                                if k == -1:
+                                    k = len(head)
+                                return head[j:k].strip()
+
+                            for c, key in hdr_keys:
+                                acc[c].add(val(key))
+                            ln = int(val(b"\ncontent-length:") or b"0")
+                            if want_len:
+                                acc["content_length"].append(ln)
+                            if want_payload:
+                                acc["payload"].add(
+                                    plain[head_end + 4:head_end + 4 + ln]
+                                )
+                            if want_off:
+                                acc["member_offset"].append(off)
+                            if want_size:
+                                acc["member_size"].append(consumed)
+                            n += 1
+                if n:
+                    yield emit(acc, n)
+
+    return gen
 
 
 def cdx_index(records: DataFrame) -> DataFrame:
