@@ -4928,6 +4928,143 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wp.main_content(pages, "doc_id", F.col("html"), F.col("text"))
 
 
+def _bloom_oracle_sql() -> str:
+    """DuckDB twin of the bloom_seen_filter query — rebuilds the SAME
+    bitmap with the nibble-sum hash (text/bloom.py bit_position_sql),
+    so membership AND the deterministic false positives must match."""
+    from osm_spark.text.bloom import K_HASHES, bit_position_sql
+
+    pos = [bit_position_sql("key", j) for j in range(K_HASHES)]
+    bit_union = " UNION ALL ".join(
+        f"SELECT doc_id, {p} AS bit FROM k WHERE doc_id % 3 = 0" for p in pos
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT doc_id, {p} AS bit FROM k" for p in pos
+    )
+    return f"""
+    WITH k AS (
+      SELECT doc_id,
+             'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS key
+      FROM documents),
+    sb AS ({bit_union}),
+    w AS (SELECT CAST(bit // 32 AS BIGINT) AS word,
+                 bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS bits
+          FROM sb GROUP BY 1),
+    pb AS ({probe_union}),
+    chk AS (SELECT doc_id, CAST(bit // 32 AS BIGINT) AS word,
+                   CAST(1 AS BIGINT) << CAST(bit % 32 AS INT) AS m
+            FROM pb),
+    hits AS (SELECT c.doc_id,
+                    CASE WHEN (coalesce(w.bits, 0) & c.m) = c.m
+                         THEN 1 ELSE 0 END AS hit
+             FROM chk c LEFT JOIN w USING (word))
+    SELECT doc_id,
+           CAST(doc_id % 3 = 0 AS BIGINT) AS is_seen,
+           CAST(sum(hit) = 4 AS BIGINT) AS in_bloom
+    FROM hits GROUP BY doc_id
+    """
+
+
+@register("bloom_seen_filter", _bloom_oracle_sql())
+def q_bloom_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom seen-set (text/bloom.py): every third document
+    is 'already crawled'; its url hashes into a word-table bitmap (ONE
+    bit_or shuffle, <= m/32 rows) which then BROADCASTS against a probe
+    of every url.  No false negatives is the invariant; false positives
+    are deterministic functions of (key, j), so the oracle — which
+    rebuilds the identical bitmap with the nibble-sum hash — must agree
+    on every row, including which keys false-positive."""
+    from osm_spark.text import bloom as _bl
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://crawl.example/doc/"), F.col("doc_id").cast("string")
+        ).alias("key"),
+    )
+    bitmap = _bl.bloom_build(keyed.where(F.col("doc_id") % 3 == 0), "key")
+    probed = _bl.bloom_probe(keyed, "key", bitmap)
+    return probed.select(
+        "doc_id",
+        (F.col("doc_id") % 3 == 0).cast("long").alias("is_seen"),
+        F.col("in_bloom"),
+    )
+
+
+@register(
+    "sample_mix",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CASE WHEN lang < 'f' THEN 250 ELSE 625 END AS rate_e3,
+             (( (strpos('0123456789abcdef', substr(md5('s|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 65536
+              + (strpos('0123456789abcdef', substr(md5('s|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(md5('s|' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(md5('s|' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5('s|' || CAST(doc_id AS VARCHAR)), 5, 1)) - 1)
+             ) % 1000) AS h
+      FROM documents)
+    SELECT lang,
+           CAST(any_value(rate_e3) AS BIGINT) AS rate_e3,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN h < rate_e3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(coalesce(sum(CASE WHEN h < rate_e3 THEN doc_id END), 0)
+             AS BIGINT) AS kept_id_sum
+    FROM d GROUP BY lang
+    """,
+)
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-mix construction
+    (webprep.sample_hash): per-language keep rates in thousandths,
+    membership a pure md5 function of doc_id — reproducible across
+    engines, runs and cluster sizes, unlike rand(seed) which depends on
+    partitioning.  Zero shuffles for the sampling itself; one lang
+    aggregation audits the achieved rates."""
+    docs = _t(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") < "f", F.lit(250)).otherwise(F.lit(625))
+    h = _wp.sample_hash(F.col("doc_id"))
+    kept = (h < rate).cast("long")
+    return docs.groupBy("lang").agg(
+        F.max(rate).cast("long").alias("rate_e3"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(kept).alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(kept == 1, F.col("doc_id"))), F.lit(0)
+        ).cast("long").alias("kept_id_sum"),
+    )
+
+
+@register(
+    "pack_ctx",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+             sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents)
+    SELECT doc_id, lang AS stratum,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_off,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_first,
+           CAST((cum - 1) // 512 AS BIGINT) AS bin_last,
+           CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT)
+             AS n_bins
+    FROM t
+    """,
+)
+def q_pack_ctx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into 512-token context windows
+    (webprep.pack_sequences): documents concatenate per language in
+    doc_id order and may straddle window boundaries — the training-data
+    packing layout.  One window pass per stratum; the byte/bin layout
+    is integer-exact in both engines."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return _wp.pack_sequences(docs, "doc_id", "text", "lang", ctx=512)
+
+
 def _pagerank_oracle_sql(iters: int = 4) -> str:
     """Chained-CTE DuckDB twin of plans/pagerank.py pagerank_int: the
     edge formula in closed form (independent of the Spark side's html
@@ -5208,7 +5345,6 @@ _DRIVER_WINDOW: list[str] = [
     "multipolygon_assembly",
     # temporal / history family
     "asof_annotate",
-    "relation_annotate",
     "history_at",                # round 3
     # ids / stats family
     "ids_pack_roundtrip",
@@ -5219,10 +5355,8 @@ _DRIVER_WINDOW: list[str] = [
     "minhash_lsh",
     "corpus_prep",
     # similarity family
-    "embedding_topk",
     "ivf_topk",
     "ann_trained_topk",
-    "kmeans_bigk",               # round 3
     "knn_kring",
     "within_distance",
     # media family (rounds 2-3)
@@ -5298,6 +5432,15 @@ _DRIVER_WINDOW: list[str] = [
     # exact-dedup semantics stay exercised in-window by chunk_dedup's
     # digest-keyed first-occurrence keep and corpus_prep).
     "link_pagerank",
+    # bloom seen-set / stratified sampling / sequence packing — rotated
+    # in against relation_annotate (temporal keeps asof_annotate +
+    # history_at; the relation kernel stays covered by its golden
+    # tests), embedding_topk (similarity keeps ivf_topk +
+    # ann_trained_topk + knn_kring) and kmeans_bigk (the trained-ANN
+    # loop stays in-window via ann_trained_topk), all r03-green.
+    "bloom_seen_filter",
+    "sample_mix",
+    "pack_ctx",
 ]
 
 

@@ -383,6 +383,64 @@ def pii_metrics(docs: DataFrame, id_col: str, text_col) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Deterministic stratified sampling (training-mix construction)
+# ---------------------------------------------------------------------
+
+def sample_hash(key, salt: str = "s") -> Column:
+    """Uniform-ish deterministic per-key value in [0, 1000): 20 md5
+    bits mod 1000.  Pure function of the key — reproducible across
+    engines, runs, and cluster sizes (unlike rand(seed), which depends
+    on partitioning)."""
+    h = F.md5(F.concat(F.lit(f"{salt}|"), _c(key).cast("string")))
+    return F.conv(F.substring(h, 1, 5), 16, 10).cast("long") % 1000
+
+
+def stratified_sample(docs: DataFrame, id_col: str, stratum_col: str,
+                      rate_e3) -> DataFrame:
+    """Keep each row iff ``sample_hash(id) < rate_e3`` where rate_e3 is
+    a per-row column (typically derived from the stratum) in thousandths.
+    Zero shuffles — sampling at 10^12 rows is a scan-side filter; exact
+    stratum rates are audited downstream by one aggregation."""
+    return docs.where(sample_hash(F.col(id_col)) < rate_e3)
+
+
+# ---------------------------------------------------------------------
+# Sequence packing (context-window construction)
+# ---------------------------------------------------------------------
+
+def pack_sequences(docs: DataFrame, id_col: str, text_col: str,
+                   stratum_col: str, ctx: int = 2048) -> DataFrame:
+    """Assign every document its byte range in a contiguous per-stratum
+    token stream packed into ``ctx``-token windows (the training-data
+    packing layout: documents concatenate in a deterministic order and
+    may straddle window boundaries).
+
+    One window pass per stratum (running token total ordered by id) +
+    integer division — both engines reproduce the layout exactly.
+    Output: (id, stratum, n_tokens, start_off, bin_first, bin_last,
+    n_bins)."""
+    from pyspark.sql import Window as W
+
+    n_tok = F.size(words(text_col))
+    w = (
+        W.partitionBy(stratum_col)
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)
+    return docs.select(
+        F.col(id_col),
+        F.col(stratum_col).alias("stratum"),
+        n_tok.cast("long").alias("n_tokens"),
+        (cum - n_tok).cast("long").alias("start_off"),
+        F.floor((cum - n_tok) / ctx).cast("long").alias("bin_first"),
+        F.floor((cum - 1) / ctx).cast("long").alias("bin_last"),
+        (F.floor((cum - 1) / ctx) - F.floor((cum - n_tok) / ctx) + 1)
+        .cast("long").alias("n_bins"),
+    )
+
+
+# ---------------------------------------------------------------------
 # Chunk-level exact dedup (C4-style)
 # ---------------------------------------------------------------------
 

@@ -74,6 +74,11 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # parked; exact dedup stays exercised in-window by chunk_dedup and
     # corpus_prep.
     "dedup_exact",
+    # round-4 bloom/sample/pack rotations: relation_annotate,
+    # embedding_topk and kmeans_bigk (all driver-green in r03) parked;
+    # temporal keeps asof_annotate + history_at, similarity keeps
+    # ivf_topk + ann_trained_topk + knn_kring.
+    "relation_annotate", "embedding_topk", "kmeans_bigk",
 })
 
 
