@@ -62,6 +62,13 @@ HEADLINE = [
     "quality_repetition",
     "pii_scrub",
     "chunk_dedup",
+    "main_content",
+    "top_terms",
+    "robots_filter",
+    "link_pagerank",
+    "bloom_seen_filter",
+    "sample_mix",
+    "pack_ctx",
 ]
 
 
@@ -233,6 +240,12 @@ QUERY_GROUPS: list[list[str]] = [
     # round-4 web-page-prep suite (html round trip, repetition signals,
     # PII scrub, chunk-granularity dedup)
     ["html_extract", "quality_repetition", "pii_scrub", "chunk_dedup"],
+    # round-4 web-analytics suite (boilerplate removal, salient terms,
+    # robots gate, link-graph PageRank)
+    ["main_content", "top_terms", "robots_filter", "link_pagerank"],
+    # round-4 training-mix suite (bloom seen-set, stratified sampling,
+    # context-window packing)
+    ["bloom_seen_filter", "sample_mix", "pack_ctx"],
 ]
 
 

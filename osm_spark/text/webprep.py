@@ -1,5 +1,7 @@
-"""Web-page preparation operators: HTML render/extract, repetition
-quality signals, PII scrubbing, chunk-level corpus dedup.
+"""Web-page preparation operators: HTML render/extract, main-content
+(boilerplate) extraction, repetition quality signals, salient terms,
+PII scrubbing, stratified sampling, sequence packing, chunk-level
+corpus dedup.
 
 These extend the engine beyond the reference's OSM operators into the
 training-data-pipeline surface the north rule targets: Common-Crawl
