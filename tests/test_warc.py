@@ -202,3 +202,67 @@ def test_read_warc_at_plain_file(spark, tmp_path):
     got = W.read_warc_at(spark, path, idx.limit(6)).collect()
     assert sorted(r.target_uri for r in got) == sorted(
         f"https://crawl.example/doc/{i}" for i in range(6))
+
+
+# ---------------------------------------------------------------------
+# Property tests: split exactness under adversarial records (no Spark —
+# the walker is exercised directly, so hypothesis can afford many cases)
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# payloads that deliberately contain gzip magic bytes, WARC version
+# lines, and record terminators
+_adversarial = st.one_of(
+    st.binary(min_size=0, max_size=400),
+    st.just(b"\x1f\x8b\x08 fake gzip magic inside payload"),
+    st.just(b"WARC/1.0\r\nContent-Length: 7\r\n\r\nnested\r\n\r\n"),
+    st.just(b"\r\n\r\n" * 20),
+    st.binary(min_size=2000, max_size=5000),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    payloads=st.lists(_adversarial, min_size=1, max_size=30),
+    split_bytes=st.integers(min_value=16, max_value=4096),
+)
+def test_walk_members_exact_under_any_split(tmp_path_factory, payloads,
+                                             split_bytes):
+    """Every member decodes exactly once for ANY split size, regardless
+    of payload content (magic bytes, fake WARC headers, terminators)."""
+    path = str(tmp_path_factory.mktemp("w") / "t.warc.gz")
+    recs = [
+        W.build_record(payload=p, target_uri=f"https://x/{i}",
+                       warc_date_epoch=i)
+        for i, p in enumerate(payloads)
+    ]
+    W.write_warc(path, recs)
+    size = os.path.getsize(path)
+    got = []
+    with open(path, "rb") as f:
+        for start in range(0, size, split_bytes):
+            end = min(start + split_bytes, size)
+            for off, sz, plain in W._walk_members_buffered(
+                f, start, end, read_step=64
+            ):
+                got.append((off, sz, plain))
+    assert len(got) == len(recs)
+    # offsets tile the file exactly, in order, no dup/loss
+    got.sort()
+    pos = 0
+    for (off, sz, plain), p in zip(got, payloads):
+        assert off == pos
+        pos += sz
+        assert W.parse_record(plain)["payload"] == p
+    assert pos == size
+
+
+@settings(max_examples=25, deadline=None)
+@given(payloads=st.lists(_adversarial, min_size=1, max_size=20))
+def test_iter_plain_exact(payloads):
+    recs = [W.build_record(payload=p, warc_date_epoch=i)
+            for i, p in enumerate(payloads)]
+    out = list(W._iter_plain(b"".join(recs)))
+    assert [r["payload"] for r in out] == payloads
