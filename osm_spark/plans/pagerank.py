@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# default for sites whose page ids live in the path (the synthetic
+# corpus shape) — pass your own pattern for other url schemes
 HREF_RE = r'href="/doc/([0-9]+)"'
 
 
@@ -41,11 +43,14 @@ def _c(x) -> Column:
     return F.col(x) if isinstance(x, str) else x
 
 
-def extract_links(pages: DataFrame, id_col: str, html_col) -> DataFrame:
+def extract_links(pages: DataFrame, id_col: str, html_col,
+                  href_re: str = HREF_RE) -> DataFrame:
     """(src, dst) edge list from anchor hrefs in the html column (one
     row per link occurrence, duplicates preserved — PageRank weights
-    parallel edges naturally through outdeg)."""
-    hrefs = F.regexp_extract_all(_c(html_col), F.lit(HREF_RE), F.lit(1))
+    parallel edges naturally through outdeg).  ``href_re`` group 1 must
+    capture the numeric target id; sites whose urls don't embed an id
+    resolve hrefs to ids with a join on a url->id table instead."""
+    hrefs = F.regexp_extract_all(_c(html_col), F.lit(href_re), F.lit(1))
     return pages.select(
         F.col(id_col).alias("src"), F.explode(hrefs).alias("t")
     ).select("src", F.col("t").cast("long").alias("dst"))

@@ -232,18 +232,23 @@ def _walk_members_buffered(f, start: int, end: int, read_step: int):
                 return bytes(out), i - pos - len(d.unused_data)
 
     # locate the first VERIFIED member start at/after `start`
-    pos, found = 0, False
+    pos, first = 0, None
     while start + pos < end:
         hit = data.find(_GZ_MAGIC, pos)
         if hit == -1 or start + hit >= end:
             return
         got = _inflate_at(hit)
         if got is not None and got[0].startswith(b"WARC/"):
-            pos, found = hit, True
+            pos, first = hit, got
             break
         pos = hit + 1
-    if not found:
+    if first is None:
         return
+    # the verification already inflated the first member — emit it
+    # directly instead of inflating it a second time
+    plain, consumed = first
+    yield start + pos, consumed, plain
+    pos += consumed
     # walk member-to-member
     while start + pos < end:
         got = _inflate_at(pos)
@@ -366,6 +371,13 @@ def _make_arrow_gen(cols, is_gz: bool, read_step: int):
     want_off = "member_offset" in cols
     want_size = "member_size" in cols
 
+    # int32 Arrow offsets bound each _BytesAcc buffer at 2^31-1 bytes;
+    # a 64 MB COMPRESSED split can inflate past that on highly
+    # compressible members, so flush a batch whenever any buffer nears
+    # the bound (split size bounds the compressed range, not the
+    # decompressed payload volume)
+    FLUSH_BYTES = 1 << 30
+
     def gen(batches):
         import pyarrow as pa
 
@@ -379,6 +391,12 @@ def _make_arrow_gen(cols, is_gz: bool, read_step: int):
                     else []
                 )
             return acc
+
+        def overflowing(acc) -> bool:
+            return any(
+                isinstance(a, _BytesAcc) and len(a.buf) > FLUSH_BYTES
+                for a in acc.values()
+            )
 
         def emit(acc, n):
             return pa.RecordBatch.from_arrays(
@@ -406,6 +424,10 @@ def _make_arrow_gen(cols, is_gz: bool, read_step: int):
                                 else:
                                     acc[c].append(v)
                             n += 1
+                            if overflowing(acc):
+                                yield emit(acc, n)
+                                acc = new_acc()
+                                n = 0
                     else:
                         for off, consumed, plain in _walk_members_buffered(
                             f, int(start), int(end), read_step
@@ -438,6 +460,10 @@ def _make_arrow_gen(cols, is_gz: bool, read_step: int):
                             if want_size:
                                 acc["member_size"].append(consumed)
                             n += 1
+                            if overflowing(acc):
+                                yield emit(acc, n)
+                                acc = new_acc()
+                                n = 0
                 if n:
                     yield emit(acc, n)
 
@@ -502,8 +528,10 @@ def pages_from_warc(records: DataFrame) -> DataFrame:
     ``(url, warc_ts: timestamp, html: binary)``."""
     return records.where(F.col("warc_type") == "response").select(
         F.col("target_uri").alias("url"),
+        # pattern X parses the Z designator as a real UTC offset, so the
+        # instant is correct whatever the session time zone is
         F.to_timestamp(
-            F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+            F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX"
         ).alias("warc_ts"),
         F.col("payload").alias("html"),
     )

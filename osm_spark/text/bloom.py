@@ -77,10 +77,12 @@ def bloom_build(keys: DataFrame, key_col, m_bits: int = M_BITS,
 
 def bloom_probe(probes: DataFrame, key_col, bitmap: DataFrame,
                 m_bits: int = M_BITS, k: int = K_HASHES) -> DataFrame:
-    """Adds ``in_bloom`` (long 0/1) to the probe frame: 1 iff every one
-    of the key's k bits is set.  The bitmap broadcasts (<= m/32 rows);
-    the probe side shuffles once on its own columns for the all-bits
-    aggregation."""
+    """Adds ``in_bloom`` (long 0/1) per DISTINCT probe row: 1 iff every
+    one of the key's k bits is set.  The bitmap broadcasts (<= m/32
+    rows); the probe side shuffles once on its own columns for the
+    all-bits aggregation (duplicate probe rows collapse to one output
+    row — the all-bits check counts its own rows, so duplicates can
+    never manufacture a false negative)."""
     checks = probes.select(
         *probes.columns,
         F.posexplode(
@@ -97,5 +99,5 @@ def bloom_probe(probes: DataFrame, key_col, bitmap: DataFrame,
     ).cast("int")
     return (
         j.groupBy(*probes.columns)
-        .agg((F.sum(hit) == k).cast("long").alias("in_bloom"))
+        .agg((F.sum(hit) == F.count(F.lit(1))).cast("long").alias("in_bloom"))
     )

@@ -37,44 +37,54 @@ _RULE_RE = r"(?i)^[ \t]*(allow|disallow)[ \t]*:[ \t]*([^ \t#]*)"
 
 
 def parse_robots(files: DataFrame, host_col: str, txt_col) -> DataFrame:
-    """(host, robots_txt) -> one row per Allow/Disallow rule:
+    """(host, robots_txt) -> one row per (agent, Allow/Disallow rule):
     ``(host, agent, allow: boolean, pattern: string, spec: int)``.
 
-    ``agent`` is the group's User-agent token (lowercased); ``spec`` is
-    the RFC longest-match specificity (pattern length).  An empty
-    Disallow value ("Disallow:") means allow-all and is dropped, per
-    RFC.  Rules before any User-agent line are dropped (RFC: rules
-    outside a group are ignored)."""
+    RFC 9309 group semantics: consecutive ``User-agent`` lines STACK
+    (2.2.1 — they form one group sharing the rules that follow), so the
+    parse assigns each line a group id (a group starts at a User-agent
+    line not directly preceded by another) and then joins each group's
+    rules to EVERY agent token of that group.  Lines split on ``\\r?\\n``
+    (CRLF robots.txt is the common on-the-wire case).  ``spec`` is the
+    RFC longest-match specificity (pattern length).  An empty Disallow
+    value ("Disallow:") means allow-all and is dropped, per RFC.  Rules
+    before any User-agent line are dropped (rules outside a group are
+    ignored)."""
     lines = files.select(
         F.col(host_col),
-        F.posexplode(F.split(_c(txt_col), "\n")).alias("li", "line"),
+        F.posexplode(F.split(_c(txt_col), "\r?\n")).alias("li", "line"),
     )
     agent_tok = F.lower(F.regexp_extract("line", _AGENT_RE, 1))
-    w = (
-        Window.partitionBy(host_col)
-        .orderBy("li")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    ordered = Window.partitionBy(host_col).orderBy("li")
+    cum = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged = lines.select(
         F.col(host_col),
         F.col("li"),
-        F.last(
-            F.when(agent_tok != "", agent_tok), ignorenulls=True
-        ).over(w).alias("agent"),
+        agent_tok.alias("agent_tok"),
         F.lower(F.regexp_extract("line", _RULE_RE, 1)).alias("verb"),
         F.regexp_extract("line", _RULE_RE, 2).alias("pattern"),
     )
-    return tagged.where(
-        (F.col("agent").isNotNull())
-        & (F.col("verb") != "")
-        & (F.col("pattern") != "")
+    is_agent = F.col("agent_tok") != ""
+    prev_is_agent = F.coalesce(
+        F.lag(is_agent).over(ordered), F.lit(False)
+    )
+    # group id = number of group STARTS seen so far (0 = before any group)
+    grouped = tagged.withColumn(
+        "gid",
+        F.sum((is_agent & ~prev_is_agent).cast("int")).over(cum),
+    )
+    agents = grouped.where(is_agent).select(
+        F.col(host_col), F.col("gid"), F.col("agent_tok").alias("agent")
+    )
+    rules = grouped.where(
+        (F.col("gid") > 0) & (F.col("verb") != "") & (F.col("pattern") != "")
     ).select(
-        F.col(host_col),
-        F.col("agent"),
+        F.col(host_col), F.col("gid"),
         (F.col("verb") == "allow").alias("allow"),
         F.col("pattern"),
         F.length("pattern").cast("int").alias("spec"),
     )
+    return agents.join(rules, [host_col, "gid"]).drop("gid")
 
 
 def _like_pattern(pattern) -> Column:

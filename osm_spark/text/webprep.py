@@ -362,11 +362,14 @@ def pii_augment(text, doc_id) -> Column:
 
 
 def pii_metrics(docs: DataFrame, id_col: str, text_col) -> DataFrame:
-    """Counts per PII class on the raw text + md5 of the redacted text.
+    """Counts per PII class + md5 of the redacted text.
 
-    Redaction order: email -> IPv4 -> phone (the classes are disjoint
-    on any input: emails contain ``@``, phones contain ``-``, and the
-    email pass removes its dotted-host before the IPv4 pass runs)."""
+    Counts are measured on the RAW text independently per class;
+    redaction applies email -> IPv4 -> phone in that order, so on text
+    where classes overlap (a phone- or IP-shaped token inside an email)
+    an earlier pass can consume a later class's match — the count then
+    exceeds the number of that class's redactions.  Both engines apply
+    the identical order, so outputs still agree row-for-row."""
     t = _c(text_col)
     scrub = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
     scrub = F.regexp_replace(scrub, IPV4_RE, "<IP>")

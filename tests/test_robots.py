@@ -100,3 +100,27 @@ def test_like_escape_of_percent_underscore(spark):
     got = _eval(spark, ["/100%_off/sale", "/100xyoff/q"], agent="ccbot", txt=txt)
     assert got["/100%_off/sale"][0] is False   # literal % and _ match
     assert got["/100xyoff/q"][0] is True       # _ must not act as LIKE wildcard
+
+
+def test_parse_crlf_line_endings(spark):
+    txt = "User-agent: *\r\nDisallow: /private/\r\nAllow: /ok\r\n"
+    rows = _rules(spark, txt).collect()
+    assert {(r.agent, r.allow, r.pattern) for r in rows} == {
+        ("*", False, "/private/"), ("*", True, "/ok"),
+    }
+
+
+def test_parse_stacked_user_agents_share_rules(spark):
+    txt = ("User-agent: a\nUser-agent: b\nDisallow: /x\n\n"
+           "User-agent: *\nDisallow: /y\n")
+    rows = _rules(spark, txt).collect()
+    got = {(r.agent, r.pattern) for r in rows}
+    assert got == {("a", "/x"), ("b", "/x"), ("*", "/y")}
+    # agent a has its OWN group: /x denied, /y NOT applied
+    urls = spark.createDataFrame(
+        [(1, "h.example", "/x1"), (2, "h.example", "/y1")],
+        "i long, host string, path string",
+    )
+    out = {r.path: r.allowed for r in
+           rb.robots_eval(urls, _rules(spark, txt), agent="a").collect()}
+    assert out == {"/x1": False, "/y1": True}
