@@ -101,3 +101,48 @@ def pagerank_int(
         if persist_fn is not None:
             pr = persist_fn(pr)
     return pr
+
+
+# anchor pattern capturing (target id, anchor text) — the inlink-text
+# signal search/training pipelines aggregate per target page
+ANCHOR_RE = r'<a href="/doc/([0-9]+)">([a-z0-9]+)</a>'
+
+
+def extract_anchors(pages: DataFrame, id_col: str, html_col,
+                    anchor_re: str = ANCHOR_RE) -> DataFrame:
+    """(src, dst, anchor) triples from anchor tags in the html column.
+
+    Column-regex extraction like :func:`extract_links` — the SAME
+    pattern is evaluated once per capture group (`regexp_extract_all`
+    returns one group per call) and the two arrays zip positionally,
+    so href and text stay paired even when a page repeats a target
+    with different anchor words.  No UDF, no parser."""
+    pat = F.lit(anchor_re)
+    hrefs = F.regexp_extract_all(_c(html_col), pat, F.lit(1))
+    texts = F.regexp_extract_all(_c(html_col), pat, F.lit(2))
+    return (
+        pages.select(
+            F.col(id_col).alias("src"),
+            F.explode(F.arrays_zip(hrefs.alias("h"), texts.alias("t"))).alias("z"),
+        )
+        .select(
+            "src",
+            F.col("z.h").cast("long").alias("dst"),
+            F.col("z.t").alias("anchor"),
+        )
+    )
+
+
+def anchor_rollup(anchors: DataFrame) -> DataFrame:
+    """Per-target inlink-text profile: inlink count, distinct anchor
+    vocabulary (sorted '|' join — deterministic in every engine), the
+    lexicographically-first anchor, and the minimum linking source.
+    ONE dst-keyed aggregation; at web scale this is the classic
+    anchor-text index build (skew on mega-targets handled by AQE)."""
+    return anchors.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n_inlinks"),
+        F.countDistinct("anchor").cast("long").alias("n_anchor_terms"),
+        F.array_join(F.array_sort(F.collect_set("anchor")), "|").alias("anchors"),
+        F.min("anchor").alias("first_anchor"),
+        F.min("src").alias("min_src"),
+    )

@@ -66,3 +66,23 @@ def test_pagerank_no_inlinks_floor(spark):
           pg.pagerank_int(nodes, edges, iters=3).collect()}
     # node 0 never receives: settles at the teleport floor after step 1
     assert pr[0] == 150000
+
+
+def test_extract_anchors_pairs_href_with_text(spark):
+    html = ('<a href="/doc/3">alpha</a> filler <a href="/doc/9">b2</a>'
+            '<a href="/doc/3">gamma</a>')
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    got = sorted((r.src, r.dst, r.anchor) for r in
+                 pg.extract_anchors(df, "doc_id", "html").collect())
+    assert got == [(1, 3, "alpha"), (1, 3, "gamma"), (1, 9, "b2")]
+
+
+def test_anchor_rollup_profile(spark):
+    anchors = spark.createDataFrame(
+        [(1, 9, "beta"), (2, 9, "alpha"), (3, 9, "beta"), (5, 4, "zz")],
+        "src long, dst long, anchor string")
+    rows = {r.dst: r for r in pg.anchor_rollup(anchors).collect()}
+    assert rows[9].n_inlinks == 3 and rows[9].n_anchor_terms == 2
+    assert rows[9].anchors == "alpha|beta"
+    assert rows[9].first_anchor == "alpha" and rows[9].min_src == 1
+    assert rows[4].n_inlinks == 1 and rows[4].anchors == "zz"

@@ -79,6 +79,13 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # temporal keeps asof_annotate + history_at, similarity keeps
     # ivf_topk + ann_trained_topk + knn_kring.
     "relation_annotate", "embedding_topk", "kmeans_bigk",
+    # round-4 link_components / anchor_rollup / web_sessions rotations:
+    # within_distance, child_first_depth and changeset_stream (all
+    # driver-green in r03) parked; geo-distance stays exercised by
+    # knn_kring + h3_knn, iterative plans by link_pagerank +
+    # link_components, streaming by replication_actions +
+    # replication_state.
+    "within_distance", "child_first_depth", "changeset_stream",
 })
 
 
