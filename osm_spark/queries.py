@@ -5312,6 +5312,81 @@ def q_web_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ss.session_rollup(sess, "user_id", "value", "event_type")
 
 
+@register(
+    "contamination_check",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id AS doc,
+                  array_to_string(list_slice(w, CAST(i + 1 AS BIGINT),
+                                             CAST(i + 8 AS BIGINT)), ' ')
+                    AS shingle
+           FROM d, unnest(range(0, greatest(len(w) - 7, 0))) AS t(i)),
+    tr AS (SELECT DISTINCT shingle FROM sh WHERE doc % 10 <> 0),
+    ev AS (SELECT doc, shingle FROM sh WHERE doc % 10 = 0),
+    base AS (SELECT doc, count(*) AS n_shingles FROM ev GROUP BY doc),
+    hits AS (SELECT ev.doc, count(*) AS n_hit, min(ev.shingle) AS first_hit
+             FROM ev JOIN tr USING (shingle) GROUP BY ev.doc)
+    SELECT ids.doc_id,
+           CAST(coalesce(b.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           h.first_hit,
+           CAST(coalesce(h.n_hit, 0) >= 1 AS INT) AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) ids
+    LEFT JOIN base b ON b.doc = ids.doc_id
+    LEFT JOIN hits h ON h.doc = ids.doc_id
+    """,
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval benchmark decontamination (text/contamination.py):
+    documents split 90/10 into train/eval by doc_id, word 8-gram
+    shingles explode DISTINCT per side, the train side collapses to
+    one row per shingle, and the eval side inner-joins into it — the
+    GPT-3-style n-gram overlap check every pre-training pipeline runs
+    before reporting eval numbers.  Short docs re-enter via a left
+    join from the eval id set (`n_shingles = 0`); never all-pairs, one
+    shingle-keyed exchange."""
+    from osm_spark.text import contamination as _ct
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    tr = docs.where(F.col("doc_id") % 10 != 0)
+    return _ct.contamination_report(ev, tr, "doc_id", "text", n=8)
+
+
+@register(
+    "bpe_pair_counts",
+    """
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+           FROM t GROUP BY word),
+    p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, freq
+          FROM wf,
+               unnest(range(1, CAST(greatest(length(word), 1) AS BIGINT)))
+                 AS u(i)),
+    pc AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p GROUP BY pair),
+    r AS (SELECT pair, n,
+                 row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
+          FROM pc)
+    SELECT CAST(rank AS INT) AS rank, pair, n FROM r WHERE rank <= 20
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction, one merge-selection iteration
+    (text/vocab.py): adjacent character pairs counted over the
+    DISTINCT word table weighted by word frequency — per-iteration
+    cost is vocabulary-sized, not corpus-sized, which is what makes
+    tokenizer training feasible at 10^12 documents.  Pairs are
+    substrings (no char-array explode, stays in codegen); the ranking
+    window runs over the alphabet²-bounded pair table with a
+    deterministic (count desc, pair asc) tie rule."""
+    from osm_spark.text import vocab as _vb
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    wf = _vb.word_freq(docs, "text")
+    return _vb.top_merges(_vb.pair_counts(wf), k=20)
+
+
 def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Render every document into an HTML page and pack the pages into
     a deterministic `.warc.gz` (one gzip member per record — the Common
@@ -5503,8 +5578,9 @@ _DRIVER_WINDOW: list[str] = [
     # flagship + tile family
     "tile_assign",
     "raster_vector_roundtrip",
-    # hex index family (round 2)
-    "h3_assign",
+    # hex index family (round 2; h3_assign r02+r03-green, parked for
+    # the round-4 contamination_check rotation — hex stays exercised
+    # in-window by h3_knn's res-8 encode + k-ring walk)
     "h3_knn",
     # WKB + PIP family (round 2)
     "pip_cells_adaptive",
@@ -5536,8 +5612,9 @@ _DRIVER_WINDOW: list[str] = [
     # streaming / replication family
     "replication_actions",
     "replication_state",
-    # codec family
-    "xml_codec_roundtrip",
+    # codec family: xml_codec_roundtrip (r02+r03-green) parked for the
+    # round-4 bpe_pair_counts rotation — XML stays exercised in-window
+    # by xml_scan's element-wise file scan over the same codec.
     # round-4 rotation: the only 3 queries with zero driver rows across
     # rounds 1-3 (VERDICT_r03 Missing #1) — swapped in against the
     # family-redundant green rows h3_kring / wkb_roundtrip /
@@ -5619,6 +5696,11 @@ _DRIVER_WINDOW: list[str] = [
     "link_components",
     "anchor_rollup",
     "web_sessions",
+    # training-data hygiene ops — rotated in against h3_assign and
+    # xml_codec_roundtrip (both r02+r03-green; hex stays exercised by
+    # h3_knn, the XML codec by xml_scan).
+    "contamination_check",
+    "bpe_pair_counts",
 ]
 
 

@@ -86,6 +86,11 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # link_components, streaming by replication_actions +
     # replication_state.
     "within_distance", "child_first_depth", "changeset_stream",
+    # round-4 contamination_check / bpe_pair_counts rotations: h3_assign
+    # and xml_codec_roundtrip (both r02+r03 driver-green) parked; hex
+    # stays exercised in-window by h3_knn's res-8 encode + k-ring walk,
+    # the XML codec by xml_scan's element-wise file scan.
+    "h3_assign", "xml_codec_roundtrip",
 })
 
 
