@@ -69,6 +69,11 @@ HEADLINE = [
     "bloom_seen_filter",
     "sample_mix",
     "pack_ctx",
+    "link_components",
+    "anchor_rollup",
+    "web_sessions",
+    "contamination_check",
+    "bpe_pair_counts",
 ]
 
 
@@ -246,6 +251,10 @@ QUERY_GROUPS: list[list[str]] = [
     # round-4 training-mix suite (bloom seen-set, stratified sampling,
     # context-window packing)
     ["bloom_seen_filter", "sample_mix", "pack_ctx"],
+    # round-4 graph/session/hygiene suite (connected components,
+    # anchor-text rollup, sessionization, decontamination, BPE)
+    ["link_components", "anchor_rollup", "web_sessions",
+     "contamination_check", "bpe_pair_counts"],
 ]
 
 
