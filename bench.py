@@ -74,6 +74,7 @@ HEADLINE = [
     "web_sessions",
     "contamination_check",
     "bpe_pair_counts",
+    "semantic_dedup",
 ]
 
 
@@ -254,7 +255,7 @@ QUERY_GROUPS: list[list[str]] = [
     # round-4 graph/session/hygiene suite (connected components,
     # anchor-text rollup, sessionization, decontamination, BPE)
     ["link_components", "anchor_rollup", "web_sessions",
-     "contamination_check", "bpe_pair_counts"],
+     "contamination_check", "bpe_pair_counts", "semantic_dedup"],
 ]
 
 

@@ -5140,20 +5140,15 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _components_oracle_sql(iters: int = 4) -> str:
+def _min_label_rounds_sql(iters: int, id_alias: str) -> str:
     """Chained-CTE DuckDB twin of plans/components.py
-    min_label_components over the closed-form chain edges (d -> d-1
-    unless d % 8 == 0): each round is a neighbor-min step followed by
-    the pointer-jump self-join — pure integer `min`/`least` over
+    min_label_components: given prior CTEs ``n(node)`` and ``e(src,
+    dst)`` (symmetrized), appends l0..l{iters} — each round a
+    neighbor-min step followed by the pointer-jump self-join — plus the
+    final cluster_stats projection.  Pure integer `min`/`least` over
     deterministic frames, so both engines hit the identical labels
     whether or not the rounds have converged."""
-    parts = ["""
-    WITH n AS (SELECT doc_id FROM documents),
-    e0 AS (SELECT doc_id AS a, doc_id - 1 AS b
-           FROM documents WHERE doc_id % 8 <> 0),
-    e AS (SELECT a AS src, b AS dst FROM e0
-          UNION ALL SELECT b, a FROM e0),
-    l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM n)"""]
+    parts = [",\n    l0 AS (SELECT node, node AS lbl FROM n)"]
     for k in range(iters):
         parts.append(f""",
     m{k} AS (SELECT e.dst AS node, min(l{k}.lbl) AS m
@@ -5164,13 +5159,25 @@ def _components_oracle_sql(iters: int = 4) -> str:
     l{k + 1} AS (SELECT a.node, least(a.lbl, b.lbl) AS lbl
                  FROM p{k} a JOIN p{k} b ON a.lbl = b.node)""")
     parts.append(f"""
-    SELECT l{iters}.node AS doc_id, l{iters}.lbl AS cluster,
+    SELECT l{iters}.node AS {id_alias}, l{iters}.lbl AS cluster,
            CAST(s.c AS BIGINT) AS cluster_size,
            CAST(l{iters}.node = l{iters}.lbl AS INT) AS is_canonical
     FROM l{iters}
     JOIN (SELECT lbl, count(*) AS c FROM l{iters} GROUP BY 1) s
       ON s.lbl = l{iters}.lbl""")
     return "".join(parts)
+
+
+def _components_oracle_sql(iters: int = 4) -> str:
+    """link_components oracle: min-label rounds over the closed-form
+    chain edges (d -> d-1 unless d % 8 == 0)."""
+    return ("""
+    WITH n AS (SELECT doc_id AS node FROM documents),
+    e0 AS (SELECT doc_id AS a, doc_id - 1 AS b
+           FROM documents WHERE doc_id % 8 <> 0),
+    e AS (SELECT a AS src, b AS dst FROM e0
+          UNION ALL SELECT b, a FROM e0)"""
+            + _min_label_rounds_sql(iters, "doc_id"))
 
 
 @register("link_components", _components_oracle_sql(4))
@@ -5392,6 +5399,70 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _vb.top_merges(_vb.pair_counts(wf), k=20)
 
 
+def _semantic_dedup_oracle_sql(iters: int = 4, thr_e6: int = 300000) -> str:
+    """Composes the embedding_neardup candidate/verify CTEs with the
+    min-label component rounds (shared builder)."""
+    return (f"""
+    WITH c AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    b AS (SELECT vec_id, e, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM c),
+    cand AS (SELECT l.vec_id AS a, r.vec_id AS b
+           FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+           WHERE floor(list_dot_product(l.e, r.e)
+                   / (sqrt(list_dot_product(l.e, l.e))
+                      * sqrt(list_dot_product(r.e, r.e))) * 1000000.0)
+                 >= {thr_e6}),
+    n AS (SELECT vec_id AS node FROM embeddings),
+    e AS (SELECT a AS src, b AS dst FROM cand
+          UNION ALL SELECT b, a FROM cand)"""
+            + _min_label_rounds_sql(iters, "vec_id"))
+
+
+@register("semantic_dedup", _semantic_dedup_oracle_sql(4))
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication END-TO-END
+    (similarity/ann.py + plans/components.py): sign-LSH buckets
+    generate candidate pairs (|docs| x planes shuffle, never
+    all-pairs), exact cosine verifies them at a quantized threshold
+    (floor(cos*1e6) >= 300000 — quantize-then-compare so a 1-ulp
+    engine split can't flip a pair), min-label propagation with
+    pointer jumping closes the pairs into clusters, and each cluster
+    elects its minimum-id canonical — the keep-one retention policy.
+    This is the full near-dup pipeline shape: pair generation alone
+    (embedding_neardup) is NOT a dedup decision; transitive closure
+    is."""
+    from osm_spark.plans import components as _cc
+    from osm_spark.similarity import ann as _ann2
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bk = _ann2.random_hyperplane_bucket(emb, dim=64).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    l = bk.select(F.col("vec_id").alias("a"), "bucket",
+                  F.col("embedding").alias("ea"))
+    r = bk.select(F.col("vec_id").alias("b"), "bucket",
+                  F.col("embedding").alias("eb"))
+    cos = _ann2.cosine_expr(F.col("ea"), F.col("eb"))
+    pairs = (
+        l.join(r, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .where(F.floor(cos * 1e6).cast("long") >= 300000)
+        .select("a", "b")
+    )
+    edges = _persist(_cc.symmetrize(pairs))
+    lbl = _cc.min_label_components(
+        emb.select("vec_id"), edges, "vec_id", iters=4,
+        persist_fn=lambda df: df.localCheckpoint(),
+    )
+    return _cc.cluster_stats(lbl).select(
+        F.col("node").alias("vec_id"),
+        "cluster",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "is_canonical",
+    )
+
+
 def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Render every document into an HTML page and pack the pages into
     a deterministic `.warc.gz` (one gzip member per record — the Common
@@ -5607,8 +5678,9 @@ _DRIVER_WINDOW: list[str] = [
     # dedup / text family
     "minhash_lsh",
     "corpus_prep",
-    # similarity family
-    "ivf_topk",
+    # similarity family (ivf_topk r03-green, parked for the round-4
+    # semantic_dedup rotation — IVF stays exercised locally and the
+    # family keeps ann_trained_topk + knn_kring + semantic_dedup)
     "ann_trained_topk",
     "knn_kring",
     # media family (rounds 2-3)
@@ -5706,6 +5778,10 @@ _DRIVER_WINDOW: list[str] = [
     # h3_knn, the XML codec by xml_scan).
     "contamination_check",
     "bpe_pair_counts",
+    # SemDeDup-style end-to-end semantic dedup (LSH candidates ->
+    # cosine verify -> components -> canonical retention), rotated in
+    # against ivf_topk (r03-green).
+    "semantic_dedup",
 ]
 
 

@@ -91,6 +91,10 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # stays exercised in-window by h3_knn's res-8 encode + k-ring walk,
     # the XML codec by xml_scan's element-wise file scan.
     "h3_assign", "xml_codec_roundtrip",
+    # round-4 semantic_dedup rotation: ivf_topk (r03 driver-green)
+    # parked; similarity keeps ann_trained_topk + knn_kring +
+    # semantic_dedup in-window.
+    "ivf_topk",
 })
 
 
