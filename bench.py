@@ -75,6 +75,7 @@ HEADLINE = [
     "contamination_check",
     "bpe_pair_counts",
     "semantic_dedup",
+    "crawl_delta",
 ]
 
 
@@ -255,7 +256,8 @@ QUERY_GROUPS: list[list[str]] = [
     # round-4 graph/session/hygiene suite (connected components,
     # anchor-text rollup, sessionization, decontamination, BPE)
     ["link_components", "anchor_rollup", "web_sessions",
-     "contamination_check", "bpe_pair_counts", "semantic_dedup"],
+     "contamination_check", "bpe_pair_counts", "semantic_dedup",
+     "crawl_delta"],
 ]
 
 

@@ -5463,6 +5463,59 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "crawl_delta",
+    """
+    WITH d AS (
+      SELECT doc_id, text,
+             'https://' || lower(source) || '.example.com/p'
+               || CAST(doc_id AS VARCHAR) AS url
+      FROM documents)
+    SELECT url,
+           CASE WHEN doc_id % 13 = 0 THEN 'deleted'
+                WHEN doc_id % 7 = 0 THEN 'modified'
+                ELSE 'unchanged' END AS action,
+           md5(text) AS old_md5,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                WHEN doc_id % 7 = 0 THEN md5(text || ' v2')
+                ELSE md5(text) END AS new_md5
+    FROM d
+    UNION ALL
+    SELECT url || '-new', 'created', NULL, md5('fresh ' || text)
+    FROM d WHERE doc_id % 11 = 0
+    """,
+)
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl snapshot diff (text/crawldiff.py) — the reference's
+    change/diff semantics (change.go create/modify/delete merge,
+    diff.go old/new pairs) in the webtext domain: two crawl snapshots
+    (epoch 2 deletes doc_id%13, rewrites doc_id%7, adds a page per
+    doc_id%11) full-outer-join on url with scan-side md5 digests, so
+    the exchange carries 32-byte digests, never page bodies.  The
+    oracle derives every action and digest in CLOSED FORM from doc_id
+    arithmetic — fully independent of the join/diff implementation."""
+    from osm_spark.text import crawldiff as _cd
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"), F.lower(F.col("source")),
+        F.lit(".example.com/p"), d.cast("string"),
+    )
+    old = docs.select(url.alias("url"), F.col("text").alias("content"))
+    base = docs.where(d % 13 != 0).select(
+        url.alias("url"),
+        F.when(d % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("content"),
+    )
+    created = docs.where(d % 11 == 0).select(
+        F.concat(url, F.lit("-new")).alias("url"),
+        F.concat(F.lit("fresh "), F.col("text")).alias("content"),
+    )
+    return _cd.snapshot_diff(old, base.unionByName(created), "url", "content")
+
+
 def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Render every document into an HTML page and pack the pages into
     a deterministic `.warc.gz` (one gzip member per record — the Common
@@ -5651,9 +5704,10 @@ def q_warc_cdx_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window remain registered and oracle-checked locally.
 
 _DRIVER_WINDOW: list[str] = [
-    # flagship + tile family
+    # flagship + tile family (raster_vector_roundtrip r03-green,
+    # parked for the round-4 crawl_delta rotation — tile semantics
+    # stay exercised by tile_assign and the flagship entry() smoke)
     "tile_assign",
-    "raster_vector_roundtrip",
     # hex index family (round 2; h3_assign r02+r03-green, parked for
     # the round-4 contamination_check rotation — hex stays exercised
     # in-window by h3_knn's res-8 encode + k-ring walk)
@@ -5782,6 +5836,9 @@ _DRIVER_WINDOW: list[str] = [
     # cosine verify -> components -> canonical retention), rotated in
     # against ivf_topk (r03-green).
     "semantic_dedup",
+    # recrawl snapshot diff (closed-form oracle), rotated in against
+    # raster_vector_roundtrip (r03-green).
+    "crawl_delta",
 ]
 
 

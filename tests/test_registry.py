@@ -95,6 +95,10 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # parked; similarity keeps ann_trained_topk + knn_kring +
     # semantic_dedup in-window.
     "ivf_topk",
+    # round-4 crawl_delta rotation: raster_vector_roundtrip (r03
+    # driver-green) parked; tile semantics stay exercised in-window by
+    # tile_assign and the flagship entry() smoke.
+    "raster_vector_roundtrip",
 })
 
 
