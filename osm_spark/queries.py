@@ -5516,6 +5516,63 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cd.snapshot_diff(old, base.unionByName(created), "url", "content")
 
 
+@register(
+    "substr_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, u.pos,
+             md5(array_to_string(w[u.pos:u.pos+4], ' ')) AS g
+      FROM t, UNNEST(range(1, len(w) - 3)) AS u(pos)
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY g) AS cnt,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+      FROM spans
+    ),
+    dups AS (SELECT doc_id, pos FROM marked WHERE cnt > 1 AND rn > 1),
+    toks AS (
+      SELECT t.doc_id, u.i, w[u.i] AS tok, len(w) AS n_tokens
+      FROM t, UNNEST(range(1, len(w) + 1)) AS u(i)
+    ),
+    kept AS (
+      SELECT doc_id, i, tok, n_tokens,
+             NOT EXISTS (SELECT 1 FROM dups d
+                         WHERE d.doc_id = toks.doc_id
+                           AND toks.i BETWEEN d.pos AND d.pos + 4) AS keep
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(max(n_tokens) - count(*) FILTER (keep) AS BIGINT)
+             AS n_removed,
+           md5(coalesce(string_agg(tok, ' ' ORDER BY i) FILTER (keep), ''))
+             AS clean_md5
+    FROM kept
+    GROUP BY doc_id
+    """,
+)
+def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring deduplication (text/substrdedup.py) — the
+    span-level form of corpus dedup (Lee et al. 2022): every 5-token
+    window whose exact text repeats anywhere in the corpus is scrubbed
+    from all occurrences EXCEPT the first (ordered by (doc_id, pos)).
+    Spark side is one gram-digest-keyed shuffle (count + first
+    occurrence in a single partial-aggregated groupBy) plus a codegen
+    `filter` HOF rebuild of the cleaned token stream; the oracle
+    recomputes the same semantics with window functions and an
+    anti-semijoin span-coverage test.  The cleaned text is fingerprinted
+    (clean_md5) so byte-exact reconstruction is verified without
+    shipping bodies."""
+    from osm_spark.text import substrdedup as _sd
+
+    docs = _t(spark, sf_dir, "documents")
+    return _sd.scrub(docs, "doc_id", "text", k=5)
+
+
 def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Render every document into an HTML page and pack the pages into
     a deterministic `.warc.gz` (one gzip member per record — the Common
@@ -5712,8 +5769,9 @@ _DRIVER_WINDOW: list[str] = [
     # the round-4 contamination_check rotation — hex stays exercised
     # in-window by h3_knn's res-8 encode + k-ring walk)
     "h3_knn",
-    # WKB + PIP family (round 2)
-    "pip_cells_adaptive",
+    # WKB + PIP family (round 2; pip_cells_adaptive r03-green, parked
+    # for the round-4 substr_dedup rotation — PIP stays exercised
+    # in-window by pip_polygon_covering's interior/boundary-split test)
     "covering_polygon",          # round 3
     "pip_polygon_covering",      # round 3
     # geojson emission family (round 2)
@@ -5839,6 +5897,10 @@ _DRIVER_WINDOW: list[str] = [
     # recrawl snapshot diff (closed-form oracle), rotated in against
     # raster_vector_roundtrip (r03-green).
     "crawl_delta",
+    # exact substring (span-level) dedup, rotated in against
+    # pip_cells_adaptive (r03-green; PIP family keeps
+    # pip_polygon_covering in-window).
+    "substr_dedup",
 ]
 
 

@@ -99,6 +99,10 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # driver-green) parked; tile semantics stay exercised in-window by
     # tile_assign and the flagship entry() smoke.
     "raster_vector_roundtrip",
+    # round-4 substr_dedup rotation: pip_cells_adaptive (r03
+    # driver-green) parked; PIP stays exercised in-window by
+    # pip_polygon_covering's interior/boundary-split covering test.
+    "pip_cells_adaptive",
 })
 
 
