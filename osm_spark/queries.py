@@ -5573,6 +5573,56 @@ def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sd.scrub(docs, "doc_id", "text", k=5)
 
 
+@register(
+    "lm_perplexity",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w[u.i] AS w1, w[u.i + 1] AS w2
+      FROM t, UNNEST(range(1, len(w))) AS u(i)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+    v AS (
+      SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(w) AS tok FROM t)
+    ),
+    term AS (
+      SELECT bg.doc_id,
+             CAST(floor(ln((c12.c12 + 0.5)
+                           / (c1.c1 + 0.5 * (SELECT v FROM v))) * 1e6)
+                  AS BIGINT) AS e6
+      FROM bg
+      JOIN c12 USING (w1, w2)
+      JOIN c1 USING (w1)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(e6) AS BIGINT) AS logprob_e6
+    FROM term
+    GROUP BY doc_id
+    """,
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM perplexity scoring (text/lm.py) — the
+    CCNet/Gopher-class quality filter: add-k-smoothed bigram
+    probabilities trained on the corpus itself, each document scored by
+    its summed per-bigram log-probability.  Spark side is two
+    partial-aggregated count shuffles (bigram + context, the context
+    totals derived from the already-aggregated bigram table), a 1-row
+    broadcast vocabulary size, a count-lookup join back onto the bigram
+    stream, and one doc-keyed sum; per-term ``ln P`` is quantized to
+    int64 at 1e-6 before summing (house float discipline — unordered
+    double SUMs never cross engines raw).  The oracle recomputes the
+    identical smoothed model in SQL."""
+    from osm_spark.text import lm as _lm
+
+    docs = _t(spark, sf_dir, "documents")
+    return _lm.perplexity(docs, "doc_id", "text")
+
+
 def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Render every document into an HTML page and pack the pages into
     a deterministic `.warc.gz` (one gzip member per record — the Common
@@ -5772,7 +5822,10 @@ _DRIVER_WINDOW: list[str] = [
     # WKB + PIP family (round 2; pip_cells_adaptive r03-green, parked
     # for the round-4 substr_dedup rotation — PIP stays exercised
     # in-window by pip_polygon_covering's interior/boundary-split test)
-    "covering_polygon",          # round 3
+    # (covering_polygon r03-green, parked for the round-4 lm_perplexity
+    # rotation — general-polygon covering stays exercised in-window by
+    # pip_polygon_covering's interior/boundary split over the same
+    # ring-exact covering kernel)
     "pip_polygon_covering",      # round 3
     # geojson emission family (round 2)
     "geojson_convert",
@@ -5901,6 +5954,10 @@ _DRIVER_WINDOW: list[str] = [
     # pip_cells_adaptive (r03-green; PIP family keeps
     # pip_polygon_covering in-window).
     "substr_dedup",
+    # corpus bigram-LM perplexity quality filter, rotated in against
+    # covering_polygon (r03-green; the covering family keeps
+    # pip_polygon_covering in-window).
+    "lm_perplexity",
 ]
 
 

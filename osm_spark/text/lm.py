@@ -1,0 +1,109 @@
+"""Corpus n-gram language-model perplexity scoring (CCNet-style).
+
+The quality filter CCNet / Gopher-class pipelines run after dedup:
+train a smoothed n-gram LM on the corpus, score every document's
+per-token log-probability, and gate on the resulting perplexity — a
+page whose token transitions are globally rare (gibberish, lexical
+spam, OCR noise) scores far below well-formed text.  Here the corpus
+scores itself (self-perplexity), which is the degenerate single-shard
+form of the same operator; a held-out reference corpus would simply
+swap the frame the counts are trained on.
+
+Spark-first shape — counts are aggregations, scoring is a join, the
+whole thing is built-ins:
+
+- **bigram explode**: one `sequence`+`element_at` projection per doc
+  (JVM codegen, no Python), yielding |tokens| rows of (doc, w1, w2).
+- **train = two partial-aggregated shuffles**: bigram counts keyed on
+  (w1,w2); context counts derived from the (much smaller) bigram-count
+  table, never from the raw stream twice.  Vocabulary size is a 1-row
+  aggregate broadcast into the scorer — no driver-side collect.
+- **score = join back + one doc-keyed shuffle**: each bigram occurrence
+  looks up its own count (hot heads like "the" are exactly the skewed
+  keys AQE's skew-join split handles), takes
+  ``ln((c12 + k) / (c1 + k·V))`` (add-k smoothing, k=0.5), quantizes
+  the transcendental per-term to int64 at 1e-6 (house float
+  discipline: never SUM raw doubles across engines), and sums per doc.
+
+At 10^12 docs the count tables are vocab-sized (≪ corpus), the bigram
+stream is |tokens| narrow rows, and every stage is a hash
+aggregate/join on short string keys — the same shape as the exact-dedup
+digest shuffle that is already proven out.  Reference anchor: the
+per-element packed-id clustered group discipline (paulmach/osm
+osmpbf/decode.go scan→group→emit) — one key shuffle, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm_spark.text.dedup import words
+
+ADD_K = 0.5
+QUANT = 1_000_000
+
+
+def bigrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, w1, w2): every adjacent token pair, in-order, per document."""
+    w = words(text_col)
+    pos = F.explode(
+        F.when(F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+    ).alias("pos")
+    b = docs.select(F.col(id_col), w.alias("w"), pos)
+    return b.select(
+        id_col,
+        F.element_at("w", F.col("pos")).alias("w1"),
+        F.element_at("w", F.col("pos") + 1).alias("w2"),
+    )
+
+
+def train_counts(bg: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(bigram counts, context counts) — context totals roll up from the
+    bigram-count table so the raw stream is aggregated exactly once."""
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return c12, c1
+
+
+def vocab_size(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """1-row (v) frame: distinct token count over the corpus."""
+    return (
+        docs.select(F.explode(words(text_col)).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+
+
+def perplexity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = ADD_K,
+) -> DataFrame:
+    """Score every document against the corpus bigram LM.
+
+    -> (id, n_bigrams, logprob_e6): logprob_e6 is the int64 sum of
+    per-bigram ``floor(1e6 · ln P(w2|w1))`` terms under add-k smoothing
+    — monotone in perplexity (ppl = exp(-logprob/n)), exact and
+    order-independent across engines.  Documents shorter than 2 tokens
+    carry no bigrams and are not emitted (nothing to score).
+    """
+    bg = bigrams(docs, id_col, text_col)
+    c12, c1 = train_counts(bg)
+    v = vocab_size(docs, text_col)
+    p = (F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))
+    term_e6 = F.floor(F.log(p) * QUANT).cast("long")
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(term_e6).alias("logprob_e6"),
+        )
+    )

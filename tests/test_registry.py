@@ -103,6 +103,10 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # driver-green) parked; PIP stays exercised in-window by
     # pip_polygon_covering's interior/boundary-split covering test.
     "pip_cells_adaptive",
+    # round-4 lm_perplexity rotation: covering_polygon (r03
+    # driver-green) parked; general-polygon covering stays exercised
+    # in-window by pip_polygon_covering over the same kernel.
+    "covering_polygon",
 })
 
 
