@@ -5623,6 +5623,87 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lm.perplexity(docs, "doc_id", "text")
 
 
+_NEARDUP_ORACLE = (
+    f"""
+    WITH {_DOCS2_SQL},
+    sh AS (SELECT doc_id, unnest({_SH3}) AS sh FROM docs2),
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY 1),
+    bands AS ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+    shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS inter
+      FROM cand c
+      JOIN shd x ON x.doc_id = c.a
+      JOIN shd y ON y.doc_id = c.b AND y.sh = x.sh
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, count(DISTINCT sh) AS ns FROM sh GROUP BY 1),
+    vp AS (
+      SELECT c.a, c.b
+      FROM cand c
+      LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+      JOIN sizes sa ON sa.doc_id = c.a
+      JOIN sizes sb ON sb.doc_id = c.b
+      WHERE coalesce(i.inter, 0) * 10
+            >= (sa.ns + sb.ns - coalesce(i.inter, 0)) * 7),
+    n AS MATERIALIZED (SELECT doc_id AS node FROM docs2),
+    -- MATERIALIZED: the label rounds' self-joins double the references
+    -- into this subtree per round; inlined, DuckDB re-expands the whole
+    -- LSH pipeline 2^iters times (measured: fd exhaustion on the
+    -- parquet scan). Materializing e (and n) pins one evaluation —
+    -- the same lineage cut the Spark side makes with localCheckpoint.
+    e AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM vp UNION ALL SELECT b, a FROM vp)"""
+    + _min_label_rounds_sql(4, "doc_id")
+)
+
+
+@register("neardup_clusters", _NEARDUP_ORACLE)
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy-dedup CLUSTERING — the canonical shape of
+    MinHashDedup/NearDedup in Dolma/RedPajama-class pipelines, and the
+    completion the pair-emitting queries stop short of: MinHash(8) ->
+    LSH(4 bands x 2 rows) -> candidate pairs -> exact shingle-Jaccard
+    verify (keep J >= 0.7, integer cross-multiplied so no float ever
+    crosses engines) -> symmetrize -> bulk-synchronous min-label
+    connected components with pointer jumping (4 rounds, O(log
+    diameter)) -> per-cluster size + minimum-id canonical retention
+    flag.  Every stage is a proven kernel (text/dedup.py pair stage =
+    minhash_lsh, plans/components.py label stage = link_components);
+    this query wires them end-to-end so the full retention pipeline is
+    under one driver hash.  Scale shape: banded self-join (never
+    all-pairs), verify only on candidates, node-sized label state with
+    per-round localCheckpoint lineage cuts — identical at 10^12 docs."""
+    from osm_spark.plans import components as _cc
+
+    docs = _docs2(spark, sf_dir)
+    sig = _persist(_dd.minhash_signature(docs, "doc_id", "text", k=8))
+    sh = _persist(
+        docs.select(
+            F.col("doc_id"), F.array_distinct(_dd.shingles("text")).alias("sh")
+        )
+    )
+    cand = _dd.lsh_candidates(sig, "doc_id", k=8, rows_per_band=2)
+    jac = _dd.pair_jaccard(docs, cand, "doc_id", "text", shingle_df=sh)
+    pairs = jac.where(
+        F.col("inter") * 10 >= F.col("uni") * 7
+    ).select("a", "b")
+    edges = _persist(_cc.symmetrize(pairs))
+    lbl = _cc.min_label_components(
+        docs, edges, "doc_id", iters=4,
+        persist_fn=lambda df: df.localCheckpoint(),
+    )
+    return _cc.cluster_stats(lbl).select(
+        F.col("node").alias("doc_id"),
+        "cluster",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "is_canonical",
+    )
+
+
 def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Render every document into an HTML page and pack the pages into
     a deterministic `.warc.gz` (one gzip member per record — the Common
@@ -5840,8 +5921,10 @@ _DRIVER_WINDOW: list[str] = [
     "planet_stats",
     # PBF wire format (round 3)
     "pbf_scan",
-    # dedup / text family
-    "minhash_lsh",
+    # dedup / text family (minhash_lsh r02+r03-green, parked for the
+    # round-4 neardup_clusters rotation — its entire pair stage
+    # (minhash_signature / lsh_candidates / pair_jaccard) is the front
+    # half of neardup_clusters, so the kernels stay under driver hash)
     "corpus_prep",
     # similarity family (ivf_topk r03-green, parked for the round-4
     # semantic_dedup rotation — IVF stays exercised locally and the
@@ -5958,6 +6041,11 @@ _DRIVER_WINDOW: list[str] = [
     # covering_polygon (r03-green; the covering family keeps
     # pip_polygon_covering in-window).
     "lm_perplexity",
+    # end-to-end fuzzy-dedup clustering (MinHash-LSH pairs -> Jaccard
+    # verify -> connected components -> canonical retention), rotated
+    # in against minhash_lsh (r02+r03-green; its pair stage is this
+    # query's front half, so every kernel stays under driver hash).
+    "neardup_clusters",
 ]
 
 

@@ -107,6 +107,11 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # driver-green) parked; general-polygon covering stays exercised
     # in-window by pip_polygon_covering over the same kernel.
     "covering_polygon",
+    # round-4 neardup_clusters rotation: minhash_lsh (r02+r03
+    # driver-green) parked; its pair stage (minhash_signature /
+    # lsh_candidates / pair_jaccard) is neardup_clusters' front half,
+    # so every kernel stays under driver hash.
+    "minhash_lsh",
 })
 
 
