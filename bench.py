@@ -76,6 +76,9 @@ HEADLINE = [
     "bpe_pair_counts",
     "semantic_dedup",
     "crawl_delta",
+    "substr_dedup",
+    "lm_perplexity",
+    "neardup_clusters",
 ]
 
 
@@ -258,6 +261,8 @@ QUERY_GROUPS: list[list[str]] = [
     ["link_components", "anchor_rollup", "web_sessions",
      "contamination_check", "bpe_pair_counts", "semantic_dedup",
      "crawl_delta"],
+    # round-4 span-dedup / LM-quality / cluster-retention suite
+    ["substr_dedup", "lm_perplexity", "neardup_clusters"],
 ]
 
 

@@ -5704,6 +5704,50 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "frontier_schedule",
+    """
+    WITH f AS (
+      SELECT 'https://' || lower(source) || '.example.com/p'
+               || CAST(doc_id AS VARCHAR) AS url,
+             lower(source) || '.example.com' AS host,
+             n_chars AS prio
+      FROM documents WHERE doc_id % 3 <> 1),
+    r AS (
+      SELECT host, url, prio,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY prio DESC, url) AS slot
+      FROM f)
+    SELECT host, url, CAST(prio AS BIGINT) AS prio,
+           CAST(slot AS BIGINT) AS slot,
+           CAST((slot - 1) * (1 + length(host) % 3) AS BIGINT) AS fetch_at_s
+    FROM r WHERE slot <= 8
+    """,
+)
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness schedule (streaming/frontier.py) — the
+    acquisition-side analogue of the reference's replication sequence
+    scheduling (replication.go's fixed per-origin request budget over an
+    ordered stream): each host's top-8 frontier URLs by (priority DESC,
+    url) are assigned fetch slots, one fetch per host per slot, slot k
+    starting at (k-1) * crawl-delay(host) seconds.  The Spark side runs
+    the per-host top-B as a SALTED two-level window so a hot host never
+    funnels its whole frontier into one reducer task; the salt never
+    reaches the output, so the oracle is a plain one-window ranking."""
+    from osm_spark.streaming import frontier as _fr
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lower(F.col("source")), F.lit(".example.com"))
+    front = docs.where(d % 3 != 1).select(
+        F.concat(F.lit("https://"), host, F.lit("/p"), d.cast("string"))
+        .alias("url"),
+        host.alias("host"),
+        F.col("n_chars").alias("prio"),
+    )
+    return _fr.schedule(front, "host", "url", "prio", budget=8)
+
+
 def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Render every document into an HTML page and pack the pages into
     a deterministic `.warc.gz` (one gzip member per record — the Common
@@ -5934,9 +5978,11 @@ _DRIVER_WINDOW: list[str] = [
     # media family (rounds 2-3)
     "media_decode_real",
     "media_resize",
-    # streaming / replication family
+    # streaming / replication family (replication_state r02+r03-green,
+    # parked for the round-4 frontier_schedule rotation — streaming
+    # keeps replication_actions; the state-store epoch machinery stays
+    # covered by tests/test_streaming_manifest.py + test_state_store)
     "replication_actions",
-    "replication_state",
     # codec family: xml_codec_roundtrip (r02+r03-green) parked for the
     # round-4 bpe_pair_counts rotation — XML stays exercised in-window
     # by xml_scan's element-wise file scan over the same codec.
@@ -6046,6 +6092,10 @@ _DRIVER_WINDOW: list[str] = [
     # in against minhash_lsh (r02+r03-green; its pair stage is this
     # query's front half, so every kernel stays under driver hash).
     "neardup_clusters",
+    # crawl-frontier politeness schedule (salted per-host top-B +
+    # slot assignment), rotated in against replication_state
+    # (r02+r03-green; streaming keeps replication_actions in-window).
+    "frontier_schedule",
 ]
 
 

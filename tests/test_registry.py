@@ -112,6 +112,11 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # lsh_candidates / pair_jaccard) is neardup_clusters' front half,
     # so every kernel stays under driver hash.
     "minhash_lsh",
+    # round-4 frontier_schedule rotation: replication_state (r02+r03
+    # driver-green) parked; streaming keeps replication_actions
+    # in-window, the state-store epoch machinery stays covered by
+    # test_streaming_manifest + test_state_store.
+    "replication_state",
 })
 
 
