@@ -5748,6 +5748,60 @@ def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fr.schedule(front, "host", "url", "prio", budget=8)
 
 
+_SEARCH_QUERIES = [
+    (1, ["the", "of"]),
+    (2, ["and", "to"]),
+    (3, ["the", "and", "of"]),
+]
+_SEARCH_Q_SQL = ", ".join(
+    f"({qid}, '{t}', {len(set(ts))})"
+    for qid, ts in _SEARCH_QUERIES
+    for t in sorted(set(ts))
+)
+
+
+@register(
+    "index_search",
+    f"""
+    WITH p AS (
+      SELECT term, doc_id, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY term, doc_id),
+    q AS (SELECT * FROM (VALUES {_SEARCH_Q_SQL}) t(qid, term, n_terms)),
+    h AS (
+      SELECT q.qid, p.doc_id, count(*) AS n_matched,
+             max(q.n_terms) AS n_terms, sum(p.tf) AS score
+      FROM p JOIN q USING (term)
+      GROUP BY 1, 2),
+    r AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM h WHERE n_matched = n_terms)
+    SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+           doc_id, CAST(score AS BIGINT) AS score
+    FROM r WHERE rank <= 10
+    """,
+)
+def q_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build + conjunctive search (text/index.py): one
+    explode + one (term, doc) partial-aggregated shuffle builds the
+    posting lists (tf in the same pass); the three AND queries
+    broadcast as a parameter-sized frame, match via a count filter
+    (n_matched == n_terms, exact on the one-row-per-(term,doc)
+    postings), score by summed tf, and rank with the salted two-level
+    top-k window — a stopword query matches most of the corpus, and a
+    plain per-qid window would funnel it into one reducer task.  The
+    oracle recomputes postings, AND semantics and ranking in SQL (its
+    single window is fine at oracle scale)."""
+    from osm_spark.text import index as _ix
+
+    docs = _t(spark, sf_dir, "documents")
+    postings = _ix.build_postings(docs, "doc_id", "text")
+    return _ix.search(postings, _SEARCH_QUERIES, "doc_id", k=10)
+
+
 def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Render every document into an HTML page and pack the pages into
     a deterministic `.warc.gz` (one gzip member per record — the Common
@@ -5952,8 +6006,10 @@ _DRIVER_WINDOW: list[str] = [
     # pip_polygon_covering's interior/boundary split over the same
     # ring-exact covering kernel)
     "pip_polygon_covering",      # round 3
-    # geojson emission family (round 2)
-    "geojson_convert",
+    # geojson emission family (geojson_convert r02+r03-green, parked
+    # for the round-4 index_search rotation — feature emission stays
+    # exercised in-window by geojson_way_features over the same
+    # converter kernels)
     "geojson_way_features",
     # geometry family
     "multipolygon_assembly",
@@ -6096,6 +6152,10 @@ _DRIVER_WINDOW: list[str] = [
     # slot assignment), rotated in against replication_state
     # (r02+r03-green; streaming keeps replication_actions in-window).
     "frontier_schedule",
+    # inverted-index build + conjunctive search with salted top-k
+    # ranking, rotated in against geojson_convert (r02+r03-green;
+    # geojson family keeps geojson_way_features in-window).
+    "index_search",
 ]
 
 

@@ -1,0 +1,97 @@
+"""Inverted index build + conjunctive (AND) term search.
+
+The retrieval side of the webtext engine: build term→document posting
+lists from the corpus, then answer multi-term AND queries ranked by
+summed term frequency.  The reference's packed-id clustered sort
+(osm/osmpbf's element-id ordering discipline, re-expressed in
+core/ids.py) is the same shape: a key-ordered inverted view of a large
+element set, queried by exact key.
+
+Spark-first shape, sized for a 10^12-document corpus:
+
+- **Postings = one explode + one (term, doc) aggregation.**  Term
+  frequency computes in the same partial-aggregated groupBy — no
+  second pass.  At scale the postings table is the corpus's natural
+  inverted layout: write it bucketed BY TERM and every later search
+  becomes a bucket-pruned scan instead of a shuffle.
+- **Search = broadcast the query terms, never the corpus.**  Queries
+  explode to (qid, term) — parameter-sized — and broadcast-join into
+  the postings stream; conjunctive semantics are a (qid, doc) count
+  filter (`n_matched == n_terms`, exact because postings hold one row
+  per (term, doc)); scoring is the tf sum in the SAME aggregation.
+- **Ranking = salted two-level top-k** (same discipline as
+  similarity/ann.py and streaming/frontier.py): a stopword-heavy query
+  matches a huge fraction of the corpus, and a plain
+  `row_number() OVER (PARTITION BY qid)` would funnel all of it into
+  one reducer task.  Salting is execution-only; ties break by the
+  (score DESC, doc_id ASC) total order so both engines agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from osm_spark.text.dedup import words
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (term, doc_id, tf): one row per distinct (term, document),
+    tf = occurrence count, in ONE explode + ONE partial-aggregated
+    shuffle."""
+    return (
+        docs.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def search(
+    postings: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    id_col: str = "doc_id",
+    k: int = 10,
+    salt: int = 16,
+) -> DataFrame:
+    """Conjunctive search: -> (qid, rank, doc_id, score) with rank
+    1..k per query, score = summed tf over the query's terms, AND
+    semantics (documents containing EVERY term).  ``queries`` is a
+    parameter-sized list of (qid, [terms]); duplicate terms within a
+    query are ignored (set semantics)."""
+    spark = postings.sparkSession
+    rows = [
+        (int(qid), term, len(set(terms)))
+        for qid, terms in queries
+        for term in sorted(set(terms))
+    ]
+    q = F.broadcast(
+        spark.createDataFrame(rows, "qid long, term string, n_terms int")
+    )
+    hits = (
+        postings.join(q, "term")
+        .groupBy("qid", id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.max("n_terms").alias("n_terms"),
+            F.sum("tf").cast("long").alias("score"),
+        )
+        .filter(F.col("n_matched") == F.col("n_terms"))
+    )
+    order = [F.col("score").desc(), F.col(id_col).asc()]
+    salted = hits.withColumn(
+        "_salt", F.pmod(F.col(id_col), F.lit(salt)).cast("int")
+    )
+    w1 = Window.partitionBy("qid", "_salt").orderBy(*order)
+    pruned = (
+        salted.withColumn("_lr", F.row_number().over(w1))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr", "_salt")
+    )
+    w2 = Window.partitionBy("qid").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", id_col, "score")
+    )

@@ -1,0 +1,64 @@
+"""Inverted index + conjunctive search: postings exactness, AND
+semantics, tf scoring, tie order, salt invariance."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from osm_spark.text import index as ix
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_postings_tf_counts_occurrences(spark):
+    docs = _docs(spark, [(1, "a b a a"), (2, "b b c")])
+    got = {(r.term, r.doc_id): r.tf for r in ix.build_postings(docs).collect()}
+    assert got == {
+        ("a", 1): 3, ("b", 1): 1, ("b", 2): 2, ("c", 2): 1,
+    }
+
+
+def test_and_semantics_require_every_term(spark):
+    docs = _docs(spark, [(1, "x y z"), (2, "x z"), (3, "y z"), (4, "z")])
+    p = ix.build_postings(docs)
+    got = {(r.qid, r.doc_id) for r in ix.search(p, [(1, ["x", "y"])]).collect()}
+    assert got == {(1, 1)}
+
+
+def test_score_is_summed_tf_and_ties_break_by_doc_id(spark):
+    docs = _docs(spark, [
+        (10, "t t u"),    # score 3
+        (11, "t u u"),    # score 3 (tie -> doc_id order)
+        (12, "t u"),      # score 2
+    ])
+    p = ix.build_postings(docs)
+    out = ix.search(p, [(7, ["t", "u"])], k=3).collect()
+    ranked = [(r.rank, r.doc_id, r.score) for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [(1, 10, 3), (2, 11, 3), (3, 12, 2)]
+
+
+def test_k_caps_results(spark):
+    docs = _docs(spark, [(i, "w " * (i + 1)) for i in range(8)])
+    p = ix.build_postings(docs)
+    out = ix.search(p, [(1, ["w"])], k=3).collect()
+    assert len(out) == 3
+    assert {r.doc_id for r in out} == {7, 6, 5}  # highest tf first
+
+
+def test_salt_invisible(spark):
+    docs = _docs(spark, [(i, f"w x{i % 3}") for i in range(40)])
+    p = ix.build_postings(docs)
+    a = {(r.qid, r.rank, r.doc_id) for r in ix.search(p, [(1, ["w"])], k=5, salt=1).collect()}
+    b = {(r.qid, r.rank, r.doc_id) for r in ix.search(p, [(1, ["w"])], k=5, salt=64).collect()}
+    assert a == b and len(a) == 5
+
+
+def test_duplicate_query_terms_are_set_semantics(spark):
+    docs = _docs(spark, [(1, "a b"), (2, "a")])
+    p = ix.build_postings(docs)
+    got = {(r.qid, r.doc_id, r.score) for r in ix.search(p, [(1, ["a", "a", "b"])]).collect()}
+    assert got == {(1, 1, 2)}
