@@ -79,6 +79,9 @@ HEADLINE = [
     "substr_dedup",
     "lm_perplexity",
     "neardup_clusters",
+    "index_search",
+    "pq_topk",
+    "frontier_schedule",
 ]
 
 
@@ -261,8 +264,10 @@ QUERY_GROUPS: list[list[str]] = [
     ["link_components", "anchor_rollup", "web_sessions",
      "contamination_check", "bpe_pair_counts", "semantic_dedup",
      "crawl_delta"],
-    # round-4 span-dedup / LM-quality / cluster-retention suite
-    ["substr_dedup", "lm_perplexity", "neardup_clusters"],
+    # round-4 span-dedup / LM-quality / cluster-retention / search /
+    # PQ-ANN / frontier suite
+    ["substr_dedup", "lm_perplexity", "neardup_clusters", "index_search",
+     "pq_topk", "frontier_schedule"],
 ]
 
 

@@ -5802,6 +5802,99 @@ def q_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ix.search(postings, _SEARCH_QUERIES, "doc_id", k=10)
 
 
+def _pq_oracle(
+    m: int = 4, subdim: int = 16, kc: int = 4, seed_mod: int = 137,
+    qid: int = 3, topk: int = 10,
+) -> str:
+    """PQ oracle: per-subspace 1-iteration Lloyd's (same CTE shapes as
+    _kmeans_cte_chain, over sliced subvectors), ADC distance tables
+    from the trained codebooks against vec {qid}'s subvectors, and the
+    lookup-sum ranking — all exact int64."""
+    qv = ("list_transform(embedding, "
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+    dist = (f"list_sum(list_transform(range(1, {subdim} + 1), "
+            "i -> (p.qv[i] - c.qv[i]) * (p.qv[i] - c.qv[i])))")
+
+    def assign(src: str, cents: str) -> str:
+        return f"""(
+      SELECT vec_id, qv, cid AS cell FROM (
+        SELECT p.vec_id, p.qv, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM {src} p CROSS JOIN {cents} c) WHERE rn = 1)"""
+
+    def update(src: str, prev: str) -> str:
+        return f"""(
+      SELECT p.cid, coalesce(u.qv, p.qv) AS qv
+      FROM {prev} p LEFT JOIN (
+        SELECT cell AS cid, list(coord ORDER BY i) AS qv FROM (
+          SELECT cell, t.i,
+                 CAST(floor(CAST(sum(qv[t.i]) AS DOUBLE) / count(*))
+                      AS BIGINT) AS coord
+          FROM {src}, range(1, {subdim} + 1) t(i) GROUP BY cell, t.i)
+        GROUP BY cell) u ON u.cid = p.cid)"""
+
+    parts = [f"WITH pts AS (SELECT vec_id, {qv} AS qv FROM embeddings)"]
+    for s in range(m):
+        lo, hi = s * subdim + 1, (s + 1) * subdim
+        parts.append(
+            f", sub{s} AS (SELECT vec_id, qv[{lo}:{hi}] AS qv FROM pts)"
+        )
+        parts.append(
+            f", c0_{s} AS (SELECT row_number() OVER (ORDER BY vec_id) - 1"
+            f" AS cid, qv FROM sub{s} WHERE vec_id % {seed_mod} = 0"
+            f" ORDER BY vec_id LIMIT {kc})"
+        )
+        parts.append(f", a1_{s} AS {assign(f'sub{s}', f'c0_{s}')}")
+        parts.append(f", c1_{s} AS {update(f'a1_{s}', f'c0_{s}')}")
+        parts.append(f", af_{s} AS {assign(f'sub{s}', f'c1_{s}')}")
+        parts.append(
+            f", dt{s} AS (SELECT c.cid, list_sum(list_transform("
+            f"range(1, {subdim} + 1), i -> (q.qv[{s * subdim} + i] - c.qv[i])"
+            f" * (q.qv[{s * subdim} + i] - c.qv[i]))) AS d"
+            f" FROM c1_{s} c, (SELECT qv FROM pts WHERE vec_id = {qid}) q)"
+        )
+    joins = " ".join(
+        f"JOIN af_{s} a{s} ON a{s}.vec_id = a0.vec_id" for s in range(1, m)
+    )
+    djoins = " ".join(
+        f"JOIN dt{s} ON dt{s}.cid = a{s}.cell" for s in range(m)
+    )
+    adc = " + ".join(f"dt{s}.d" for s in range(m))
+    parts.append(f"""
+    , scored AS (SELECT a0.vec_id, {adc} AS adc
+                 FROM af_0 a0 {joins} {djoins})
+    , ranked AS (SELECT vec_id, adc,
+                        row_number() OVER (ORDER BY adc, vec_id) AS rank
+                 FROM scored)
+    SELECT vec_id, CAST(rank AS BIGINT) AS rank, CAST(adc AS BIGINT) AS adc
+    FROM ranked WHERE rank <= {topk}""")
+    return "".join(parts)
+
+
+@register("pq_topk", _pq_oracle())
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity/pq.py): 4 subspaces x 16
+    dims, 4-centroid codebook per subspace trained by the SAME
+    integer-quantized Lloyd's loop as the IVF coarse quantizer, vectors
+    encoded to 4 codes, and the query answered by Asymmetric Distance
+    Computation — one parameter-sized (m x k) distance table
+    driver-side, each candidate scored by m in-row element_at lookups
+    (no vector math in the scan), ranked by the salted two-level top-k
+    window.  The memory-bounded ANN scale path: at 10^12 vectors the
+    encoded corpus is m bytes/vector and the hot loop is a lookup-sum
+    in codegen.  The oracle replays training, encoding, table build and
+    ranking bit-for-bit in SQL."""
+    from osm_spark.similarity import pq as _pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codebooks, codes = _pq.train_pq(emb, m=4, subdim=16, k=4, iters=1)
+    qrow = emb.where(F.col("vec_id") == 3).select("embedding").first()
+    qqv = _pq.quantize_query(list(qrow["embedding"]))
+    dtab = _pq.adc_table(codebooks, qqv, subdim=16)
+    return _pq.adc_topk(codes, dtab, "vec_id", k=10)
+
+
 def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Render every document into an HTML page and pack the pages into
     a deterministic `.warc.gz` (one gzip member per record — the Common
@@ -6016,9 +6109,10 @@ _DRIVER_WINDOW: list[str] = [
     # temporal / history family
     "asof_annotate",
     "history_at",                # round 3
-    # ids / stats family
+    # ids / stats family (planet_stats r02+r03-green, parked for the
+    # round-4 pq_topk rotation — the stats/argmax path stays exercised
+    # in-window by ids_pack_roundtrip and the flagship entry() rollup)
     "ids_pack_roundtrip",
-    "planet_stats",
     # PBF wire format (round 3)
     "pbf_scan",
     # dedup / text family (minhash_lsh r02+r03-green, parked for the
@@ -6156,6 +6250,11 @@ _DRIVER_WINDOW: list[str] = [
     # ranking, rotated in against geojson_convert (r02+r03-green;
     # geojson family keeps geojson_way_features in-window).
     "index_search",
+    # product-quantization ANN (per-subspace Lloyd's codebooks, ADC
+    # lookup-sum ranking), rotated in against planet_stats
+    # (r02+r03-green; stats keeps ids_pack_roundtrip + the flagship
+    # entry() rollup).
+    "pq_topk",
 ]
 
 

@@ -121,6 +121,10 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # driver-green) parked; feature emission stays exercised in-window
     # by geojson_way_features over the same converter kernels.
     "geojson_convert",
+    # round-4 pq_topk rotation: planet_stats (r02+r03 driver-green)
+    # parked; the stats/argmax path stays exercised in-window by
+    # ids_pack_roundtrip and the flagship entry() rollup.
+    "planet_stats",
 })
 
 
