@@ -82,6 +82,7 @@ HEADLINE = [
     "index_search",
     "pq_topk",
     "frontier_schedule",
+    "nb_classify",
 ]
 
 
@@ -267,7 +268,7 @@ QUERY_GROUPS: list[list[str]] = [
     # round-4 span-dedup / LM-quality / cluster-retention / search /
     # PQ-ANN / frontier suite
     ["substr_dedup", "lm_perplexity", "neardup_clusters", "index_search",
-     "pq_topk", "frontier_schedule"],
+     "pq_topk", "frontier_schedule", "nb_classify"],
 ]
 
 

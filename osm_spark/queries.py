@@ -5895,6 +5895,79 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq.adc_topk(codes, dtab, "vec_id", k=10)
 
 
+@register(
+    "nb_classify",
+    """
+    WITH tok AS (
+      SELECT lang AS class, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    cw AS (SELECT class, word, count(*) AS c_wc FROM tok GROUP BY 1, 2),
+    ctot AS (SELECT class, sum(c_wc) AS c_c FROM cw GROUP BY 1),
+    v AS (SELECT count(DISTINCT word) AS v FROM tok),
+    priors AS (
+      SELECT lang AS class,
+             CAST(floor(ln(count(*) / (SELECT CAST(count(*) AS DOUBLE)
+                                       FROM documents)) * 1e6)
+                  AS BIGINT) AS prior_e6
+      FROM documents GROUP BY 1),
+    wl AS (
+      SELECT cw.class, cw.word,
+             CAST(floor(ln((cw.c_wc + 0.5)
+                           / (ctot.c_c + 0.5 * (SELECT v FROM v))) * 1e6)
+                  AS BIGINT) AS logp_e6
+      FROM cw JOIN ctot USING (class)),
+    cm AS (
+      SELECT ctot.class,
+             CAST(floor(ln(0.5 / (ctot.c_c + 0.5 * (SELECT v FROM v)))
+                        * 1e6) AS BIGINT) AS floor_e6
+      FROM ctot),
+    tf AS (
+      SELECT doc_id, word, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      GROUP BY 1, 2),
+    terms AS (
+      SELECT tf.doc_id, cm.class,
+             tf.tf * coalesce(wl.logp_e6, cm.floor_e6) AS term_e6
+      FROM tf CROSS JOIN cm
+      LEFT JOIN wl ON wl.class = cm.class AND wl.word = tf.word),
+    scores AS (
+      SELECT t.doc_id, t.class,
+             CAST(sum(t.term_e6) AS BIGINT) AS ll_e6
+      FROM terms t GROUP BY 1, 2),
+    ranked AS (
+      SELECT s.doc_id, s.class, s.ll_e6 + p.prior_e6 AS score_e6,
+             row_number() OVER (PARTITION BY s.doc_id
+                                ORDER BY s.ll_e6 + p.prior_e6 DESC,
+                                         s.class) AS rn
+      FROM scores s JOIN priors p ON p.class = s.class)
+    SELECT r.doc_id, r.class AS pred, CAST(r.score_e6 AS BIGINT) AS score_e6,
+           CAST(r.class = d.lang AS INT) AS hit
+    FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+    WHERE r.rn = 1
+    """,
+)
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classification (text/nbayes.py)
+    — the train-a-classifier-on-the-corpus operator (the fastText
+    wiki-vs-crawl quality gate in CCNet/Dolma-class pipelines, here
+    supervised on the lang column): add-k-smoothed class-conditional
+    unigram models trained in two vocab-sized shuffles, documents
+    scored by a tf-weighted lookup join (per-word ln P quantized to
+    int64 BEFORE the weighted sum), argmax per doc over the bounded
+    |classes| group with (score DESC, class ASC) ties.  ``hit``
+    compares the prediction against the training label in-row."""
+    from osm_spark.text import nbayes as _nb
+
+    docs = _t(spark, sf_dir, "documents")
+    word_logp, class_model, _ = _nb.train(docs, "lang", "text")
+    pred = _nb.classify(docs, word_logp, class_model, "doc_id", "text")
+    return pred.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "pred", "score_e6",
+        (F.col("pred") == F.col("lang")).cast("int").alias("hit"),
+    )
+
+
 def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Render every document into an HTML page and pack the pages into
     a deterministic `.warc.gz` (one gzip member per record — the Common
@@ -6106,9 +6179,11 @@ _DRIVER_WINDOW: list[str] = [
     "geojson_way_features",
     # geometry family
     "multipolygon_assembly",
-    # temporal / history family
+    # temporal / history family (history_at r03-green, parked for the
+    # round-4 nb_classify rotation — temporal keeps asof_annotate, the
+    # snapshot semantics stay covered by test_state_store's
+    # VERSION AS OF suite)
     "asof_annotate",
-    "history_at",                # round 3
     # ids / stats family (planet_stats r02+r03-green, parked for the
     # round-4 pq_topk rotation — the stats/argmax path stays exercised
     # in-window by ids_pack_roundtrip and the flagship entry() rollup)
@@ -6255,6 +6330,10 @@ _DRIVER_WINDOW: list[str] = [
     # (r02+r03-green; stats keeps ids_pack_roundtrip + the flagship
     # entry() rollup).
     "pq_topk",
+    # Naive Bayes corpus classifier (train + tf-weighted scoring +
+    # per-doc argmax), rotated in against history_at (r03-green;
+    # temporal keeps asof_annotate in-window).
+    "nb_classify",
 ]
 
 

@@ -125,6 +125,10 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # parked; the stats/argmax path stays exercised in-window by
     # ids_pack_roundtrip and the flagship entry() rollup.
     "planet_stats",
+    # round-4 nb_classify rotation: history_at (r03 driver-green)
+    # parked; temporal keeps asof_annotate in-window, snapshot
+    # semantics stay covered by test_state_store's VERSION AS OF suite.
+    "history_at",
 })
 
 
