@@ -83,6 +83,7 @@ HEADLINE = [
     "pq_topk",
     "frontier_schedule",
     "nb_classify",
+    "bm25_search",
 ]
 
 
@@ -268,7 +269,7 @@ QUERY_GROUPS: list[list[str]] = [
     # round-4 span-dedup / LM-quality / cluster-retention / search /
     # PQ-ANN / frontier suite
     ["substr_dedup", "lm_perplexity", "neardup_clusters", "index_search",
-     "pq_topk", "frontier_schedule", "nb_classify"],
+     "pq_topk", "frontier_schedule", "nb_classify", "bm25_search"],
 ]
 
 

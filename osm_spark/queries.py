@@ -5968,6 +5968,73 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_Q_SQL = ", ".join(
+    f"({qid}, '{t}')"
+    for qid, ts in _SEARCH_QUERIES
+    for t in sorted(set(ts))
+)
+
+
+@register(
+    "bm25_search",
+    f"""
+    WITH p AS (
+      SELECT term, doc_id, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY 1),
+    st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+    q AS (SELECT * FROM (VALUES {_BM25_Q_SQL}) t(qid, term)),
+    dfq AS (
+      SELECT p.term, CAST(count(*) AS BIGINT) AS df
+      FROM p JOIN (SELECT DISTINCT term FROM q) tq ON tq.term = p.term
+      GROUP BY 1),
+    hit AS (
+      SELECT q.qid, p.doc_id,
+             CAST(floor(
+               CAST(floor(ln(((SELECT n FROM st) - dfq.df
+                              + CAST(0.5 AS DOUBLE))
+                             / (dfq.df + CAST(0.5 AS DOUBLE))) * 1000000)
+                    AS BIGINT)
+               * ((p.tf * CAST(2.2 AS DOUBLE))
+                  / (p.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE) * dl.dl
+                          / (SELECT avgdl FROM st))))
+             ) AS BIGINT) AS term_e6
+      FROM p
+      JOIN q ON q.term = p.term
+      JOIN dfq ON dfq.term = p.term
+      JOIN dl ON dl.doc_id = p.doc_id),
+    sc AS (SELECT qid, doc_id, CAST(sum(term_e6) AS BIGINT) AS score_e6
+           FROM hit GROUP BY 1, 2),
+    r AS (SELECT qid, doc_id, score_e6,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY score_e6 DESC, doc_id) AS rank
+          FROM sc)
+    SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+           doc_id, score_e6
+    FROM r WHERE rank <= 10
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked disjunctive retrieval (text/index.py bm25_search)
+    over the same postings build as index_search: df restricted to the
+    broadcast query terms BEFORE its rollup (|query| keys, not the
+    vocabulary), document lengths as one corpus-keyed aggregation
+    reused across queries, idf quantized to int64 the moment the ln is
+    computed (the only transcendental), the tf normalization pure IEEE
+    rational arithmetic over integer-derived doubles, and each term
+    contributing floor(idf_e6 · tfn) so the per-doc sum is
+    order-independent.  Ranking is the salted two-level top-k."""
+    from osm_spark.text import index as _ix
+
+    docs = _t(spark, sf_dir, "documents")
+    postings = _ix.build_postings(docs, "doc_id", "text")
+    return _ix.bm25_search(postings, _SEARCH_QUERIES, "doc_id", k=10)
+
+
 def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Render every document into an HTML page and pack the pages into
     a deterministic `.warc.gz` (one gzip member per record — the Common
@@ -6198,8 +6265,10 @@ _DRIVER_WINDOW: list[str] = [
     # similarity family (ivf_topk r03-green, parked for the round-4
     # semantic_dedup rotation — IVF stays exercised locally and the
     # family keeps ann_trained_topk + knn_kring + semantic_dedup)
+    # (knn_kring r03-green, parked for the round-4 bm25_search rotation
+    # — exact kNN stays in-window via h3_knn's k-ring expand-verify,
+    # tile math via tile_assign)
     "ann_trained_topk",
-    "knn_kring",
     # media family (rounds 2-3)
     "media_decode_real",
     "media_resize",
@@ -6334,6 +6403,10 @@ _DRIVER_WINDOW: list[str] = [
     # per-doc argmax), rotated in against history_at (r03-green;
     # temporal keeps asof_annotate in-window).
     "nb_classify",
+    # BM25-ranked retrieval over the postings build, rotated in
+    # against knn_kring (r03-green; exact kNN stays in-window via
+    # h3_knn, tile math via tile_assign).
+    "bm25_search",
 ]
 
 

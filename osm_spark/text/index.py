@@ -48,6 +48,104 @@ def build_postings(
     )
 
 
+def _topk(
+    hits: DataFrame,
+    id_col: str,
+    score_col: str,
+    k: int,
+    salt: int,
+    descending: bool = True,
+) -> DataFrame:
+    """Salted two-level top-k per qid by (score, id) total order."""
+    s = F.col(score_col)
+    order = [s.desc() if descending else s.asc(), F.col(id_col).asc()]
+    salted = hits.withColumn(
+        "_salt", F.pmod(F.col(id_col), F.lit(salt)).cast("int")
+    )
+    w1 = Window.partitionBy("qid", "_salt").orderBy(*order)
+    pruned = (
+        salted.withColumn("_lr", F.row_number().over(w1))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr", "_salt")
+    )
+    w2 = Window.partitionBy("qid").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", id_col, score_col)
+    )
+
+
+def bm25_search(
+    postings: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    salt: int = 16,
+) -> DataFrame:
+    """Disjunctive (OR) BM25 ranking: -> (qid, rank, doc_id, score_e6).
+
+    Integer-exact across engines by the house float discipline: the
+    only transcendental — ``idf = ln((N - df + 0.5) / (df + 0.5))`` —
+    is quantized to int64 at 1e-6 the moment it is computed; the tf
+    normalization ``tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`` is plain
+    IEEE rational arithmetic over integer-derived doubles (identical
+    ulps in any engine), and each term contributes
+    ``floor(idf_e6 · tfn)`` — an int64 — so the per-doc sum is
+    order-independent.
+
+    Scale shape: df and dl are rollups of the postings table (one
+    table-sized and one corpus-keyed aggregation, both reusable across
+    queries); the query side broadcasts; ranking is the salted top-k.
+    """
+    spark = postings.sparkSession
+    rows = [
+        (int(qid), term)
+        for qid, terms in queries
+        for term in sorted(set(terms))
+    ]
+    q = F.broadcast(spark.createDataFrame(rows, "qid long, term string"))
+
+    dl_tab = postings.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl_tab.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+    # df restricted to the query's terms BEFORE aggregating: the rollup
+    # shuffles |query terms| keys, not the vocabulary
+    df_tab = (
+        postings.join(q.select("term").distinct(), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+
+    idf_e6 = F.floor(
+        F.log(
+            (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        * F.lit(1_000_000)
+    ).cast("long")
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    hits = (
+        postings.join(q, "term")
+        .join(F.broadcast(df_tab), "term")
+        .join(dl_tab, id_col)
+        .select(
+            "qid", id_col,
+            F.floor(idf_e6 * tfn).cast("long").alias("term_e6"),
+        )
+        .groupBy("qid", id_col)
+        .agg(F.sum("term_e6").cast("long").alias("score_e6"))
+    )
+    return _topk(hits, id_col, "score_e6", k, salt, descending=True)
+
+
 def search(
     postings: DataFrame,
     queries: list[tuple[int, list[str]]],

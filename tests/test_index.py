@@ -62,3 +62,47 @@ def test_duplicate_query_terms_are_set_semantics(spark):
     p = ix.build_postings(docs)
     got = {(r.qid, r.doc_id, r.score) for r in ix.search(p, [(1, ["a", "a", "b"])]).collect()}
     assert got == {(1, 1, 2)}
+
+
+def test_bm25_idf_and_tf_normalization_closed_form(spark):
+    import math
+
+    # corpus: 4 docs; term "t" in 2 docs; dl = 2 for every doc
+    docs = _docs(spark, [
+        (1, "t t"), (2, "t u"), (3, "u u"), (4, "u v"),
+    ])
+    p = ix.build_postings(docs)
+    out = {r.doc_id: r.score_e6 for r in ix.bm25_search(p, [(1, ["t"])], k=4).collect()}
+    n, df, avgdl = 4.0, 2.0, 2.0
+    idf_e6 = math.floor(math.log((n - df + 0.5) / (df + 0.5)) * 1_000_000)
+
+    def tfn(tf, dl):
+        return (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    assert out == {
+        1: math.floor(idf_e6 * tfn(2, 2)),
+        2: math.floor(idf_e6 * tfn(1, 2)),
+    }
+    # doc 1 has higher tf -> must outrank doc 2
+    ranks = {r.doc_id: r.rank for r in ix.bm25_search(p, [(1, ["t"])], k=4).collect()}
+    assert ranks[1] == 1 and ranks[2] == 2
+
+
+def test_bm25_or_semantics_and_longer_docs_penalized(spark):
+    # df("rare")=2 of N=6 keeps idf positive (ln(4.5/2.5) > 0) so the
+    # length penalty acts the intuitive way
+    docs = _docs(spark, [
+        (1, "rare common common common common common"),
+        (2, "rare"),
+        (3, "common"),
+        (4, "other words"),
+        (5, "more words"),
+        (6, "filler text"),
+    ])
+    p = ix.build_postings(docs)
+    out = ix.bm25_search(p, [(1, ["rare", "zzz"])], k=6).collect()
+    # OR semantics: docs 1 and 2 match "rare"; "zzz" matches nothing
+    assert {r.doc_id for r in out} == {1, 2}
+    ranks = {r.doc_id: r.rank for r in out}
+    # same tf for "rare", but doc 1 is longer -> penalized below doc 2
+    assert ranks[2] == 1 and ranks[1] == 2

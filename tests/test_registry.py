@@ -129,6 +129,10 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # parked; temporal keeps asof_annotate in-window, snapshot
     # semantics stay covered by test_state_store's VERSION AS OF suite.
     "history_at",
+    # round-4 bm25_search rotation: knn_kring (r03 driver-green)
+    # parked; exact kNN stays in-window via h3_knn's k-ring
+    # expand-verify, tile math via tile_assign.
+    "knn_kring",
 })
 
 
