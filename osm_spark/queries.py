@@ -74,6 +74,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_spread(spark: SparkSession, sf_dir: str, name: str,
+              key: str = "doc_id", n: int = 32) -> DataFrame:
+    """Like _t but pre-spread: the seed parquet is a single split, so
+    explode/digest-heavy pipelines over it would otherwise run their
+    whole scan-side stage in ONE task (same reason _docs2 repartitions;
+    a real corpus arrives multi-split and skips this)."""
+    return _t(spark, sf_dir, name).repartition(n, key)
+
+
 def _us(c) -> "F.Column":
     """epoch micros from a (possibly NTZ) timestamp column."""
     col = F.col(c) if isinstance(c, str) else c
@@ -5569,7 +5578,7 @@ def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipping bodies."""
     from osm_spark.text import substrdedup as _sd
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_spread(spark, sf_dir, "documents")
     return _sd.scrub(docs, "doc_id", "text", k=5)
 
 
@@ -5619,7 +5628,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical smoothed model in SQL."""
     from osm_spark.text import lm as _lm
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_spread(spark, sf_dir, "documents")
     return _lm.perplexity(docs, "doc_id", "text")
 
 
@@ -5748,10 +5757,13 @@ def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fr.schedule(front, "host", "url", "prio", budget=8)
 
 
+# terms drawn from the synthetic corpus's actual vocabulary so the AND
+# queries return real result sets at every sf (stopword-style picks
+# matched nothing at sf0.01 — a trivially-empty driver gate)
 _SEARCH_QUERIES = [
-    (1, ["the", "of"]),
-    (2, ["and", "to"]),
-    (3, ["the", "and", "of"]),
+    (1, ["scan", "join"]),
+    (2, ["hash", "merge"]),
+    (3, ["batch", "filter", "sort"]),
 ]
 _SEARCH_Q_SQL = ", ".join(
     f"({qid}, '{t}', {len(set(ts))})"
@@ -5797,7 +5809,7 @@ def q_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     single window is fine at oracle scale)."""
     from osm_spark.text import index as _ix
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_spread(spark, sf_dir, "documents")
     postings = _ix.build_postings(docs, "doc_id", "text")
     return _ix.search(postings, _SEARCH_QUERIES, "doc_id", k=10)
 
@@ -5959,7 +5971,7 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares the prediction against the training label in-row."""
     from osm_spark.text import nbayes as _nb
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_spread(spark, sf_dir, "documents")
     word_logp, class_model, _ = _nb.train(docs, "lang", "text")
     pred = _nb.classify(docs, word_logp, class_model, "doc_id", "text")
     return pred.join(docs.select("doc_id", "lang"), "doc_id").select(
@@ -6030,7 +6042,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent.  Ranking is the salted two-level top-k."""
     from osm_spark.text import index as _ix
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_spread(spark, sf_dir, "documents")
     postings = _ix.build_postings(docs, "doc_id", "text")
     return _ix.bm25_search(postings, _SEARCH_QUERIES, "doc_id", k=10)
 
