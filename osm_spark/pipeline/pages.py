@@ -137,3 +137,63 @@ def tile_pyramid_counts(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def captures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch recrawl captures of the pages table: every url gets
+    ``doc_id % 3 + 1`` captures one day apart, later captures carrying a
+    revised body — the multi-snapshot shape a Common-Crawl-style corpus
+    has on disk.  Deterministic closed form (doc_id arithmetic) so the
+    oracle derives every capture independently."""
+    docs = load_documents(spark, sf_dir)
+    c = docs.select(
+        "doc_id", "source", "text",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+        ).alias("rev"),
+    )
+    return c.select(
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example/p"), "doc_id"
+        ).alias("url"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(
+                secs=(F.col("doc_id") + F.col("rev") * 86400).cast("double")
+            )
+        ).alias("warc_ts"),
+        F.when(F.col("rev") == 0, F.col("text"))
+        .otherwise(
+            F.concat("text", F.lit(" rev"), F.col("rev").cast("string"))
+        )
+        .alias("text"),
+        "rev",
+    )
+
+
+def snapshot_at(caps: DataFrame, t) -> DataFrame:
+    """Latest capture per url at time ``t`` — the webtext twin of the
+    reference's element ``At(t)`` / history-visibility lookup
+    (paulmach/osm element_at semantics, reference osm/types.go history
+    conventions): filter to captures visible at t, keep the
+    max-warc_ts row per url.  Per-url groups are bounded by the crawl
+    epoch count, so the window partition never exceeds a handful of
+    rows even at 10^12 urls — no salting needed; the exchange is one
+    url-keyed hash partition."""
+    from pyspark.sql import Window
+
+    upto = caps.where(F.col("warc_ts") <= t)
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    wc = Window.partitionBy("url")
+    return (
+        upto.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_upto", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "url",
+            F.unix_micros("warc_ts").alias("ts_us"),
+            F.col("rev").cast("long").alias("rev"),
+            "n_upto",
+            F.md5(F.encode("text", "UTF-8")).alias("digest"),
+        )
+    )

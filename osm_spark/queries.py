@@ -6047,6 +6047,47 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ix.bm25_search(postings, _SEARCH_QUERIES, "doc_id", k=10)
 
 
+@register(
+    "page_snapshot_at",
+    """
+    WITH caps AS (
+      SELECT 'https://' || source || '.example/p' || CAST(doc_id AS VARCHAR)
+               AS url,
+             u.rev,
+             (1704067200 + doc_id + u.rev * 86400) * 1000000 AS ts_us,
+             CASE WHEN u.rev = 0 THEN text
+                  ELSE text || ' rev' || CAST(u.rev AS VARCHAR) END AS text
+      FROM documents, UNNEST(range(0, doc_id % 3 + 1)) u(rev)),
+    upto AS (SELECT * FROM caps WHERE ts_us <= 1704196800000000),
+    r AS (
+      SELECT url, ts_us, rev, text,
+             row_number() OVER (PARTITION BY url ORDER BY ts_us DESC) AS rn,
+             count(*) OVER (PARTITION BY url) AS n_upto
+      FROM upto)
+    SELECT url, CAST(ts_us AS BIGINT) AS ts_us, CAST(rev AS BIGINT) AS rev,
+           CAST(n_upto AS BIGINT) AS n_upto, md5(text) AS digest
+    FROM r WHERE rn = 1
+    """,
+)
+def q_page_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency snapshot of the north-rule pages table
+    (pipeline/pages.py captures/snapshot_at) — the webtext twin of the
+    reference's element ``At(t)`` / history-visibility semantics
+    (history_at, reference osm/types.go): every url carries 1-3
+    one-day-apart recrawl captures with revised bodies; the snapshot at
+    2024-01-02 12:00 UTC keeps each url's latest visible capture.
+    Per-url window groups are bounded by the crawl epoch count, so the
+    single url-keyed exchange is safe at 10^12 urls.  Timestamps leave
+    the query as epoch micros and bodies as md5 digests, so the driver
+    hash is engine-neutral; the oracle derives every capture in closed
+    form from doc_id arithmetic."""
+    from osm_spark.pipeline import pages as _pg
+
+    caps = _pg.captures(spark, sf_dir)
+    t = F.lit("2024-01-02 12:00:00").cast("timestamp")
+    return _pg.snapshot_at(caps, t)
+
+
 def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Render every document into an HTML page and pack the pages into
     a deterministic `.warc.gz` (one gzip member per record — the Common
@@ -6272,8 +6313,11 @@ _DRIVER_WINDOW: list[str] = [
     # dedup / text family (minhash_lsh r02+r03-green, parked for the
     # round-4 neardup_clusters rotation — its entire pair stage
     # (minhash_signature / lsh_candidates / pair_jaccard) is the front
-    # half of neardup_clusters, so the kernels stay under driver hash)
-    "corpus_prep",
+    # half of neardup_clusters, so the kernels stay under driver hash;
+    # corpus_prep r03-green, parked for the round-4 page_snapshot_at
+    # rotation — the text family keeps chunk_dedup / substr_dedup /
+    # lm_perplexity / neardup_clusters / index_search / bm25_search /
+    # nb_classify in-window)
     # similarity family (ivf_topk r03-green, parked for the round-4
     # semantic_dedup rotation — IVF stays exercised locally and the
     # family keeps ann_trained_topk + knn_kring + semantic_dedup)
@@ -6419,6 +6463,10 @@ _DRIVER_WINDOW: list[str] = [
     # against knn_kring (r03-green; exact kNN stays in-window via
     # h3_knn, tile math via tile_assign).
     "bm25_search",
+    # recency snapshot of the pages table (At(t) in the webtext
+    # domain), rotated in against corpus_prep (r03-green; the text
+    # family keeps 7 entries in-window).
+    "page_snapshot_at",
 ]
 
 

@@ -133,6 +133,11 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # parked; exact kNN stays in-window via h3_knn's k-ring
     # expand-verify, tile math via tile_assign.
     "knn_kring",
+    # round-4 page_snapshot_at rotation: corpus_prep (r03 driver-green)
+    # parked; the text family keeps chunk_dedup / substr_dedup /
+    # lm_perplexity / neardup_clusters / index_search / bm25_search /
+    # nb_classify in-window.
+    "corpus_prep",
 })
 
 
