@@ -6088,6 +6088,62 @@ def q_page_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pg.snapshot_at(caps, t)
 
 
+_KMV_VK_POLY = " + ".join(
+    f"(strpos('0123456789abcdef', substr(vk_dig, {i + 1}, 1)) - 1)"
+    f" * CAST({16 ** (14 - i)} AS BIGINT)"
+    for i in range(15)
+)
+
+
+@register(
+    "kmv_distinct",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT source AS grp, md5(text) AS dig FROM documents),
+    r AS (
+      SELECT grp, dig,
+             row_number() OVER (PARTITION BY grp ORDER BY dig) AS rn
+      FROM d),
+    agg AS (
+      SELECT grp, count(*) AS n_kept, max(dig) AS vk_dig
+      FROM r WHERE rn <= 16 GROUP BY 1),
+    ex AS (SELECT grp, count(*) AS exact_distinct FROM d GROUP BY 1),
+    v AS (SELECT grp, n_kept, {_KMV_VK_POLY} AS vk FROM agg)
+    SELECT v.grp AS source,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+           CAST(v.n_kept AS BIGINT) AS n_kept,
+           CAST(CASE WHEN v.n_kept < 16 THEN v.n_kept
+                     ELSE 15 * (CAST({1 << 60} AS BIGINT) // v.vk)
+                END AS BIGINT) AS est
+    FROM v JOIN ex ON ex.grp = v.grp
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (text/sketch.py) — per-source distinct
+    page-content cardinality the mergeable-sketch way: each group's 16
+    smallest md5 digests (distinct shuffle + the salted two-level
+    bottom-k window), exact count when the group holds < k values, else
+    the integer-exact estimator (k-1)·(2^60 DIV v_k) over the k-th
+    minimum's 60-bit value.  Every byte is md5-derived, so the oracle
+    reproduces the sketch AND its estimation error bit-for-bit; the
+    exact_distinct column (one extra aggregation, skipped at real
+    scale) pins the estimator's accuracy under the driver hash."""
+    from osm_spark.text import sketch as _sk
+
+    docs = _t(spark, sf_dir, "documents")
+    sk = _sk.kmv_sketch(docs, "source", "text", k=16)
+    est = _sk.kmv_estimate(sk, "source", k=16)
+    exact = (
+        docs.select("source", F.md5("text").alias("d"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
+    )
+    return est.join(exact, "source").select(
+        "source", "exact_distinct", "n_kept", "est"
+    )
+
+
 def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Render every document into an HTML page and pack the pages into
     a deterministic `.warc.gz` (one gzip member per record — the Common
@@ -6323,8 +6379,10 @@ _DRIVER_WINDOW: list[str] = [
     # family keeps ann_trained_topk + knn_kring + semantic_dedup)
     # (knn_kring r03-green, parked for the round-4 bm25_search rotation
     # — exact kNN stays in-window via h3_knn's k-ring expand-verify,
-    # tile math via tile_assign)
-    "ann_trained_topk",
+    # tile math via tile_assign; ann_trained_topk r03-green, parked for
+    # the round-4 kmv_distinct rotation — its Lloyd's training loop and
+    # Arrow argmin are pq_topk's front half, so the kernels stay under
+    # driver hash)
     # media family (rounds 2-3)
     "media_decode_real",
     "media_resize",
@@ -6467,6 +6525,11 @@ _DRIVER_WINDOW: list[str] = [
     # domain), rotated in against corpus_prep (r03-green; the text
     # family keeps 7 entries in-window).
     "page_snapshot_at",
+    # KMV distinct-count sketch (salted bottom-k, integer-exact
+    # estimator), rotated in against ann_trained_topk (r03-green; the
+    # trained-ANN loop stays under driver hash via pq_topk's identical
+    # kmeans front half).
+    "kmv_distinct",
 ]
 
 

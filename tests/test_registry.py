@@ -138,6 +138,10 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # lm_perplexity / neardup_clusters / index_search / bm25_search /
     # nb_classify in-window.
     "corpus_prep",
+    # round-4 kmv_distinct rotation: ann_trained_topk (r03
+    # driver-green) parked; its Lloyd's training loop and Arrow argmin
+    # are pq_topk's front half, so the kernels stay under driver hash.
+    "ann_trained_topk",
 })
 
 
