@@ -84,6 +84,8 @@ HEADLINE = [
     "frontier_schedule",
     "nb_classify",
     "bm25_search",
+    "page_snapshot_at",
+    "kmv_distinct",
 ]
 
 
@@ -269,7 +271,8 @@ QUERY_GROUPS: list[list[str]] = [
     # round-4 span-dedup / LM-quality / cluster-retention / search /
     # PQ-ANN / frontier suite
     ["substr_dedup", "lm_perplexity", "neardup_clusters", "index_search",
-     "pq_topk", "frontier_schedule", "nb_classify", "bm25_search"],
+     "pq_topk", "frontier_schedule", "nb_classify", "bm25_search",
+     "page_snapshot_at", "kmv_distinct"],
 ]
 
 
