@@ -144,3 +144,41 @@ def test_covering_polygon_no_interior_python(spark):
     plan = _plan(spark, "covering_polygon")
     assert _count(plan, "ArrowEvalPython") <= 5
     assert "BatchEvalPython" not in plan
+
+
+def test_round4_text_ops_no_python_nodes(spark):
+    # lm_perplexity / frontier_schedule / index_search / bm25_search /
+    # nb_classify / kmv_distinct / page_snapshot_at are pure built-in
+    # column/window/agg plans — any Python node is a regression
+    for name in (
+        "lm_perplexity", "frontier_schedule", "index_search",
+        "bm25_search", "nb_classify", "kmv_distinct", "page_snapshot_at",
+    ):
+        plan = _plan(spark, name)
+        for py_node in ("ArrowEvalPython", "MapInPandas",
+                        "BatchEvalPython", "FlatMapGroupsInPandas"):
+            assert py_node not in plan, (name, py_node)
+
+
+def test_bm25_and_search_broadcast_the_query_side(spark):
+    for name in ("index_search", "bm25_search"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        # the corpus side must never become a broadcast: postings join
+        # keys are term/doc, both corpus-sized
+        assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_pq_adc_plan_has_single_python_boundary_per_subspace(spark):
+    # PQ: k=4 <= LITERAL_K_MAX so assignment is pure column math;
+    # the ADC scoring itself must stay Python-free
+    plan = _plan(spark, "pq_topk")
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_snapshot_at_single_url_exchange(spark):
+    plan = _plan(spark, "page_snapshot_at")
+    # both window passes and the final project key on url: Catalyst
+    # must reuse ONE url hash partitioning
+    assert len(re.findall(r"Exchange hashpartitioning\(url", plan)) <= 1
