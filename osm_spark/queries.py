@@ -6144,6 +6144,83 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pmi_collocations",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+      SELECT w[u.i] AS w1, w[u.i + 1] AS w2
+      FROM t, UNNEST(range(1, len(w))) AS u(i)),
+    c12 AS (
+      SELECT w1, w2, count(*) AS c12
+      FROM bg GROUP BY 1, 2 HAVING count(*) >= 3),
+    tok AS (SELECT unnest(w) AS w FROM t),
+    uni AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT (SELECT count(*) FROM tok) AS t_uni,
+                   (SELECT count(*) FROM bg) AS t_bi)
+    SELECT c12.w1, c12.w2, CAST(c12.c12 AS BIGINT) AS c12,
+           CAST(floor(ln((CAST(c12.c12 AS DOUBLE) * tot.t_uni * tot.t_uni)
+                         / (CAST(tot.t_bi AS DOUBLE) * u1.c * u2.c))
+                      * 1000000) AS BIGINT) AS pmi_e6
+    FROM c12
+    JOIN uni u1 ON u1.w = c12.w1
+    JOIN uni u2 ON u2.w = c12.w2
+    CROSS JOIN tot
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (text/lm.py collocations) — the
+    word2vec/phrase-detection preprocessing pass: every adjacent pair
+    seen >= 3 times scored by pointwise mutual information, the ln
+    quantized to int64 at the moment it is computed, the count
+    products run left-associated in double on both engines.  Count
+    tables are vocabulary-sized; the raw stream aggregates once per
+    statistic; corpus totals broadcast as a 1-row frame."""
+    from osm_spark.text import lm as _lm
+
+    docs = _t_spread(spark, sf_dir, "documents")
+    return _lm.collocations(docs, "doc_id", "text", min_count=3)
+
+
+@register(
+    "length_quantiles",
+    """
+    WITH v AS (
+      SELECT lang, len(string_split(text, ' ')) AS value FROM documents),
+    h AS (SELECT lang, value, count(*) AS n FROM v GROUP BY 1, 2),
+    c AS (
+      SELECT lang, value, n,
+             sum(n) OVER (PARTITION BY lang ORDER BY value
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             sum(n) OVER (PARTITION BY lang) AS total
+      FROM h),
+    q AS (SELECT unnest([25, 50, 75, 95]) AS q)
+    SELECT c.lang, CAST(q.q AS BIGINT) AS q,
+           CAST(min(c.value) AS BIGINT) AS value
+    FROM c CROSS JOIN q
+    WHERE c.cum * 100 >= q.q * c.total
+    GROUP BY 1, 2
+    """,
+)
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language token-length quantiles (text/quantiles.py) —
+    dataset-card distribution statistics computed the scale-right way:
+    a (group, value) histogram shuffle whose output is
+    corpus-independent, a cumsum window over per-group DISTINCT-VALUE
+    partitions (never row partitions), and the integer inverted-CDF
+    pick ``cum·100 >= q·total`` — no doubles, no row sort, and exact
+    (Spark's percentile_approx is an engine-specific sketch that could
+    never hash-match an oracle)."""
+    from osm_spark.text import quantiles as _qt
+
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.select(
+        "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return _qt.group_quantiles(vals, "lang", "n_tok", qs=[25, 50, 75, 95])
+
+
 def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Render every document into an HTML page and pack the pages into
     a deterministic `.warc.gz` (one gzip member per record — the Common

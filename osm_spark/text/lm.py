@@ -107,3 +107,47 @@ def perplexity(
             F.sum(term_e6).alias("logprob_e6"),
         )
     )
+
+
+def collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 3,
+) -> DataFrame:
+    """PMI collocation mining — the word2vec/phrase-detection
+    preprocessing pass: score every adjacent pair by pointwise mutual
+    information, keep pairs seen >= min_count times.
+
+    -> (w1, w2, c12, pmi_e6) with
+    ``pmi = ln((c12 · T_uni · T_uni) / (T_bi · c1 · c2))`` quantized to
+    int64 at 1e-6 (the ln is the only transcendental; the products run
+    left-associated in double on both engines).  Same scale shape as
+    the LM trainer: every count table is vocabulary-sized, the raw
+    stream aggregates exactly once per statistic, and the two corpus
+    totals broadcast as 1-row frames."""
+    bg = bigrams(docs, id_col, text_col)
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= min_count)
+    )
+    tok = docs.select(F.explode(words(text_col)).alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = tok.agg(F.count(F.lit(1)).alias("t_uni")).crossJoin(
+        bg.agg(F.count(F.lit(1)).alias("t_bi"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    num = F.col("c12").cast("double") * F.col("t_uni") * F.col("t_uni")
+    den = F.col("t_bi").cast("double") * F.col("c1") * F.col("c2")
+    return (
+        c12.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", F.col("c12").cast("long").alias("c12"),
+            F.floor(F.log(num / den) * F.lit(QUANT)).cast("long")
+            .alias("pmi_e6"),
+        )
+    )
