@@ -86,6 +86,8 @@ HEADLINE = [
     "bm25_search",
     "page_snapshot_at",
     "kmv_distinct",
+    "pmi_collocations",
+    "length_quantiles",
 ]
 
 
@@ -272,7 +274,8 @@ QUERY_GROUPS: list[list[str]] = [
     # PQ-ANN / frontier suite
     ["substr_dedup", "lm_perplexity", "neardup_clusters", "index_search",
      "pq_topk", "frontier_schedule", "nb_classify", "bm25_search",
-     "page_snapshot_at", "kmv_distinct"],
+     "page_snapshot_at", "kmv_distinct", "pmi_collocations",
+     "length_quantiles"],
 ]
 
 
