@@ -64,10 +64,12 @@ def main() -> int:
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = []
+    checked = 0
     import time
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -100,7 +102,10 @@ def main() -> int:
         except AssertionError as ex:
             print(f"FAIL {name}: value mismatch\n{str(ex)[:800]}")
             failures.append(name)
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    # denominator = queries actually CHECKED this run — a filtered run
+    # must never read as a full-suite pass
+    suffix = "" if checked == len(qs) else f" (of {len(qs)} registered)"
+    print(f"\n{checked - len(failures)}/{checked} queries match{suffix}")
     return 1 if failures else 0
 
 
