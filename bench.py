@@ -884,6 +884,18 @@ def run_scaling() -> None:
     slo, shi, spages, srl, srh, seff = rows["secondary"]
     tput = lambda r: r["pages"] / r["sec"]
     os.makedirs("BENCH", exist_ok=True)
+    # preserve hand-maintained sections (PBF like-for-like, WARC
+    # webtext scaling) that live below the preserve marker — a
+    # --scaling rerun must refresh the numbers, not drop them
+    marker = "<!-- PRESERVE BELOW: hand-maintained sections -->"
+    extra = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        if marker in old:
+            extra = old[old.index(marker):]
+    except OSError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH — scaling evidence (north rule)
@@ -942,6 +954,7 @@ local[32] — {tput(srh) / 13.9e6:.1f}x the reference's published
 end-to-end rate, not an end-to-end win claim.
 """
         )
+        f.write("\n" + (extra if extra else marker + "\n"))
     print(
         json.dumps(
             {
