@@ -6221,6 +6221,83 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _qt.group_quantiles(vals, "lang", "n_tok", qs=[25, 50, 75, 95])
 
 
+@register(
+    "phrase_merge",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+      SELECT doc_id, u.i AS pos, w[u.i] AS w1, w[u.i + 1] AS w2
+      FROM t, UNNEST(range(1, len(w))) AS u(i)),
+    c12 AS (
+      SELECT w1, w2, count(*) AS c12
+      FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+    tok AS (SELECT unnest(w) AS w FROM t),
+    uni AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT (SELECT count(*) FROM tok) AS t_uni,
+                   (SELECT count(*) FROM bg) AS t_bi),
+    ph AS (
+      SELECT c12.w1, c12.w2
+      FROM c12
+      JOIN uni u1 ON u1.w = c12.w1
+      JOIN uni u2 ON u2.w = c12.w2
+      CROSS JOIN tot
+      WHERE CAST(floor(ln((CAST(c12.c12 AS DOUBLE) * tot.t_uni * tot.t_uni)
+                          / (CAST(tot.t_bi AS DOUBLE) * u1.c * u2.c))
+                       * 1000000) AS BIGINT) > 0),
+    cand AS (
+      SELECT bg.doc_id, bg.pos FROM bg
+      JOIN ph ON ph.w1 = bg.w1 AND ph.w2 = bg.w2),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS island
+      FROM cand),
+    mg AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               pos - min(pos) OVER (PARTITION BY doc_id, island) AS off
+        FROM isl)
+      WHERE off % 2 = 0),
+    toks AS (
+      SELECT doc_id, u.i AS pos, w[u.i] AS tokw, w AS warr
+      FROM t, UNNEST(range(1, len(w) + 1)) AS u(i)),
+    outt AS (
+      SELECT toks.doc_id, toks.pos,
+             CASE WHEN m1.pos IS NOT NULL
+                    THEN toks.tokw || '_' || toks.warr[toks.pos + 1]
+                  WHEN m2.pos IS NOT NULL THEN NULL
+                  ELSE toks.tokw END AS ot
+      FROM toks
+      LEFT JOIN mg m1 ON m1.doc_id = toks.doc_id AND m1.pos = toks.pos
+      LEFT JOIN mg m2 ON m2.doc_id = toks.doc_id AND m2.pos = toks.pos - 1),
+    res AS (
+      SELECT doc_id, string_agg(ot, ' ' ORDER BY pos) AS merged
+      FROM outt WHERE ot IS NOT NULL GROUP BY doc_id),
+    nm AS (SELECT doc_id, count(*) AS n FROM mg GROUP BY 1)
+    SELECT res.doc_id, CAST(coalesce(nm.n, 0) AS BIGINT) AS n_merges,
+           md5(res.merged) AS merged_md5
+    FROM res LEFT JOIN nm ON nm.doc_id = res.doc_id
+    """,
+)
+def q_phrase_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2phrase application (text/lm.py merge_phrases): phrases =
+    self-trained collocations (c12 >= 5, PMI > 0), every document
+    rewritten with greedy left-to-right non-overlapping pair merges.
+    The greedy scan compiles to gaps-and-islands windows — within a
+    run of consecutive candidate positions the merges are exactly the
+    even offsets from the run start — so the whole stateful pass is
+    one pair explode + one broadcast phrase semi-join + two in-doc
+    windows + an in-row HOF rebuild; the rewritten body ships as a
+    digest (byte-exact proof, substr_dedup convention)."""
+    from osm_spark.text import lm as _lm
+
+    docs = _t_spread(spark, sf_dir, "documents")
+    phrases = _lm.collocations(docs, "doc_id", "text", min_count=5).where(
+        F.col("pmi_e6") > 0
+    )
+    return _lm.merge_phrases(docs, phrases, "doc_id", "text")
+
+
 def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Render every document into an HTML page and pack the pages into
     a deterministic `.warc.gz` (one gzip member per record — the Common

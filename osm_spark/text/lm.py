@@ -35,7 +35,7 @@ osmpbf/decode.go scan→group→emit) — one key shuffle, never all-pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from osm_spark.text.dedup import words
@@ -150,4 +150,91 @@ def collocations(
             F.floor(F.log(num / den) * F.lit(QUANT)).cast("long")
             .alias("pmi_e6"),
         )
+    )
+
+
+def merge_phrases(
+    docs: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """word2phrase application pass: rewrite every document, joining
+    each adjacent pair that appears in ``phrases`` (w1, w2) into one
+    token ``w1_w2``, greedy left-to-right and non-overlapping — the
+    single-pass semantics of word2vec's phrase builder.
+
+    The greedy scan is NOT expressed as a sequential loop: within any
+    maximal run of CONSECUTIVE candidate positions, greedy merges land
+    on the 1st, 3rd, 5th... positions of the run (a merge at i consumes
+    token i+1, un-candidating position i+1 and nothing else), so the
+    scan compiles to gaps-and-islands windows — island id =
+    pos - row_number() over candidates, merge iff
+    (pos - min(pos) over island) is even.  Plan: one pair explode +
+    one broadcast semi-join against the phrase table + two windows on
+    (id-keyed, in-doc) partitions + one doc-keyed regroup; the rebuild
+    is in-row array HOFs over the merge-position set.
+
+    -> (id, n_merges, merged_md5): the rewritten text ships as a
+    digest (byte-exact reconstruction proof without moving bodies,
+    same convention as substr_dedup)."""
+    w = words(text_col)
+    pairs = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.concat(
+                        F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "pair"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "pair")
+    ph = F.broadcast(
+        phrases.select(
+            F.concat_ws(" ", "w1", "w2").alias("pair")
+        ).distinct()
+    )
+    cand = pairs.join(ph, "pair").select(id_col, "pos")
+    w_rn = Window.partitionBy(id_col).orderBy("pos")
+    isl = cand.withColumn(
+        "island", F.col("pos") - F.row_number().over(w_rn)
+    )
+    w_isl = Window.partitionBy(id_col, "island")
+    merges = (
+        isl.withColumn("off", F.col("pos") - F.min("pos").over(w_isl))
+        .where(F.col("off") % 2 == 0)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("m"))
+    )
+    joined = docs.join(merges, id_col, "left").select(
+        F.col(id_col),
+        w.alias("w"),
+        F.coalesce("m", F.array().cast("array<int>")).alias("m"),
+    )
+    out_tok = F.transform(
+        F.sequence(F.lit(1), F.size("w")),
+        lambda i: F.when(
+            F.array_contains("m", i.cast("int")),
+            F.concat(
+                F.element_at("w", i), F.lit("_"), F.element_at("w", i + 1)
+            ),
+        ).otherwise(
+            F.when(
+                F.array_contains("m", (i - 1).cast("int")), F.lit(None)
+            ).otherwise(F.element_at("w", i))
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size("m").cast("long").alias("n_merges"),
+        F.md5(
+            F.encode(
+                F.array_join(F.filter(out_tok, lambda t: t.isNotNull()), " "),
+                "UTF-8",
+            )
+        ).alias("merged_md5"),
     )

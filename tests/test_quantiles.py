@@ -69,3 +69,42 @@ def test_collocations_min_count_gates(spark):
     assert collocations(docs, min_count=2).count() == 0
     got = {(r.w1, r.w2) for r in collocations(docs, min_count=1).collect()}
     assert got == {("a", "b"), ("a", "c")}
+
+
+def test_phrase_merge_greedy_non_overlapping(spark):
+    from osm_spark.text.lm import merge_phrases
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b b c"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "w1 string, w2 string"
+    )
+    out = {r.doc_id: r for r in merge_phrases(docs, phrases).collect()}
+    # doc 1: candidates at 1,2,3 (consecutive run) -> greedy merges
+    # 1 and 3: "a_b c_d"
+    assert out[1].n_merges == 2
+    assert out[1].merged_md5 == hashlib.md5(b"a_b c_d").hexdigest()
+    # doc 2: candidates at 1 ("a b") and 3 ("b c"); pos 2 ("b b") is
+    # not a phrase -> two separate islands, both merge: "a_b b_c"
+    assert out[2].n_merges == 2
+    assert out[2].merged_md5 == hashlib.md5(b"a_b b_c").hexdigest()
+    # doc 3: no candidates -> unchanged
+    assert out[3].n_merges == 0
+    assert out[3].merged_md5 == hashlib.md5(b"x y").hexdigest()
+
+
+def test_phrase_merge_odd_run_tail(spark):
+    from osm_spark.text.lm import merge_phrases
+    import hashlib
+
+    # candidates at 1,2 (run of two): greedy merges 1 only -> "a_b c"
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    phrases = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "w1 string, w2 string"
+    )
+    r = merge_phrases(docs, phrases).first()
+    assert r.n_merges == 1
+    assert r.merged_md5 == hashlib.md5(b"a_b c").hexdigest()

@@ -155,6 +155,7 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
 _ROUND5_ROTATION_QUEUE = frozenset({
     "pmi_collocations",
     "length_quantiles",
+    "phrase_merge",
 })
 
 
