@@ -89,6 +89,7 @@ HEADLINE = [
     "pmi_collocations",
     "length_quantiles",
     "phrase_merge",
+    "tile_quantiles",
 ]
 
 
@@ -276,7 +277,7 @@ QUERY_GROUPS: list[list[str]] = [
     ["substr_dedup", "lm_perplexity", "neardup_clusters", "index_search",
      "pq_topk", "frontier_schedule", "nb_classify", "bm25_search",
      "page_snapshot_at", "kmv_distinct", "pmi_collocations",
-     "length_quantiles", "phrase_merge"],
+     "length_quantiles", "phrase_merge", "tile_quantiles"],
 ]
 
 

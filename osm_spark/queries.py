@@ -6298,6 +6298,59 @@ def q_phrase_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lm.merge_phrases(docs, phrases, "doc_id", "text")
 
 
+@register(
+    "tile_quantiles",
+    f"""
+    WITH base AS (
+      SELECT {{x}} AS x, {{y}} AS y, count(*) AS n
+      FROM documents GROUP BY 1, 2),
+    pyr AS (
+      {{pyr}}),
+    h AS (SELECT zoom, n, count(*) AS cnt FROM pyr GROUP BY 1, 2),
+    c AS (
+      SELECT zoom, n, cnt,
+             sum(cnt) OVER (PARTITION BY zoom ORDER BY n
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+             sum(cnt) OVER (PARTITION BY zoom) AS total
+      FROM h),
+    q AS (SELECT unnest([25, 50, 75, 95]) AS q)
+    SELECT CAST(c.zoom AS BIGINT) AS zoom, CAST(q.q AS BIGINT) AS q,
+           CAST(min(c.n) AS BIGINT) AS value
+    FROM c CROSS JOIN q
+    WHERE c.cum * 100 >= q.q * c.total
+    GROUP BY 1, 2
+    """.format(
+        x=tiles.tile_x_sql(pages.GEO_LON_SQL, 10),
+        y=tiles.tile_y_sql(pages.GEO_LAT_SQL, 10),
+        pyr=" UNION ALL ".join(
+            f"SELECT x >> {10 - z} AS tx, y >> {10 - z} AS ty, "
+            f"CAST(sum(n) AS BIGINT) AS n, {z} AS zoom "
+            f"FROM base GROUP BY 1, 2"
+            for z in range(10, 3, -1)
+        ),
+    ),
+)
+def q_tile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial-density distribution statistics — the dataset-card view
+    of the tile layer: exact quantiles of pages-per-tile at every
+    pyramid level z4..z10 (hot-spot skew shows up as a p95/p50 ratio).
+    Composes the flagship pyramid rollup (pages scanned once, rollups
+    on the per-tile table) with the exact histogram-quantile kernel
+    (text/quantiles.py) — the cumsum windows partition over per-zoom
+    DISTINCT COUNT VALUES, never tiles, so the stats stage is
+    corpus-independent."""
+    from osm_spark.text import quantiles as _qt
+
+    pyr = pages.tile_pyramid_counts(spark, sf_dir, z_max=10, z_min=4)
+    # value column must not collide with group_quantiles' internal
+    # histogram count alias ("n")
+    vals = pyr.select("zoom", F.col("n_pages").cast("long").alias("npt"))
+    return _qt.group_quantiles(vals, "zoom", "npt", qs=[25, 50, 75, 95]).select(
+        F.col("zoom").cast("long").alias("zoom"), "q", "value"
+    )
+
+
 def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Render every document into an HTML page and pack the pages into
     a deterministic `.warc.gz` (one gzip member per record — the Common

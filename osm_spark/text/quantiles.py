@@ -34,8 +34,10 @@ def group_quantiles(
 ) -> DataFrame:
     """-> (group, q, value): for each group and each q in percent, the
     smallest value with cum_count·100 >= q·total."""
+    # underscore-prefixed internals so a caller's value column named
+    # "n"/"cum"/"total" can never collide (AMBIGUOUS_REFERENCE)
     hist = vals.groupBy(group_col, value_col).agg(
-        F.count(F.lit(1)).alias("n")
+        F.count(F.lit(1)).alias("_qn")
     )
     w = (
         Window.partitionBy(group_col)
@@ -43,8 +45,8 @@ def group_quantiles(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wt = Window.partitionBy(group_col)
-    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
-        "total", F.sum("n").over(wt)
+    cum = hist.withColumn("cum", F.sum("_qn").over(w)).withColumn(
+        "total", F.sum("_qn").over(wt)
     )
     spark = vals.sparkSession
     qdf = F.broadcast(

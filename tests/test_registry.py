@@ -156,6 +156,7 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "pmi_collocations",
     "length_quantiles",
     "phrase_merge",
+    "tile_quantiles",
 })
 
 
