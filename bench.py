@@ -90,6 +90,7 @@ HEADLINE = [
     "length_quantiles",
     "phrase_merge",
     "tile_quantiles",
+    "segment_tiles",
 ]
 
 
@@ -277,7 +278,8 @@ QUERY_GROUPS: list[list[str]] = [
     ["substr_dedup", "lm_perplexity", "neardup_clusters", "index_search",
      "pq_topk", "frontier_schedule", "nb_classify", "bm25_search",
      "page_snapshot_at", "kmv_distinct", "pmi_collocations",
-     "length_quantiles", "phrase_merge", "tile_quantiles"],
+     "length_quantiles", "phrase_merge", "tile_quantiles",
+     "segment_tiles"],
 ]
 
 

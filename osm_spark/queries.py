@@ -6351,6 +6351,99 @@ def q_tile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _supercover_oracle(z: int = 8, qbits: int = 16) -> str:
+    Q = 1 << qbits
+    lon1, lat1 = pages.GEO_LON_SQL, pages.GEO_LAT_SQL
+    lon2 = pages.GEO_LON_SQL.replace("doc_id", "(doc_id + 1)")
+    lat2 = pages.GEO_LAT_SQL.replace("doc_id", "(doc_id + 1)")
+    qx = lambda lon: (
+        f"CAST(floor(({tiles.fraction_x_sql(lon, z)}) * {float(Q)!r})"
+        " AS BIGINT)"
+    )
+    qy = lambda lat: (
+        f"CAST(floor(({tiles.fraction_y_sql(lat, z)}) * {float(Q)!r})"
+        " AS BIGINT)"
+    )
+
+    def axis(main1, other1, main2, other2, mcol, ocol):
+        return f"""(
+      SELECT seg_id,
+             least({main1}, {main2}) AS lo_m,
+             greatest({main1}, {main2}) AS hi_m,
+             CASE WHEN {main1} <= {main2} THEN {other1} ELSE {other2} END
+               AS lo_o,
+             CASE WHEN {main1} <= {main2} THEN {other2} ELSE {other1} END
+               AS hi_o
+      FROM s)"""
+
+    return f"""
+    WITH s AS (
+      SELECT doc_id AS seg_id,
+             {qx(lon1)} AS x1, {qy(lat1)} AS y1,
+             {qx(lon2)} AS x2, {qy(lat2)} AS y2
+      FROM documents WHERE doc_id % 2 = 0),
+    ends AS (
+      SELECT seg_id, x1 >> {qbits} AS tile_x, y1 >> {qbits} AS tile_y FROM s
+      UNION ALL
+      SELECT seg_id, x2 >> {qbits}, y2 >> {qbits} FROM s),
+    xo AS {axis('x1', 'y1', 'x2', 'y2', 'x', 'y')},
+    xc AS (
+      SELECT seg_id, u.g,
+             ((lo_o + ((u.g * {Q} - lo_m) * (hi_o - lo_o))
+                       // (hi_m - lo_m)) >> {qbits}) AS oc
+      FROM xo, UNNEST(range((lo_m >> {qbits}) + 1, (hi_m >> {qbits}) + 1))
+             AS u(g)
+      WHERE hi_m > lo_m),
+    xcells AS (
+      SELECT seg_id, g - 1 AS tile_x, oc AS tile_y FROM xc
+      UNION ALL SELECT seg_id, g, oc FROM xc),
+    yo AS {axis('y1', 'x1', 'y2', 'x2', 'y', 'x')},
+    yc AS (
+      SELECT seg_id, u.g,
+             ((lo_o + ((u.g * {Q} - lo_m) * (hi_o - lo_o))
+                       // (hi_m - lo_m)) >> {qbits}) AS oc
+      FROM yo, UNNEST(range((lo_m >> {qbits}) + 1, (hi_m >> {qbits}) + 1))
+             AS u(g)
+      WHERE hi_m > lo_m),
+    ycells AS (
+      SELECT seg_id, oc AS tile_x, g - 1 AS tile_y FROM yc
+      UNION ALL SELECT seg_id, oc, g FROM yc)
+    SELECT DISTINCT seg_id, CAST(tile_x AS BIGINT) AS tile_x,
+           CAST(tile_y AS BIGINT) AS tile_y
+    FROM (SELECT * FROM ends
+          UNION ALL SELECT * FROM xcells
+          UNION ALL SELECT * FROM ycells)
+    """
+
+
+@register("segment_tiles", _supercover_oracle())
+def q_segment_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supercover line rasterization (geo/raster_line.py) — the
+    way→tile assignment the reference's render/index consumers need:
+    every z8 tile each segment passes through, not just endpoint
+    tiles.  Fixed-point semantics: endpoint tile fractions quantize
+    ONCE to 2^16 sub-tile units (the only transcendental boundary,
+    same class as every quantized floor in this repo), then all
+    gridline-crossing interpolation is exact int64 FLOOR division
+    (Spark: the pmod-subtract construction; DuckDB: `//`) — both
+    engines produce the identical cell set, asserted per-cell by the
+    oracle and against a Python mirror in tests.  Scan-shaped: one
+    in-row gridline walk + explode + one DISTINCT exchange; no joins,
+    no Python."""
+    from osm_spark.geo import raster_line as _rl
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    d = F.col("doc_id")
+    segs = docs.select(
+        d.alias("seg_id"),
+        pages.geo_lon(d).alias("lon1"),
+        pages.geo_lat(d).alias("lat1"),
+        pages.geo_lon(d + 1).alias("lon2"),
+        pages.geo_lat(d + 1).alias("lat2"),
+    )
+    return _rl.supercover(segs, z=8, qbits=16)
+
+
 def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Render every document into an HTML page and pack the pages into
     a deterministic `.warc.gz` (one gzip member per record — the Common

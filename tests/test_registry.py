@@ -157,6 +157,7 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "length_quantiles",
     "phrase_merge",
     "tile_quantiles",
+    "segment_tiles",
 })
 
 
