@@ -273,13 +273,18 @@ QUERY_GROUPS: list[list[str]] = [
     ["link_components", "anchor_rollup", "web_sessions",
      "contamination_check", "bpe_pair_counts", "semantic_dedup",
      "crawl_delta"],
-    # round-4 span-dedup / LM-quality / cluster-retention / search /
-    # PQ-ANN / frontier suite
-    ["substr_dedup", "lm_perplexity", "neardup_clusters", "index_search",
-     "pq_topk", "frontier_schedule", "nb_classify", "bm25_search",
-     "page_snapshot_at", "kmv_distinct", "pmi_collocations",
-     "length_quantiles", "phrase_merge", "tile_quantiles",
-     "segment_tiles"],
+    # round-4 span-dedup / LM suite (kept <= ~5 queries per child:
+    # larger groups re-introduce the shared-JVM JIT pollution the
+    # per-family protocol exists to avoid — measured +40-80% on the
+    # tail of a 15-query child)
+    ["substr_dedup", "lm_perplexity", "neardup_clusters",
+     "pmi_collocations", "phrase_merge"],
+    # round-4 retrieval / classification / sketch suite
+    ["index_search", "bm25_search", "pq_topk", "nb_classify",
+     "kmv_distinct"],
+    # round-4 crawl / stats / raster suite
+    ["frontier_schedule", "page_snapshot_at", "length_quantiles",
+     "tile_quantiles", "segment_tiles"],
 ]
 
 
