@@ -101,3 +101,35 @@ def test_supercover_is_connected_enough(spark):
     xs = [x for x, _ in got]
     ys = [y for _, y in got]
     assert len(got) >= max(max(xs) - min(xs), max(ys) - min(ys)) + 1
+
+
+def test_property_random_segments_match_mirror(spark):
+    from hypothesis import given, settings, HealthCheck
+    from hypothesis import strategies as st
+
+    coord = st.tuples(
+        st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+        st.floats(min_value=-80.0, max_value=80.0, allow_nan=False),
+    )
+
+    segs_acc = []
+
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(a=coord, b=coord)
+    def collect(a, b):
+        segs_acc.append((a, b))
+
+    collect()
+    segs = [
+        (i, a[0], a[1], b[0], b[1])
+        for i, (a, b) in enumerate(segs_acc)
+    ]
+    got = _run(spark, segs)
+    for sid, lon1, lat1, lon2, lat2 in segs:
+        expect = _mirror(lon1, lat1, lon2, lat2)
+        assert got[sid] == expect, (sid, lon1, lat1, lon2, lat2)
+        # both endpoint cells always present; connectivity bound holds
+        xs = [x for x, _ in got[sid]]
+        ys = [y for _, y in got[sid]]
+        assert len(got[sid]) >= max(max(xs) - min(xs), max(ys) - min(ys)) + 1
