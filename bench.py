@@ -91,6 +91,7 @@ HEADLINE = [
     "phrase_merge",
     "tile_quantiles",
     "segment_tiles",
+    "geohash_cell",
 ]
 
 
@@ -285,6 +286,10 @@ QUERY_GROUPS: list[list[str]] = [
     # round-4 crawl / stats / raster suite
     ["frontier_schedule", "page_snapshot_at", "length_quantiles",
      "tile_quantiles", "segment_tiles"],
+    # round-4 geometry-algorithm suite (geohash joins here; the clip /
+    # simplify / resample operators land in this child as they arrive,
+    # capped at 5 per child like every family group)
+    ["geohash_cell"],
 ]
 
 

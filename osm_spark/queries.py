@@ -6617,6 +6617,55 @@ def q_warc_cdx_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Geohash cell index (geo/geohash.py — third standard cell family)
+# =====================================================================
+
+def _geohash_oracle(p: int = 7) -> str:
+    from osm_spark.geo import geohash as _gh
+
+    lat, lon = pages.GEO_LAT_SQL, pages.GEO_LON_SQL
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+             {_gh.geohash_sql(lat, lon, p)} AS gh{p},
+             {_gh.lon_q_sql(lon, p)} AS lon_q,
+             {_gh.lat_q_sql(lat, p)} AS lat_q
+      FROM documents)
+    SELECT doc_id, gh{p}, substring(gh{p}, 1, 5) AS gh5, lon_q, lat_q
+    FROM g
+    """
+
+
+@register("geohash_cell", _geohash_oracle())
+def q_geohash_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash cell index (geo/geohash.py) — the third standard cell
+    family next to slippy tiles/quadkey (orb/maptile semantics,
+    reference bounds.go:18-34) and the hex index: quantize lon/lat ONCE
+    (the only float boundary), Morton-interleave with lon in the MSB,
+    emit the base32 string via one conv+translate+lpad (the quadkey
+    allocation trick), and prove the packed id is losslessly invertible
+    by DEINTERLEAVING it back — the oracle quantizes directly, so any
+    interleave/compact defect mismatches.  gh5 parent = string prefix
+    (the geohash contract that makes it a clustering/rollup key).
+    Scan-shaped: pure column math, no UDF, no join, no shuffle."""
+    from osm_spark.geo import geohash as _gh
+
+    p = 7
+    pts = pages.page_points(spark, sf_dir)
+    v = pts.select(
+        "doc_id", _gh.geohash_value("lat", "lon", p).alias("v")
+    )
+    gh = F.col("gh7")
+    return v.select(
+        "doc_id",
+        _gh.geohash_from_value("v", p).alias("gh7"),
+        _gh.decode_lon_q("v", p).alias("lon_q"),
+        _gh.decode_lat_q("v", p).alias("lat_q"),
+    ).select("doc_id", "gh7", F.substring(gh, 1, 5).alias("gh5"),
+             "lon_q", "lat_q")
+
+
+# =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
 #

@@ -158,6 +158,7 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "phrase_merge",
     "tile_quantiles",
     "segment_tiles",
+    "geohash_cell",
 })
 
 
