@@ -92,6 +92,7 @@ HEADLINE = [
     "tile_quantiles",
     "segment_tiles",
     "geohash_cell",
+    "clip_bbox",
 ]
 
 
@@ -289,7 +290,7 @@ QUERY_GROUPS: list[list[str]] = [
     # round-4 geometry-algorithm suite (geohash joins here; the clip /
     # simplify / resample operators land in this child as they arrive,
     # capped at 5 per child like every family group)
-    ["geohash_cell"],
+    ["geohash_cell", "clip_bbox"],
 ]
 
 

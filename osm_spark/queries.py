@@ -6666,6 +6666,97 @@ def q_geohash_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Viewport clipping (geo/clip.py — orb/clip semantics, exact int64 LB)
+# =====================================================================
+
+# viewport covering ~1/8 of the fixture's lon/lat domain, placed so the
+# 25 nation-ways produce a healthy inside/clipped/outside mix
+_CLIP_BBOX = (-60_000_000, 60_000_000, -30_000_000, 30_000_000)
+
+
+def _clip_oracle() -> str:
+    from osm_spark.geo import clip as _clip
+
+    bx0, bx1, by0, by1 = _CLIP_BBOX
+    return f"""
+    WITH {_CUST_PTS_SQL},
+    q AS (
+      SELECT c_nationkey AS way_id,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_custkey) - 1 AS pos,
+             CAST(floor(lon * 1000000.0) AS BIGINT) AS x,
+             CAST(floor(lat * 1000000.0) AS BIGINT) AS y
+      FROM pts),
+    s AS (
+      SELECT way_id, CAST(pos AS INT) AS pos, x AS x1, y AS y1,
+             lead(x) OVER (PARTITION BY way_id ORDER BY pos) AS x2,
+             lead(y) OVER (PARTITION BY way_id ORDER BY pos) AS y2
+      FROM q),
+    s2 AS (SELECT * FROM s WHERE x2 IS NOT NULL),
+    {_clip.clip_sql("s2", ["way_id", "pos"], bx0, bx1, by0, by1)
+         .replace("CASE WHEN ok THEN cxa END AS cxa",
+                  "coalesce(CASE WHEN ok THEN cxa END, 0) AS cxa")
+         .replace("CASE WHEN ok THEN cya END AS cya",
+                  "coalesce(CASE WHEN ok THEN cya END, 0) AS cya")
+         .replace("CASE WHEN ok THEN cxb END AS cxb",
+                  "coalesce(CASE WHEN ok THEN cxb END, 0) AS cxb")
+         .replace("CASE WHEN ok THEN cyb END AS cyb",
+                  "coalesce(CASE WHEN ok THEN cyb END, 0) AS cyb")}
+    """
+
+
+@register("clip_bbox", _clip_oracle())
+def q_clip_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viewport clipping (geo/clip.py — orb/clip's LineString-to-Bound
+    semantics over the reference's bbox type, bounds.go:10-34): every
+    way segment is classified inside / clipped / outside against a
+    fixed viewport and clipped vertices are computed by Liang-Barsky in
+    EXACT int64 rational arithmetic — crossing parameters stay
+    fractions with positive denominators, comparisons cross-multiply,
+    and clipped vertices land back on the e6 grid via the shared
+    pmod-subtract floor division, so both engines emit identical
+    integers (no float parity surface at all past the one e6 quantize).
+    Clipped columns are 0-sentineled when status='outside' (kept
+    non-null so the nullable-int→float64 pandas widening can't split
+    dtypes between engines).  Scan-shaped: one lead() window per way +
+    pure column math; no UDF, no join beyond the window exchange."""
+    from osm_spark.geo import clip as _clip
+
+    bx0, bx1, by0, by1 = _CLIP_BBOX
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        F.col("c_nationkey").alias("way_id"),
+        k.alias("ck"),
+        ((k * 6151 % 140000).cast("double") / 1000.0 - 70.0).alias("lat"),
+        ((k * 9277 % 340000).cast("double") / 1000.0 - 170.0).alias("lon"),
+    )
+    rn = Window.partitionBy("way_id").orderBy("ck")
+    q = pts.select(
+        "way_id",
+        (F.row_number().over(rn) - 1).cast("int").alias("pos"),
+        F.floor(F.col("lon") * 1e6).cast("long").alias("x"),
+        F.floor(F.col("lat") * 1e6).cast("long").alias("y"),
+    )
+    w = Window.partitionBy("way_id").orderBy("pos")
+    segs = q.select(
+        "way_id",
+        "pos",
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+        F.lead("x").over(w).alias("x2"),
+        F.lead("y").over(w).alias("y2"),
+    ).where(F.col("x2").isNotNull())
+    out = _clip.clip_to_bbox(segs, bx0, bx1, by0, by1)
+    return out.select(
+        "way_id",
+        "pos",
+        "status",
+        *[F.coalesce(c, F.lit(0)).alias(c) for c in ("cxa", "cya", "cxb", "cyb")],
+    )
+
+
+# =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
 #

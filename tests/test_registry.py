@@ -159,6 +159,7 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "tile_quantiles",
     "segment_tiles",
     "geohash_cell",
+    "clip_bbox",
 })
 
 
