@@ -93,6 +93,7 @@ HEADLINE = [
     "segment_tiles",
     "geohash_cell",
     "clip_bbox",
+    "polyline_codec",
 ]
 
 
@@ -290,7 +291,7 @@ QUERY_GROUPS: list[list[str]] = [
     # round-4 geometry-algorithm suite (geohash joins here; the clip /
     # simplify / resample operators land in this child as they arrive,
     # capped at 5 per child like every family group)
-    ["geohash_cell", "clip_bbox"],
+    ["geohash_cell", "clip_bbox", "polyline_codec"],
 ]
 
 

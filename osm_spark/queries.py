@@ -6757,6 +6757,125 @@ def q_clip_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Encoded-polyline codec (functions/polyline.py)
+# =====================================================================
+
+def _polyline_oracle() -> str:
+    from osm_spark.functions import polyline as _pl
+
+    return f"""
+    WITH {_CUST_PTS_SQL},
+    p5 AS (
+      SELECT c_nationkey AS way_id,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_custkey) - 1 AS pos,
+             CAST(floor(lat * 100000.0) AS BIGINT) AS lat5,
+             CAST(floor(lon * 100000.0) AS BIGINT) AS lon5
+      FROM pts),
+    d AS (
+      SELECT way_id, pos, lat5, lon5,
+             lat5 - lag(lat5, 1, 0) OVER w AS dlat,
+             lon5 - lag(lon5, 1, 0) OVER w AS dlon
+      FROM p5
+      WINDOW w AS (PARTITION BY way_id ORDER BY pos)),
+    z AS (
+      SELECT way_id, pos, lat5, lon5,
+             {_pl.zigzag_sql('dlat')} AS za,
+             {_pl.zigzag_sql('dlon')} AS zb
+      FROM d),
+    f AS (
+      SELECT way_id, pos, lat5, lon5,
+             {_pl.encode_value_sql('za')} || {_pl.encode_value_sql('zb')}
+               AS frag
+      FROM z)
+    SELECT way_id,
+           string_agg(frag, '' ORDER BY pos) AS polyline,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(lat5) AS BIGINT) AS lat5_sum,
+           CAST(sum(lon5) AS BIGINT) AS lon5_sum,
+           TRUE AS decode_ok
+    FROM f GROUP BY way_id
+    """
+
+
+@register("polyline_codec", _polyline_oracle())
+def q_polyline_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google encoded-polyline codec (functions/polyline.py — the
+    reference author's canonical compact line-geometry interchange,
+    github.com/paulmach/polyline; public Google spec): each way's e5
+    point sequence delta+zigzag encodes into printable ASCII, then the
+    engine DECODES its own encoding back — no stateful scan needed:
+    the continuation bit partitions the byte range, so one
+    regexp_extract_all splits values and an unrolled chunk sum decodes
+    each — and proves the roundtrip (decode_ok + decoded-coordinate
+    sums the oracle recomputes directly from source points; the oracle
+    independently assembles the same polyline string via the chunk-
+    formula SQL twin).  Plan: one lag() window + one groupBy per way;
+    encode/decode are in-row array ops, no UDF, no Python."""
+    from osm_spark.functions import polyline as _pl
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        F.col("c_nationkey").alias("way_id"),
+        k.alias("ck"),
+        ((k * 6151 % 140000).cast("double") / 1000.0 - 70.0).alias("lat"),
+        ((k * 9277 % 340000).cast("double") / 1000.0 - 170.0).alias("lon"),
+    )
+    rn = Window.partitionBy("way_id").orderBy("ck")
+    p5 = pts.select(
+        "way_id",
+        (F.row_number().over(rn) - 1).alias("pos"),
+        F.floor(F.col("lat") * 1e5).cast("long").alias("lat5"),
+        F.floor(F.col("lon") * 1e5).cast("long").alias("lon5"),
+    )
+    w = Window.partitionBy("way_id").orderBy("pos")
+    d = p5.select(
+        "way_id",
+        "pos",
+        "lat5",
+        "lon5",
+        (F.col("lat5") - F.lag("lat5", 1, 0).over(w)).alias("dlat"),
+        (F.col("lon5") - F.lag("lon5", 1, 0).over(w)).alias("dlon"),
+    )
+    per_way = d.groupBy("way_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "dlat", "dlon"))
+        ).alias("deltas"),
+        F.array_sort(
+            F.collect_list(F.struct("pos", "lat5", "lon5"))
+        ).alias("orig"),
+    )
+    enc = per_way.select(
+        "way_id",
+        _pl.encode_line(F.col("deltas")).alias("polyline"),
+        F.transform("orig", lambda p: p["lat5"]).alias("olats"),
+        F.transform("orig", lambda p: p["lon5"]).alias("olons"),
+    )
+    vals = _pl.decode_values(F.col("polyline"))
+    dec = enc.select(
+        "way_id",
+        "polyline",
+        "olats",
+        "olons",
+        _pl.prefix_sums(F.filter(vals, lambda v, i: i % 2 == 0)).alias("lats"),
+        _pl.prefix_sums(F.filter(vals, lambda v, i: i % 2 == 1)).alias("lons"),
+    )
+    acc0 = F.lit(0).cast("bigint")
+    return dec.select(
+        "way_id",
+        "polyline",
+        F.size("lats").cast("long").alias("n_points"),
+        F.aggregate("lats", acc0, lambda a, x: a + x).alias("lat5_sum"),
+        F.aggregate("lons", acc0, lambda a, x: a + x).alias("lon5_sum"),
+        (
+            (F.col("lats") == F.col("olats"))
+            & (F.col("lons") == F.col("olons"))
+        ).alias("decode_ok"),
+    )
+
+
+# =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
 #

@@ -160,6 +160,7 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "segment_tiles",
     "geohash_cell",
     "clip_bbox",
+    "polyline_codec",
 })
 
 
