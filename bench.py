@@ -94,6 +94,7 @@ HEADLINE = [
     "geohash_cell",
     "clip_bbox",
     "polyline_codec",
+    "simplify_dp",
 ]
 
 
@@ -291,7 +292,7 @@ QUERY_GROUPS: list[list[str]] = [
     # round-4 geometry-algorithm suite (geohash joins here; the clip /
     # simplify / resample operators land in this child as they arrive,
     # capped at 5 per child like every family group)
-    ["geohash_cell", "clip_bbox", "polyline_codec"],
+    ["geohash_cell", "clip_bbox", "polyline_codec", "simplify_dp"],
 ]
 
 

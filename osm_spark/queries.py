@@ -6876,6 +6876,77 @@ def q_polyline_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Douglas-Peucker simplification (geo/simplify.py — orb/simplify)
+# =====================================================================
+
+_DP_EPS_E6 = 60_000_000  # 60 degrees — the scatter fixture keeps ~60%
+
+
+def _simplify_oracle() -> str:
+    from osm_spark.geo import simplify as _sp
+
+    return f"""
+    WITH RECURSIVE {_CUST_PTS_SQL},
+    p AS (
+      SELECT c_nationkey AS way_id,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_custkey) - 1 AS idx,
+             CAST(floor(lon * 1000000.0) AS BIGINT) AS x,
+             CAST(floor(lat * 1000000.0) AS BIGINT) AS y
+      FROM pts),
+    {_sp.simplify_sql("p", _DP_EPS_E6)}
+    """
+
+
+@register("simplify_dp", _simplify_oracle())
+def q_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker simplification (geo/simplify.py —
+    orb/simplify's DouglasPeucker(threshold) retained-vertex set over
+    the reference's way geometries, way.go:31-54), as a DATA-PARALLEL
+    frontier recursion: every level is narrow in-row column math
+    (transform/filter/array_max over way-bounded slices) + one explode;
+    the only shuffle is the final DISTINCT.  Exact across engines with
+    no float surface: within a range the argmax vertex is the argmax of
+    |cross| in plain int64 (ties to lowest index), and the single
+    threshold test squares through DECIMAL(38,0) on Spark vs HUGEINT in
+    the DuckDB twin — whose recursion is a WITH RECURSIVE chain picking
+    each split with an aggregate-free NOT EXISTS argmax."""
+    from osm_spark.geo import simplify as _sp
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        F.col("c_nationkey").alias("way_id"),
+        k.alias("ck"),
+        ((k * 6151 % 140000).cast("double") / 1000.0 - 70.0).alias("lat"),
+        ((k * 9277 % 340000).cast("double") / 1000.0 - 170.0).alias("lon"),
+    )
+    rn = Window.partitionBy("way_id").orderBy("ck")
+    p6 = pts.select(
+        "way_id",
+        (F.row_number().over(rn) - 1).alias("idx"),
+        F.floor(F.col("lon") * 1e6).cast("long").alias("x"),
+        F.floor(F.col("lat") * 1e6).cast("long").alias("y"),
+    )
+    ways = (
+        p6.groupBy("way_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("idx", "x", "y"))).alias("s")
+        )
+        .select(
+            "way_id",
+            F.transform(
+                "s", lambda t: F.struct(t["x"].alias("x"), t["y"].alias("y"))
+            ).alias("pts"),
+        )
+    )
+    out = _sp.simplify_dp(ways, _DP_EPS_E6)
+    return out.select(
+        "way_id", F.col("pos").cast("int").alias("pos"), "x", "y"
+    )
+
+
+# =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
 #

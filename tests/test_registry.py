@@ -161,6 +161,7 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "geohash_cell",
     "clip_bbox",
     "polyline_codec",
+    "simplify_dp",
 })
 
 
