@@ -95,6 +95,7 @@ HEADLINE = [
     "clip_bbox",
     "polyline_codec",
     "simplify_dp",
+    "resample_line",
 ]
 
 
@@ -292,7 +293,8 @@ QUERY_GROUPS: list[list[str]] = [
     # round-4 geometry-algorithm suite (geohash joins here; the clip /
     # simplify / resample operators land in this child as they arrive,
     # capped at 5 per child like every family group)
-    ["geohash_cell", "clip_bbox", "polyline_codec", "simplify_dp"],
+    ["geohash_cell", "clip_bbox", "polyline_codec", "simplify_dp",
+     "resample_line"],
 ]
 
 

@@ -6947,6 +6947,65 @@ def q_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Even-spacing resample (geo/resample.py — orb/resample)
+# =====================================================================
+
+_RESAMPLE_N = 16
+
+
+def _resample_oracle() -> str:
+    from osm_spark.geo import resample as _rs
+
+    return f"""
+    WITH {_CUST_PTS_SQL},
+    p AS (
+      SELECT c_nationkey AS way_id,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_custkey) - 1 AS pos,
+             CAST(floor(lon * 1000000.0) AS BIGINT) AS x,
+             CAST(floor(lat * 1000000.0) AS BIGINT) AS y
+      FROM pts),
+    {_rs.resample_sql("p", _RESAMPLE_N)}
+    """
+
+
+@register("resample_line", _resample_oracle())
+def q_resample_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Even-spacing resample (geo/resample.py — orb/resample's
+    Resample(ls, n): n points evenly spaced by arc length).  This
+    operator has a REAL double surface (chord lengths need sqrt), so
+    it rides the repo's float-parity discipline: Spark and the DuckDB
+    twin evaluate operation-identical IEEE expressions, running sums
+    fold in frame order in both engines, and outputs quantize ONCE to
+    the e6 grid.  Segment pick is a half-open cumulative interval
+    (zero-length segments own an empty interval), the j = n−1 endpoint
+    is emitted explicitly.  Plan: one lead+cumsum window pass, targets
+    explode from a literal sequence, pick is an equi-join on way_id
+    with a range filter — all row counts way-bounded."""
+    from osm_spark.geo import resample as _rs
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        F.col("c_nationkey").alias("way_id"),
+        k.alias("ck"),
+        ((k * 6151 % 140000).cast("double") / 1000.0 - 70.0).alias("lat"),
+        ((k * 9277 % 340000).cast("double") / 1000.0 - 170.0).alias("lon"),
+    )
+    rn = Window.partitionBy("way_id").orderBy("ck")
+    p6 = pts.select(
+        "way_id",
+        (F.row_number().over(rn) - 1).alias("pos"),
+        F.floor(F.col("lon") * 1e6).cast("long").alias("x"),
+        F.floor(F.col("lat") * 1e6).cast("long").alias("y"),
+    )
+    out = _rs.resample(p6, _RESAMPLE_N)
+    return out.select(
+        "way_id", F.col("j").cast("long").alias("j"), "rx", "ry"
+    )
+
+
+# =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
 #

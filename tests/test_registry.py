@@ -162,6 +162,7 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "clip_bbox",
     "polyline_codec",
     "simplify_dp",
+    "resample_line",
 })
 
 
