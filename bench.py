@@ -96,6 +96,7 @@ HEADLINE = [
     "polyline_codec",
     "simplify_dp",
     "resample_line",
+    "tile_topk_terms",
 ]
 
 
@@ -295,6 +296,8 @@ QUERY_GROUPS: list[list[str]] = [
     # capped at 5 per child like every family group)
     ["geohash_cell", "clip_bbox", "polyline_codec", "simplify_dp",
      "resample_line"],
+    # the tile×text graft query (spatial layer joined to the term layer)
+    ["tile_topk_terms"],
 ]
 
 

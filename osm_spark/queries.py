@@ -7006,6 +7006,82 @@ def q_resample_line(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Per-tile top-k terms (the graft query: tile layer × text layer)
+# =====================================================================
+
+_TTK_Z = 4
+_TTK_K = 5
+
+
+@register(
+    "tile_topk_terms",
+    f"""
+    WITH p AS (
+      SELECT doc_id, text,
+             {{tx}} AS tile_x, {{ty}} AS tile_y
+      FROM documents),
+    t AS (SELECT tile_x, tile_y, unnest(string_split(text, ' ')) AS term
+          FROM p),
+    tf AS (SELECT tile_x, tile_y, term, CAST(count(*) AS BIGINT) AS n
+           FROM t GROUP BY 1, 2, 3),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY tile_x, tile_y
+                                    ORDER BY n DESC, term ASC) AS rank
+          FROM tf)
+    SELECT tile_x, tile_y, CAST(rank AS INT) AS rank, term, n
+    FROM r WHERE rank <= {_TTK_K}
+    """.format(
+        tx=tiles.tile_x_sql(pages.GEO_LON_SQL, _TTK_Z),
+        ty=tiles.tile_y_sql(pages.GEO_LAT_SQL, _TTK_Z),
+    ),
+)
+def q_tile_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE graft query — the tile layer joined to the text layer:
+    top-k most frequent terms per z4 map tile ("what is this region's
+    corpus about").  Ranking is the integer-exact total order
+    (n desc, term asc) — bit-reproducible, no float scores.
+
+    Scale shape: geocode+tile-assign is in-row column math fused into
+    the scan; ONE (tile, term) shuffle with map-side combine reduces
+    pages × tokens to distinct (tile, term) pairs; the top-k window is
+    SALTED two-level (rank within (tile, xxhash64(term) % 16) first,
+    then globally over ≤ 16k survivors) so a hot city tile with a
+    10^8-term vocabulary never funnels one partition — exact for any
+    salt function by the superset argument (a global top-k term has
+    < k better terms globally, hence < k better in its own bucket),
+    which is why the oracle can rank the straightforward way."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    terms = docs.select(
+        tiles.tile_x(pages.geo_lon(F.col("doc_id")), _TTK_Z).alias("tile_x"),
+        tiles.tile_y(pages.geo_lat(F.col("doc_id")), _TTK_Z).alias("tile_y"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    tf = terms.groupBy("tile_x", "tile_y", "term").agg(
+        F.count("*").alias("n")
+    )
+    salted = tf.withColumn(
+        "_salt", F.pmod(F.xxhash64("term"), F.lit(16)).cast("int")
+    )
+    w1 = Window.partitionBy("tile_x", "tile_y", "_salt").orderBy(
+        F.col("n").desc(), F.col("term").asc()
+    )
+    pre = (
+        salted.withColumn("_lr", F.row_number().over(w1))
+        .where(F.col("_lr") <= _TTK_K)
+        .drop("_lr", "_salt")
+    )
+    w2 = Window.partitionBy("tile_x", "tile_y").orderBy(
+        F.col("n").desc(), F.col("term").asc()
+    )
+    return (
+        pre.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= _TTK_K)
+        .select("tile_x", "tile_y", F.col("rank").cast("int").alias("rank"),
+                "term", "n")
+    )
+
+
+# =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
 #

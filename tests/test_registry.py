@@ -163,6 +163,7 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "polyline_codec",
     "simplify_dp",
     "resample_line",
+    "tile_topk_terms",
 })
 
 
