@@ -97,6 +97,9 @@ HEADLINE = [
     "simplify_dp",
     "resample_line",
     "tile_topk_terms",
+    "segment_bearing",
+    "tile_smooth",
+    "hll_registers",
 ]
 
 
@@ -296,8 +299,9 @@ QUERY_GROUPS: list[list[str]] = [
     # capped at 5 per child like every family group)
     ["geohash_cell", "clip_bbox", "polyline_codec", "simplify_dp",
      "resample_line"],
-    # the tile×text graft query (spatial layer joined to the term layer)
-    ["tile_topk_terms"],
+    # the tile×text graft query + raster/sketch/geodesic additions
+    ["tile_topk_terms", "segment_bearing", "tile_smooth",
+     "hll_registers"],
 ]
 
 

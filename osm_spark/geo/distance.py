@@ -35,6 +35,28 @@ def haversine_m(lat1, lon1, lat2, lon2) -> Column:
     return F.lit(2.0 * EARTH_RADIUS) * F.asin(F.sqrt(a))
 
 
+def bearing_deg(lat1, lon1, lat2, lon2) -> Column:
+    """Initial great-circle bearing in degrees (orb geo.Bearing
+    semantics: atan2(sin Δλ·cos φ2, cos φ1·sin φ2 − sin φ1·cos φ2·cos Δλ),
+    range (−180, 180])."""
+    la1, lo1 = _col(lat1) * _D2R, _col(lon1) * _D2R
+    la2, lo2 = _col(lat2) * _D2R, _col(lon2) * _D2R
+    dlon = lo2 - lo1
+    y = F.sin(dlon) * F.cos(la2)
+    x = F.cos(la1) * F.sin(la2) - F.sin(la1) * F.cos(la2) * F.cos(dlon)
+    return F.atan2(y, x) * F.lit(180.0 / math.pi)
+
+
+def bearing_deg_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Byte-identical DuckDB twin of :func:`bearing_deg`."""
+    la1, lo1 = f"(({lat1}) * {_D2R!r})", f"(({lon1}) * {_D2R!r})"
+    la2, lo2 = f"(({lat2}) * {_D2R!r})", f"(({lon2}) * {_D2R!r})"
+    dlon = f"({lo2} - {lo1})"
+    y = f"(sin({dlon}) * cos({la2}))"
+    x = f"(cos({la1}) * sin({la2}) - sin({la1}) * cos({la2}) * cos({dlon}))"
+    return f"(atan2({y}, {x}) * {180.0 / math.pi!r})"
+
+
 def haversine_m_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     """Byte-identical DuckDB twin of :func:`haversine_m`."""
     la1, lo1 = f"(({lat1}) * {_D2R!r})", f"(({lon1}) * {_D2R!r})"

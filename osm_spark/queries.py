@@ -7082,6 +7082,238 @@ def q_tile_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Segment bearings (geo/distance.py — orb geo.Bearing)
+# =====================================================================
+
+@register(
+    "segment_bearing",
+    f"""
+    WITH {_CUST_PTS_SQL},
+    seg AS (
+      SELECT c_nationkey AS way_id,
+             row_number() OVER w - 1 AS pos,
+             lat, lon,
+             lead(lat) OVER w AS lat2, lead(lon) OVER w AS lon2
+      FROM pts WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)),
+    b AS (
+      SELECT way_id, CAST(pos AS INT) AS pos,
+             CAST(floor({_dist.bearing_deg_sql('lat', 'lon', 'lat2', 'lon2')}
+                        * 1000.0) AS BIGINT) AS bearing_md
+      FROM seg WHERE lat2 IS NOT NULL)
+    SELECT way_id, pos, bearing_md,
+           ((bearing_md + 360000 + 22500) // 45000) % 8 AS octant
+    FROM b
+    """,
+)
+def q_segment_bearing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial great-circle bearing per way segment (geo/distance.py
+    bearing_deg — orb geo.Bearing, the third member of the geodesic
+    family next to geo.Distance/haversine and the centroid weights).
+    Transcendental output quantizes ONCE at the proven 1e3 grain
+    (same as every haversine oracle in this repo); the compass octant
+    then derives from the ALREADY-QUANTIZED integer with exact floor
+    division, so it adds no second float boundary.  Scan-shaped: one
+    lead() window, pure column math."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        F.col("c_nationkey").alias("way_id"),
+        k.alias("ck"),
+        ((k * 6151 % 140000).cast("double") / 1000.0 - 70.0).alias("lat"),
+        ((k * 9277 % 340000).cast("double") / 1000.0 - 170.0).alias("lon"),
+    )
+    w = Window.partitionBy("way_id").orderBy("ck")
+    seg = pts.select(
+        "way_id",
+        (F.row_number().over(w) - 1).cast("int").alias("pos"),
+        "lat",
+        "lon",
+        F.lead("lat").over(w).alias("lat2"),
+        F.lead("lon").over(w).alias("lon2"),
+    ).where(F.col("lat2").isNotNull())
+    md = F.floor(
+        _dist.bearing_deg("lat", "lon", "lat2", "lon2") * 1e3
+    ).cast("long")
+    out = seg.select("way_id", "pos", md.alias("bearing_md"))
+    shifted = F.col("bearing_md") + F.lit(382500)
+    return out.select(
+        "way_id",
+        "pos",
+        "bearing_md",
+        (
+            ((shifted - F.pmod(shifted, F.lit(45000))) / F.lit(45000))
+            .cast("long") % 8
+        ).alias("octant"),
+    )
+
+
+# =====================================================================
+# 3x3 tile box blur (raster smoothing over the z-grid)
+# =====================================================================
+
+_SMOOTH_Z = 8
+
+
+@register(
+    "tile_smooth",
+    f"""
+    WITH c AS (
+      SELECT {tiles.tile_x_sql(pages.GEO_LON_SQL, _SMOOTH_Z)} AS x,
+             {tiles.tile_y_sql(pages.GEO_LAT_SQL, _SMOOTH_Z)} AS y,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2),
+    o AS (SELECT unnest([-1, 0, 1]) AS d),
+    s AS (
+      SELECT c.x + ox.d AS tile_x, c.y + oy.d AS tile_y,
+             c.n, (ox.d = 0 AND oy.d = 0) AS center
+      FROM c CROSS JOIN o ox CROSS JOIN o oy),
+    g AS (
+      SELECT tile_x, tile_y,
+             CAST(sum(n) AS BIGINT) AS n_box,
+             CAST(sum(CASE WHEN center THEN n ELSE 0 END) AS BIGINT)
+               AS n_self
+      FROM s
+      WHERE tile_x >= 0 AND tile_x < {1 << _SMOOTH_Z}
+        AND tile_y >= 0 AND tile_y < {1 << _SMOOTH_Z}
+      GROUP BY 1, 2)
+    SELECT tile_x, tile_y, n_self, n_box FROM g
+    """,
+)
+def q_tile_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 box blur over the z8 tile grid (the heatmap-smoothing pass
+    a tile renderer runs over the flagship per-tile counts; raster
+    sibling of geo/raster.py).  SCATTER formulation: each occupied
+    tile explodes its count to its 9 neighbors and one (x, y) shuffle
+    re-aggregates — at 10^12 pages the explode runs over the per-TILE
+    table (already collapsed by the first groupBy), so the 9x factor
+    applies to |tiles|, never |pages|.  Grid edges clip exactly like
+    tiles.At clamps."""
+    pts = pages.page_points(spark, sf_dir)
+    c = (
+        pts.select(
+            tiles.tile_x("lon", _SMOOTH_Z).alias("x"),
+            tiles.tile_y("lat", _SMOOTH_Z).alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n"))
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    nmax = 1 << _SMOOTH_Z
+    s = c.select("x", "y", "n", F.explode(offs).alias("o")).select(
+        (F.col("x") + F.col("o.dx")).alias("tile_x"),
+        (F.col("y") + F.col("o.dy")).alias("tile_y"),
+        "n",
+        ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("center"),
+    )
+    return (
+        s.where(
+            (F.col("tile_x") >= 0)
+            & (F.col("tile_x") < nmax)
+            & (F.col("tile_y") >= 0)
+            & (F.col("tile_y") < nmax)
+        )
+        .groupBy("tile_x", "tile_y")
+        .agg(
+            F.sum(F.when(F.col("center"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_self"),
+            F.sum("n").cast("long").alias("n_box"),
+        )
+        .select("tile_x", "tile_y", "n_self", "n_box")
+    )
+
+
+# =====================================================================
+# HyperLogLog register build (text/sketch.py family)
+# =====================================================================
+
+_HLL_B = 6  # 64 registers
+_HLL_W = 54  # 60-bit hash minus 6 bucket bits
+
+_HLL_DIG_POLY = " + ".join(
+    f"(strpos('0123456789abcdef', substr(dig, {i + 1}, 1)) - 1)"
+    f" * CAST({16 ** (14 - i)} AS BIGINT)"
+    for i in range(15)
+)
+
+
+@register(
+    "hll_registers",
+    f"""
+    WITH h AS (
+      SELECT source, md5(text) AS dig FROM documents),
+    v AS (SELECT source, {_HLL_DIG_POLY} AS v FROM h),
+    r AS (
+      SELECT source, v >> {_HLL_W} AS bucket,
+             v & {(1 << _HLL_W) - 1} AS w
+      FROM v),
+    rho AS (
+      SELECT source, bucket,
+             CASE WHEN strpos(lpad(bin(w), {_HLL_W}, '0'), '1') = 0
+                  THEN {_HLL_W + 1}
+                  ELSE strpos(lpad(bin(w), {_HLL_W}, '0'), '1')
+             END AS rho
+      FROM r),
+    per AS (
+      SELECT source, bucket, CAST(max(rho) AS BIGINT) AS rho,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM rho GROUP BY 1, 2)
+    SELECT source, bucket, rho, n_items FROM per
+    UNION ALL
+    SELECT '__all__', bucket, CAST(max(rho) AS BIGINT),
+           CAST(sum(n_items) AS BIGINT)
+    FROM per GROUP BY 2
+    """,
+)
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register build (sibling of the KMV sketch in
+    text/sketch.py — the other canonical mergeable distinct-count
+    sketch): 60-bit md5 value splits into a 6-bit bucket and a 54-bit
+    suffix whose leading-zero rank is computed WITHOUT an integer-log
+    builtin — rho = strpos(lpad(bin(w)), '1') — the identical
+    string-op formula in both engines, no float log2 boundary.
+    Registers are per-source max(rho); the '__all__' rows re-max the
+    per-source registers, demonstrating the merge property IN-QUERY
+    (merge = register-wise max, the reason HLL shards freely across
+    10^12-row scans).  The estimate is a driver-side closed form over
+    the registers; the sketch CONTENT is what the oracle pins."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    from osm_spark.text.sketch import _hex15_to_long
+
+    v = docs.select(
+        "source", _hex15_to_long(F.md5("text")).alias("v")
+    )
+    r = v.select(
+        "source",
+        F.shiftright("v", _HLL_W).alias("bucket"),
+        F.col("v").bitwiseAND(F.lit((1 << _HLL_W) - 1)).alias("w"),
+    )
+    pos = F.instr(F.lpad(F.bin("w"), _HLL_W, "0"), "1")
+    rho = r.select(
+        "source",
+        "bucket",
+        F.when(pos == 0, F.lit(_HLL_W + 1)).otherwise(pos).alias("rho"),
+    )
+    per = rho.groupBy("source", "bucket").agg(
+        F.max("rho").cast("long").alias("rho"),
+        F.count("*").alias("n_items"),
+    )
+    merged = per.groupBy("bucket").agg(
+        F.max("rho").cast("long").alias("rho"),
+        F.sum("n_items").alias("n_items"),
+    ).select(F.lit("__all__").alias("source"), "bucket", "rho", "n_items")
+    return per.select("source", "bucket", "rho", "n_items").unionByName(
+        merged
+    )
+
+
+# =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
 #

@@ -164,6 +164,9 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "simplify_dp",
     "resample_line",
     "tile_topk_terms",
+    "segment_bearing",
+    "tile_smooth",
+    "hll_registers",
 })
 
 
