@@ -100,6 +100,7 @@ HEADLINE = [
     "segment_bearing",
     "tile_smooth",
     "hll_registers",
+    "wkt_codec",
 ]
 
 
@@ -301,7 +302,7 @@ QUERY_GROUPS: list[list[str]] = [
      "resample_line"],
     # the tile×text graft query + raster/sketch/geodesic additions
     ["tile_topk_terms", "segment_bearing", "tile_smooth",
-     "hll_registers"],
+     "hll_registers", "wkt_codec"],
 ]
 
 

@@ -7314,6 +7314,135 @@ def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# WKT codec (orb/encoding/wkt sibling of the WKB codec in geo/wkb.py)
+# =====================================================================
+
+def _e6_str_sql(v: str) -> str:
+    """Render an e6 int64 as the exact fixed-6-decimal string — pure
+    integer/string ops, so both engines emit identical bytes (no
+    printf rounding surface).  -1234567 -> '-1.234567'."""
+    a = f"abs({v})"
+    return (
+        f"(CASE WHEN ({v}) < 0 THEN '-' ELSE '' END || "
+        f"CAST({a} // 1000000 AS VARCHAR) || '.' || "
+        f"lpad(CAST({a} % 1000000 AS VARCHAR), 6, '0'))"
+    )
+
+
+def _e6_str(v) -> "F.Column":
+    c = F.col(v) if isinstance(v, str) else v
+    a = F.abs(c)
+    return F.concat(
+        F.when(c < 0, F.lit("-")).otherwise(F.lit("")),
+        (
+            (a - F.pmod(a, F.lit(1000000))) / F.lit(1000000)
+        ).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad(F.pmod(a, F.lit(1000000)).cast("string"), 6, "0"),
+    )
+
+
+@register(
+    "wkt_codec",
+    f"""
+    WITH {_CUST_PTS_SQL},
+    p AS (
+      SELECT c_nationkey AS way_id,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_custkey) - 1 AS pos,
+             CAST(floor(lon * 1000000.0) AS BIGINT) AS x,
+             CAST(floor(lat * 1000000.0) AS BIGINT) AS y
+      FROM pts),
+    f AS (
+      SELECT way_id, pos, x, y,
+             {_e6_str_sql('x')} || ' ' || {_e6_str_sql('y')} AS pair
+      FROM p)
+    SELECT way_id,
+           'LINESTRING(' || string_agg(pair, ',' ORDER BY pos) || ')'
+             AS wkt,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(x) AS BIGINT) AS x_sum,
+           CAST(sum(y) AS BIGINT) AS y_sum,
+           TRUE AS decode_ok
+    FROM f GROUP BY way_id
+    """,
+)
+def q_wkt_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT codec (orb/encoding/wkt — the text sibling of the binary
+    WKB codec already in geo/wkb.py): each way renders to
+    ``LINESTRING(lon lat, ...)`` with EXACT fixed-6-decimal strings
+    built from the e6 integers by pure integer/string ops (no printf,
+    no float-format rounding surface — both engines emit identical
+    bytes), then the engine PARSES its own text back — one
+    regexp_extract_all over the signed-decimal token grammar, '.'
+    stripped, cast to int64 — and proves the roundtrip via decode_ok +
+    coordinate sums the oracle recomputes directly.  Plan: one window
+    + one per-way groupBy; decode is in-row array math."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        F.col("c_nationkey").alias("way_id"),
+        k.alias("ck"),
+        ((k * 6151 % 140000).cast("double") / 1000.0 - 70.0).alias("lat"),
+        ((k * 9277 % 340000).cast("double") / 1000.0 - 170.0).alias("lon"),
+    )
+    rn = Window.partitionBy("way_id").orderBy("ck")
+    p6 = pts.select(
+        "way_id",
+        (F.row_number().over(rn) - 1).alias("pos"),
+        F.floor(F.col("lon") * 1e6).cast("long").alias("x"),
+        F.floor(F.col("lat") * 1e6).cast("long").alias("y"),
+    )
+    per = p6.groupBy("way_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "x", "y"))).alias("s")
+    )
+    wkt = F.concat(
+        F.lit("LINESTRING("),
+        F.array_join(
+            F.transform(
+                "s",
+                lambda t: F.concat(
+                    _e6_str(t["x"]), F.lit(" "), _e6_str(t["y"])
+                ),
+            ),
+            ",",
+        ),
+        F.lit(")"),
+    )
+    enc = per.select(
+        "way_id",
+        wkt.alias("wkt"),
+        F.transform("s", lambda t: t["x"]).alias("ox"),
+        F.transform("s", lambda t: t["y"]).alias("oy"),
+    )
+    toks = F.regexp_extract_all(
+        F.col("wkt"), F.lit(r"(-?\d+\.\d{6})"), 1
+    )
+    nums = F.transform(
+        toks, lambda s: F.regexp_replace(s, r"\.", "").cast("long")
+    )
+    dec = enc.select(
+        "way_id",
+        "wkt",
+        "ox",
+        "oy",
+        F.filter(nums, lambda v, i: i % 2 == 0).alias("dx"),
+        F.filter(nums, lambda v, i: i % 2 == 1).alias("dy"),
+    )
+    acc0 = F.lit(0).cast("bigint")
+    return dec.select(
+        "way_id",
+        "wkt",
+        F.size("dx").cast("long").alias("n_points"),
+        F.aggregate("dx", acc0, lambda a, x: a + x).alias("x_sum"),
+        F.aggregate("dy", acc0, lambda a, x: a + x).alias("y_sum"),
+        (
+            (F.col("dx") == F.col("ox")) & (F.col("dy") == F.col("oy"))
+        ).alias("decode_ok"),
+    )
+
+
+# =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
 #

@@ -167,6 +167,7 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "segment_bearing",
     "tile_smooth",
     "hll_registers",
+    "wkt_codec",
 })
 
 
