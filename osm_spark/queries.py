@@ -6902,15 +6902,18 @@ def _simplify_oracle() -> str:
 def q_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Douglas-Peucker simplification (geo/simplify.py —
     orb/simplify's DouglasPeucker(threshold) retained-vertex set over
-    the reference's way geometries, way.go:31-54), as a DATA-PARALLEL
-    frontier recursion: every level is narrow in-row column math
-    (transform/filter/array_max over way-bounded slices) + one explode;
-    the only shuffle is the final DISTINCT.  Exact across engines with
-    no float surface: within a range the argmax vertex is the argmax of
-    |cross| in plain int64 (ties to lowest index), and the single
-    threshold test squares through DECIMAL(38,0) on Spark vs HUGEINT in
-    the DuckDB twin — whose recursion is a WITH RECURSIVE chain picking
-    each split with an aggregate-free NOT EXISTS argmax."""
+    the reference's way geometries, way.go:31-54).  Runs the Arrow
+    KERNEL path (one way_id shuffle, one applyInPandas stage): DP is
+    embarrassingly parallel per way, so the kernel has no cross-way
+    coordination — unlike the declarative frontier twin
+    (simplify.simplify_dp), whose driver loop costs one global barrier
+    + codegen compile per recursion LEVEL (measured 77s → <1s at
+    sf0.1; the frontier stays exported and bit-equality-tested as the
+    pure-JVM reference).  Exact with no float surface: argmax |cross|
+    in int64 (ties to lowest index), the lone threshold square in
+    Python bigints vs HUGEINT in the DuckDB twin — whose recursion is
+    a WITH RECURSIVE chain picking each split with an aggregate-free
+    NOT EXISTS argmax."""
     from osm_spark.geo import simplify as _sp
 
     cust = _t(spark, sf_dir, "customer")
@@ -6924,23 +6927,11 @@ def q_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = Window.partitionBy("way_id").orderBy("ck")
     p6 = pts.select(
         "way_id",
-        (F.row_number().over(rn) - 1).alias("idx"),
+        (F.row_number().over(rn) - 1).alias("pos"),
         F.floor(F.col("lon") * 1e6).cast("long").alias("x"),
         F.floor(F.col("lat") * 1e6).cast("long").alias("y"),
     )
-    ways = (
-        p6.groupBy("way_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("idx", "x", "y"))).alias("s")
-        )
-        .select(
-            "way_id",
-            F.transform(
-                "s", lambda t: F.struct(t["x"].alias("x"), t["y"].alias("y"))
-            ).alias("pts"),
-        )
-    )
-    out = _sp.simplify_dp(ways, _DP_EPS_E6)
+    out = _sp.simplify_dp_kernel(p6, _DP_EPS_E6)
     return out.select(
         "way_id", F.col("pos").cast("int").alias("pos"), "x", "y"
     )

@@ -132,6 +132,41 @@ def test_hypothesis_duck_matches_mirror(pts, eps):
     assert got[0] == _mirror(pts, eps)
 
 
+def _spark_dp_kernel(spark, ways: dict[int, list[tuple[int, int]]], eps: int):
+    rows = [
+        (w, i, x, y) for w, pts in ways.items() for i, (x, y) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(rows, "way_id long, pos int, x long, y long")
+    out = S.simplify_dp_kernel(df, eps).collect()
+    got: dict[int, set[int]] = {}
+    for r in out:
+        got.setdefault(r.way_id, set()).add(r.pos)
+    return got
+
+
+def test_kernel_matches_frontier_and_mirror(spark):
+    """The Arrow kernel (the query's execution path) is bit-equal to
+    the declarative frontier twin and the textbook mirror."""
+    import random
+
+    rng = random.Random(424242)
+    ways = {
+        w: [
+            (rng.randint(-340_000_000, 340_000_000),
+             rng.randint(-140_000_000, 140_000_000))
+            for _ in range(rng.randint(2, 35))
+        ]
+        for w in range(25)
+    }
+    for eps in (1_000, 60_000_000):
+        kern = _spark_dp_kernel(spark, ways, eps)
+        front = _spark_dp(spark, ways, eps)
+        for wid, pts in ways.items():
+            want = _mirror(pts, eps)
+            assert kern[wid] == want, (wid, eps)
+            assert front[wid] == want, (wid, eps)
+
+
 def test_monotone_chain_worst_case_drains(spark):
     """A strictly monotone-distance chain forces the deepest recursion
     (one split per level on one side) — the frontier must still drain
