@@ -182,3 +182,53 @@ def test_snapshot_at_single_url_exchange(spark):
     # both window passes and the final project key on url: Catalyst
     # must reuse ONE url hash partitioning
     assert len(re.findall(r"Exchange hashpartitioning\(url", plan)) <= 1
+
+
+def test_round4_geometry_ops_no_python_nodes(spark):
+    # geohash_cell / clip_bbox / polyline_codec / resample_line /
+    # segment_bearing / tile_smooth / hll_registers / wkt_codec /
+    # tile_topk_terms are pure built-in column/window/agg plans
+    for name in (
+        "geohash_cell", "clip_bbox", "polyline_codec", "resample_line",
+        "segment_bearing", "tile_smooth", "hll_registers", "wkt_codec",
+        "tile_topk_terms",
+    ):
+        plan = _plan(spark, name)
+        for py_node in ("ArrowEvalPython", "MapInPandas",
+                        "BatchEvalPython", "FlatMapGroupsInPandas"):
+            assert py_node not in plan, (name, py_node)
+
+
+def test_geohash_cell_zero_shuffle_pruned_scan(spark):
+    plan = _plan(spark, "geohash_cell")
+    assert "Exchange hashpartitioning" not in plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_simplify_dp_single_kernel_stage(spark):
+    # the scale path: ONE grouped Arrow kernel, ONE way_id exchange
+    plan = _plan(spark, "simplify_dp")
+    assert _count(plan, "FlatMapGroupsInPandas") == 1
+    assert len(re.findall(r"Exchange hashpartitioning\(way_id", plan)) <= 1
+
+
+def test_clip_and_bearing_single_window_exchange(spark):
+    # the lead() window is the only exchange; the clip dataflow and the
+    # bearing math must fuse into projects above it
+    for name in ("clip_bbox", "segment_bearing"):
+        plan = _plan(spark, name)
+        assert _count(plan, "Exchange hashpartitioning") <= 1, name
+
+
+def test_tile_smooth_explodes_tiles_not_pages(spark):
+    # the 9x scatter explode must sit ABOVE the first aggregate:
+    # Generate's child plan contains the HashAggregate, never the scan
+    plan = _plan(spark, "tile_smooth")
+    assert _count(plan, "Generate explode") == 1
+    # two aggregates total (tile counts + box sums)
+    assert _count(plan, "HashAggregate") >= 2
+    # plan text prints parents first: the tile-count aggregate must
+    # appear BELOW the explode (the explode's child side), proving the
+    # 9x fan-out runs over the collapsed per-tile table, not the scan
+    gen = plan.index("Generate explode")
+    assert "HashAggregate" in plan[gen:]
