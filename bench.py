@@ -101,6 +101,7 @@ HEADLINE = [
     "tile_smooth",
     "hll_registers",
     "wkt_codec",
+    "mvt_encode",
 ]
 
 
@@ -303,6 +304,9 @@ QUERY_GROUPS: list[list[str]] = [
     # the tile×text graft query + raster/sketch/geodesic additions
     ["tile_topk_terms", "segment_bearing", "tile_smooth",
      "hll_registers", "wkt_codec"],
+    # vector-tile wire emission (joined by later wire/geometry ops as
+    # they arrive, capped at 5 per child)
+    ["mvt_encode"],
 ]
 
 

@@ -7434,6 +7434,129 @@ def q_wkt_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Mapbox Vector Tile encoder (geo/mvt.py — the wire artifact behind
+# the reference's maptile Z/X/Y assignment, public MVT spec 2.1)
+# =====================================================================
+
+_MVT_Z = 2
+
+
+def _mvt_oracle() -> str:
+    fx = tiles.fraction_x_sql("lon", _MVT_Z)
+    fy = tiles.fraction_y_sql("lat", _MVT_Z)
+    return f"""
+    WITH {_CUST_PTS_SQL},
+    g AS (
+      SELECT c_nationkey AS way_id, c_custkey AS ck,
+             CAST(floor(({fx}) * 4096.0) AS BIGINT) AS gx,
+             CAST(floor(({fy}) * 4096.0) AS BIGINT) AS gy,
+             {tiles.tile_x_sql('lon', _MVT_Z)} AS px,
+             {tiles.tile_y_sql('lat', _MVT_Z)} AS py
+      FROM pts),
+    f AS (
+      SELECT way_id,
+             min_by(px, ck) AS tile_x, min_by(py, ck) AS tile_y,
+             count(*) AS n,
+             CAST(sum(gx) AS BIGINT) AS sgx,
+             CAST(sum(gy) AS BIGINT) AS sgy
+      FROM g GROUP BY way_id),
+    per_way AS (
+      SELECT way_id, tile_x, tile_y, n,
+             sgx - n * tile_x * 4096 AS lxsum,
+             sgy - n * tile_y * 4096 AS lysum,
+             9 + CASE WHEN n > 1 THEN 2 + 8 * (n - 1) ELSE 0 END AS cmds,
+             way_id % 3 AS tagval
+      FROM f)
+    SELECT tile_x, tile_y,
+           CAST(count(*) AS BIGINT) AS n_features,
+           CAST(count(DISTINCT tagval) AS BIGINT) AS n_values,
+           CAST(sum(cmds) AS BIGINT) AS cmdsum,
+           CAST(sum(lxsum) AS BIGINT) AS xsum,
+           CAST(sum(lysum) AS BIGINT) AS ysum,
+           CAST(sum(tagval) AS BIGINT) AS tagsum
+    FROM per_way GROUP BY tile_x, tile_y
+    """
+
+
+@register("mvt_encode", _mvt_oracle())
+def q_mvt_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mapbox Vector Tile emission (geo/mvt.py; public MVT spec 2.1):
+    the z=2 tile each way's FIRST point lands in (tile.At semantics,
+    reference maptile/tile.go:113-130) becomes one wire tile — every
+    way in it quantizes to tile-local extent-4096 integers, the
+    layer's keys/values tables deduplicate, geometry becomes
+    MoveTo/LineTo command streams with zigzagged cursor deltas, and
+    the whole layer serializes to spec-exact protobuf bytes on the
+    same varint primitives as the PBF codec.  The kernel then DECODES
+    its own bytes and every reported number (feature count, value-
+    table size, command-integer checksum, absolute decoded coordinate
+    sums, tag-value sum) comes from the decoded artifact, which the
+    oracle recomputes directly from source points — a wire-layer bug
+    cannot cancel out.  Plan: one per-way shuffle (groupBy way_id with
+    min_by first-point tile), one per-tile shuffle into the
+    applyInPandas encode kernel; groups are tile-sized, the bounded
+    unit a renderer consumes (production tiling picks z by feature
+    budget, exactly like the pyramid density split)."""
+    from osm_spark.geo import mvt as _mvt
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        F.col("c_nationkey").alias("way_id"),
+        k.alias("ck"),
+        ((k * 6151 % 140000).cast("double") / 1000.0 - 70.0).alias("lat"),
+        ((k * 9277 % 340000).cast("double") / 1000.0 - 170.0).alias("lon"),
+    )
+    g = pts.select(
+        "way_id",
+        "ck",
+        F.floor(tiles.fraction_x("lon", _MVT_Z) * F.lit(4096.0))
+        .cast("long")
+        .alias("gx"),
+        F.floor(tiles.fraction_y("lat", _MVT_Z) * F.lit(4096.0))
+        .cast("long")
+        .alias("gy"),
+        tiles.tile_x("lon", _MVT_Z).alias("px"),
+        tiles.tile_y("lat", _MVT_Z).alias("py"),
+    )
+    per_way = (
+        g.groupBy("way_id")
+        .agg(
+            F.min_by("px", "ck").alias("tile_x"),
+            F.min_by("py", "ck").alias("tile_y"),
+            F.array_sort(F.collect_list(F.struct("ck", "gx", "gy"))).alias(
+                "p"
+            ),
+        )
+        .select(
+            "way_id",
+            "tile_x",
+            "tile_y",
+            F.transform(
+                "p", lambda s: s["gx"] - F.col("tile_x") * 4096
+            ).alias("xs"),
+            F.transform(
+                "p", lambda s: s["gy"] - F.col("tile_y") * 4096
+            ).alias("ys"),
+            (F.col("way_id") % 3).cast("long").alias("tagval"),
+        )
+    )
+    out = per_way.groupBy("tile_x", "tile_y").applyInPandas(
+        _mvt.tile_stats_kernel, _mvt.TILE_STATS_SCHEMA
+    )
+    return out.select(
+        "tile_x",
+        "tile_y",
+        "n_features",
+        "n_values",
+        "cmdsum",
+        "xsum",
+        "ysum",
+        "tagsum",
+    )
+
+
+# =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
 #

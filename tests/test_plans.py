@@ -232,3 +232,12 @@ def test_tile_smooth_explodes_tiles_not_pages(spark):
     # 9x fan-out runs over the collapsed per-tile table, not the scan
     gen = plan.index("Generate explode")
     assert "HashAggregate" in plan[gen:]
+
+
+def test_mvt_encode_two_shuffles_one_kernel(spark):
+    # per-way collect (one way_id exchange) -> per-tile encode kernel
+    # (one tile exchange into FlatMapGroupsInPandas); nothing else
+    plan = _plan(spark, "mvt_encode")
+    assert _count(plan, "FlatMapGroupsInPandas") == 1
+    assert _count(plan, "Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in plan

@@ -168,6 +168,7 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "tile_smooth",
     "hll_registers",
     "wkt_codec",
+    "mvt_encode",
 })
 
 
