@@ -102,6 +102,7 @@ HEADLINE = [
     "hll_registers",
     "wkt_codec",
     "mvt_encode",
+    "convex_hull",
 ]
 
 
@@ -306,7 +307,7 @@ QUERY_GROUPS: list[list[str]] = [
      "hll_registers", "wkt_codec"],
     # vector-tile wire emission (joined by later wire/geometry ops as
     # they arrive, capped at 5 per child)
-    ["mvt_encode"],
+    ["mvt_encode", "convex_hull"],
 ]
 
 

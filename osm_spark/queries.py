@@ -7557,6 +7557,97 @@ def q_mvt_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Convex hull (geo/hull.py — exact-integer monotone chain)
+# =====================================================================
+
+@register(
+    "convex_hull",
+    f"""
+    WITH {_CUST_PTS_SQL},
+    p AS (
+      SELECT c_nationkey AS way_id,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_custkey) - 1 AS pos,
+             CAST(floor(lon * 1000000.0) AS BIGINT) AS x,
+             CAST(floor(lat * 1000000.0) AS BIGINT) AS y
+      FROM pts),
+    e AS (
+      SELECT a.way_id,
+             a.pos AS pa, b.pos AS pb,
+             a.x AS ax, a.y AS ay, b.x AS qx, b.y AS qy
+      FROM p a JOIN p b
+        ON a.way_id = b.way_id AND a.pos <> b.pos
+      WHERE NOT EXISTS (
+        -- c blocks edge a->b if it is strictly RIGHT of it, or exactly
+        -- collinear but OUTSIDE the segment (an on-edge interior point
+        -- does NOT disqualify the edge: the strict hull keeps a->b and
+        -- drops the collinear middle, matching the monotone chain)
+        SELECT 1 FROM p c
+        WHERE c.way_id = a.way_id
+          AND c.pos <> a.pos AND c.pos <> b.pos
+          AND (
+            ((b.x - a.x) * (c.y - a.y)
+             - (b.y - a.y) * (c.x - a.x)) < 0
+            OR (
+              ((b.x - a.x) * (c.y - a.y)
+               - (b.y - a.y) * (c.x - a.x)) = 0
+              AND NOT (
+                c.x BETWEEN least(a.x, b.x) AND greatest(a.x, b.x)
+                AND c.y BETWEEN least(a.y, b.y) AND greatest(a.y, b.y))
+            )))),
+    agg_e AS (
+      SELECT way_id,
+             CAST(sum(ax * qy - qx * ay) AS BIGINT) AS area2
+      FROM e GROUP BY way_id),
+    v AS (
+      SELECT DISTINCT way_id, pos, x, y FROM (
+        SELECT way_id, pa AS pos, ax AS x, ay AS y FROM e
+        UNION ALL
+        SELECT way_id, pb AS pos, qx AS x, qy AS y FROM e)),
+    agg_v AS (
+      SELECT way_id,
+             CAST(count(*) AS BIGINT) AS n_hull,
+             CAST(sum(x) AS BIGINT) AS hx_sum,
+             CAST(sum(y) AS BIGINT) AS hy_sum
+      FROM v GROUP BY way_id)
+    SELECT way_id, n_hull, hx_sum, hy_sum, area2
+    FROM agg_e JOIN agg_v USING (way_id)
+    """,
+)
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex hull per way (geo/hull.py — the exact polygon refinement
+    of the reference's bound/extent reduction, bounds.go semantics):
+    each way's e6 point cloud reduces to its strict CCW hull via
+    Andrew's monotone chain over exact int64 cross products (no
+    epsilon), and the reported stats (vertex count, coordinate sums,
+    exact shoelace 2*area) are re-derived by the oracle from first
+    principles — an O(n^3) SQL edge predicate: (a,b) is a hull edge
+    iff every other point is STRICTLY left of a->b.  The two
+    derivations share no code path, so they cross-check the geometry,
+    not the implementation.  Plan: ONE way_id shuffle into the Arrow
+    kernel; groups are way-sized.  The corpus-scale path is the
+    associative hull-of-hulls merge (hull.merge, property-tested) —
+    per-partition hulls then a tiny final reduce, never a global
+    collect."""
+    from osm_spark.geo import hull as _hull
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        F.col("c_nationkey").cast("long").alias("way_id"),
+        F.floor(
+            ((k * 9277 % 340000).cast("double") / 1000.0 - 170.0) * 1e6
+        ).cast("long").alias("x"),
+        F.floor(
+            ((k * 6151 % 140000).cast("double") / 1000.0 - 70.0) * 1e6
+        ).cast("long").alias("y"),
+    )
+    return pts.groupBy("way_id").applyInPandas(
+        _hull.hull_stats_kernel, _hull.HULL_STATS_SCHEMA
+    )
+
+
+# =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
 #

@@ -241,3 +241,11 @@ def test_mvt_encode_two_shuffles_one_kernel(spark):
     assert _count(plan, "FlatMapGroupsInPandas") == 1
     assert _count(plan, "Exchange hashpartitioning") <= 2
     assert "BatchEvalPython" not in plan
+
+
+def test_convex_hull_single_shuffle_kernel(spark):
+    # ONE way_id exchange into the Arrow hull kernel; nothing else
+    plan = _plan(spark, "convex_hull")
+    assert _count(plan, "FlatMapGroupsInPandas") == 1
+    assert _count(plan, "Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in plan

@@ -169,6 +169,7 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "hll_registers",
     "wkt_codec",
     "mvt_encode",
+    "convex_hull",
 })
 
 
