@@ -103,6 +103,8 @@ HEADLINE = [
     "wkt_codec",
     "mvt_encode",
     "convex_hull",
+    "route_shortest",
+    "snap_roads",
 ]
 
 
@@ -307,7 +309,7 @@ QUERY_GROUPS: list[list[str]] = [
      "hll_registers", "wkt_codec"],
     # vector-tile wire emission (joined by later wire/geometry ops as
     # they arrive, capped at 5 per child)
-    ["mvt_encode", "convex_hull"],
+    ["mvt_encode", "convex_hull", "route_shortest", "snap_roads"],
 ]
 
 

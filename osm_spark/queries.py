@@ -7647,6 +7647,234 @@ def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _route_shortest_oracle_sql(iters: int = 6) -> str:
+    """Chained-CTE DuckDB twin of plans/paths.py relax_rounds over the
+    closed-form road graph: nation chains of customers (lag window),
+    L1 micro-degree edge weights, symmetrized, sources every 20th
+    custkey.  One full relaxation per round — frontier pruning on the
+    Spark side is round-for-round identical (an unchanged node's
+    proposals were already folded in the round after it last changed,
+    and min-folding is monotone), so the unconverged round-k states
+    match bit-for-bit."""
+    from osm_spark.plans.paths import relax_rounds_sql
+
+    return ("""
+    WITH coord AS (
+      SELECT c_custkey AS node,
+             CAST((c_custkey * 6151 % 140000) * 1000 - 70000000
+                  AS BIGINT) AS lat_e6,
+             CAST((c_custkey * 9277 % 340000) * 1000 - 170000000
+                  AS BIGINT) AS lon_e6
+      FROM customer),
+    n AS (SELECT node FROM coord),
+    chain AS (
+      SELECT c_custkey AS b,
+             lag(c_custkey) OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_custkey) AS a
+      FROM customer),
+    e0 AS (
+      SELECT chain.a, chain.b,
+             abs(ca.lat_e6 - cb.lat_e6)
+               + abs(ca.lon_e6 - cb.lon_e6) AS w
+      FROM chain
+      JOIN coord ca ON ca.node = chain.a
+      JOIN coord cb ON cb.node = chain.b
+      WHERE chain.a IS NOT NULL),
+    e AS (SELECT a AS src, b AS dst, w FROM e0
+          UNION ALL SELECT b, a, w FROM e0),
+    s AS (SELECT node FROM coord WHERE node % 20 = 3)"""
+            + relax_rounds_sql(iters, "c_custkey"))
+
+
+@register("route_shortest", _route_shortest_oracle_sql(6))
+def q_route_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source shortest paths over the way graph
+    (plans/paths.py): the canonical ROUTING use of the reference's
+    way/node model (osm/way.go WayNodes — ways resolve to node chains,
+    chains induce a weighted road graph).  Nation chains of customers
+    give the ways, consecutive refs become bidirectional edges
+    weighted by exact L1 micro-degree length, and 6 bulk-synchronous
+    Bellman-Ford rounds relax distances from the source set — one
+    frontier join + one node-keyed min per round, integer-exact so
+    Spark and DuckDB reproduce the round-6 state bit-for-bit (most
+    nodes are ~10 hops from a source, so round 6 is deliberately
+    UNconverged — the parity holds on the partial state, which is the
+    stronger check).  NULL dist is +infinity in both engines' least();
+    unreached surfaces as -1."""
+    from osm_spark.plans import paths as _paths
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    coord = cust.select(
+        k.alias("node"),
+        ((k * 6151 % 140000) * 1000 - 70000000).cast("long").alias("lat_e6"),
+        ((k * 9277 % 340000) * 1000 - 170000000).cast("long").alias("lon_e6"),
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    chain = (
+        cust.select("c_custkey", "c_nationkey")
+        .withColumn("a", F.lag("c_custkey").over(w))
+        .where(F.col("a").isNotNull())
+        .select("a", F.col("c_custkey").alias("b"))
+    )
+    ca = coord.select(F.col("node").alias("a"),
+                      F.col("lat_e6").alias("la"), F.col("lon_e6").alias("lo"))
+    cb = coord.select(F.col("node").alias("b"),
+                      F.col("lat_e6").alias("lb"), F.col("lon_e6").alias("lb_o"))
+    e0 = (
+        chain.join(ca, "a").join(cb, "b")
+        .select(
+            "a", "b",
+            (F.abs(F.col("la") - F.col("lb"))
+             + F.abs(F.col("lo") - F.col("lb_o"))).cast("long").alias("w"),
+        )
+    )
+    edges = _persist(
+        e0.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionAll(e0.select(F.col("b").alias("src"),
+                            F.col("a").alias("dst"), "w"))
+    )
+    sources = coord.where(F.col("node") % 20 == 3).select("node")
+    # per-round localCheckpoint, not persist: each round's plan nests
+    # the previous round's two-join tree, and lazy persist re-analyzes
+    # the whole nested plan per round (same measurement as
+    # plans/components.py / link_components).
+    dist = _paths.relax_rounds(
+        coord.select("node"), edges, sources, "node", iters=6,
+        persist_fn=lambda df: df.localCheckpoint(),
+    )
+    return dist.select(
+        F.col("node").alias("c_custkey"),
+        F.coalesce("dist", F.lit(-1)).cast("long").alias("dist"),
+        F.col("dist").isNotNull().cast("int").alias("reached"),
+    )
+
+
+_SNAP_ROADS_SQL = """
+    WITH pts AS (
+      SELECT c_custkey AS pid,
+             CAST((c_custkey * 9277 % 340000) * 1000 - 170000000
+                  AS BIGINT) AS px,
+             CAST((c_custkey * 6151 % 140000) * 1000 - 70000000
+                  AS BIGINT) AS py
+      FROM customer),
+    base AS (
+      SELECT s_suppkey AS k,
+             CAST((s_suppkey * 7919 % 340000) * 1000 - 170000000
+                  AS BIGINT) AS x0,
+             CAST((s_suppkey * 4567 % 140000) * 1000 - 70000000
+                  AS BIGINT) AS y0,
+             CAST(s_suppkey * 31 % 800000 - 400000 AS BIGINT) AS d1x,
+             CAST(s_suppkey * 53 % 800000 - 400000 AS BIGINT) AS d1y,
+             CAST(s_suppkey * 71 % 800000 - 400000 AS BIGINT) AS d2x,
+             CAST(s_suppkey * 97 % 800000 - 400000 AS BIGINT) AS d2y
+      FROM supplier),
+    segs AS (
+      SELECT k * 2 AS seg_id, x0 AS ax, y0 AS ay,
+             x0 + d1x AS bx, y0 + d1y AS "by" FROM base
+      UNION ALL
+      SELECT k * 2 + 1, x0 + d1x, y0 + d1y,
+             x0 + d1x + d2x, y0 + d1y + d2y FROM base),
+    pairs AS (
+      SELECT p.pid, s.seg_id,
+             CAST(p.px AS DOUBLE) AS pxd, CAST(p.py AS DOUBLE) AS pyd,
+             CAST(s.ax AS DOUBLE) AS axd, CAST(s.ay AS DOUBLE) AS ayd,
+             CAST(s.bx AS DOUBLE) AS bxd, CAST(s."by" AS DOUBLE) AS byd
+      FROM pts p CROSS JOIN segs s),
+    proj AS (
+      SELECT pid, seg_id, pxd, pyd, axd, ayd,
+             bxd - axd AS dx, byd - ayd AS dy,
+             (bxd - axd) * (bxd - axd) + (byd - ayd) * (byd - ayd) AS len2
+      FROM pairs),
+    tt AS (
+      SELECT pid, seg_id, pxd, pyd, axd, ayd, dx, dy, len2,
+             CASE WHEN len2 = 0.0 THEN 0.0
+                  ELSE least(greatest(
+                    ((pxd - axd) * dx + (pyd - ayd) * dy) / len2,
+                    0.0), 1.0) END AS t
+      FROM proj),
+    sc AS (
+      SELECT pid, seg_id,
+             (pxd - sxx) * (pxd - sxx) + (pyd - syy) * (pyd - syy) AS d2,
+             sxx, syy
+      FROM (SELECT pid, seg_id, pxd, pyd,
+                   CASE WHEN len2 = 0.0 THEN axd
+                        ELSE axd + t * dx END AS sxx,
+                   CASE WHEN len2 = 0.0 THEN ayd
+                        ELSE ayd + t * dy END AS syy
+            FROM tt)),
+    best AS (
+      SELECT pid, seg_id, d2, sxx, syy,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY d2, seg_id) AS rn
+      FROM sc WHERE d2 <= 160000000000.0)
+    SELECT p.pid AS c_custkey,
+           CAST(coalesce(b.seg_id, -1) AS BIGINT) AS seg_id,
+           CAST(b.pid IS NOT NULL AS INT) AS matched,
+           CAST(coalesce(floor(b.d2), -1) AS BIGINT) AS d2_q,
+           CAST(coalesce(floor(b.sxx), p.px) AS BIGINT) AS snap_x,
+           CAST(coalesce(floor(b.syy), p.py) AS BIGINT) AS snap_y
+    FROM pts p
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.pid = p.pid
+"""
+
+
+@register("snap_roads", _SNAP_ROADS_SQL)
+def q_snap_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map matching (geo/snap.py): snap every customer point to its
+    nearest road segment within a 0.4-degree radius — the
+    orb/planar.DistanceFromSegment + project primitive under every OSM
+    router's snap step, distributed.  Roads are per-supplier 2-segment
+    chains; segments index under every 2^19-µdeg grid cell they pass
+    through (the raster_line supercover on raw e6 ints), points probe
+    their 3x3 neighborhood, and the argmin is one min(struct) per
+    point.  The oracle brute-forces ALL point x segment pairs with the
+    same IEEE +,-,*,/ projection math, so the hash checks the INDEX'S
+    COMPLETENESS (radius <= cell size makes the 3x3 probe provably
+    exhaustive), not just the distance formula."""
+    from osm_spark.geo import snap as _snap
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        k.alias("pid"),
+        ((k * 9277 % 340000) * 1000 - 170000000).cast("long").alias("px"),
+        ((k * 6151 % 140000) * 1000 - 70000000).cast("long").alias("py"),
+    )
+    s = F.col("s_suppkey")
+    base = supp.select(
+        s.alias("k"),
+        ((s * 7919 % 340000) * 1000 - 170000000).cast("long").alias("x0"),
+        ((s * 4567 % 140000) * 1000 - 70000000).cast("long").alias("y0"),
+        (s * 31 % 800000 - 400000).cast("long").alias("d1x"),
+        (s * 53 % 800000 - 400000).cast("long").alias("d1y"),
+        (s * 71 % 800000 - 400000).cast("long").alias("d2x"),
+        (s * 97 % 800000 - 400000).cast("long").alias("d2y"),
+    )
+    x0, y0 = F.col("x0"), F.col("y0")
+    d1x, d1y = F.col("d1x"), F.col("d1y")
+    seg1 = base.select(
+        (F.col("k") * 2).alias("seg_id"),
+        x0.alias("ax"), y0.alias("ay"),
+        (x0 + d1x).alias("bx"), (y0 + d1y).alias("by"),
+    )
+    seg2 = base.select(
+        (F.col("k") * 2 + 1).alias("seg_id"),
+        (x0 + d1x).alias("ax"), (y0 + d1y).alias("ay"),
+        (x0 + d1x + F.col("d2x")).alias("bx"),
+        (y0 + d1y + F.col("d2y")).alias("by"),
+    )
+    out = _snap.snap_points(
+        pts, seg1.unionAll(seg2), shift=19,
+        max_d2=float(400_000**2), point_id="pid",
+    )
+    return out.select(
+        F.col("pid").alias("c_custkey"),
+        "seg_id", "matched", "d2_q", "snap_x", "snap_y",
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================

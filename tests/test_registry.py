@@ -170,6 +170,8 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "wkt_codec",
     "mvt_encode",
     "convex_hull",
+    "route_shortest",
+    "snap_roads",
 })
 
 
