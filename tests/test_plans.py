@@ -249,3 +249,25 @@ def test_convex_hull_single_shuffle_kernel(spark):
     assert _count(plan, "FlatMapGroupsInPandas") == 1
     assert _count(plan, "Exchange hashpartitioning") <= 1
     assert "BatchEvalPython" not in plan
+
+
+def test_snap_roads_scan_shaped_no_python(spark):
+    # supercover + 9x probe + one cell equi-join + one argmin: pure
+    # built-in column plan, no Python boundary anywhere
+    plan = _plan(spark, "snap_roads")
+    for py_node in ("ArrowEvalPython", "MapInPandas",
+                    "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert py_node not in plan, py_node
+    # one join for the cell probe, one left join folding argmin back
+    assert _count(plan, "Generate explode") >= 1
+
+
+def test_route_shortest_no_python_nodes(spark):
+    # relaxation rounds are join+agg only; localCheckpoint truncates
+    # lineage so the final plan is flat (RDD scan), never a 6-deep
+    # nested join tree
+    plan = _plan(spark, "route_shortest")
+    for py_node in ("ArrowEvalPython", "MapInPandas",
+                    "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert py_node not in plan, py_node
+    assert "Scan ExistingRDD" in plan
