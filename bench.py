@@ -105,6 +105,7 @@ HEADLINE = [
     "convex_hull",
     "route_shortest",
     "snap_roads",
+    "geo_cluster",
 ]
 
 
@@ -309,7 +310,8 @@ QUERY_GROUPS: list[list[str]] = [
      "hll_registers", "wkt_codec"],
     # vector-tile wire emission (joined by later wire/geometry ops as
     # they arrive, capped at 5 per child)
-    ["mvt_encode", "convex_hull", "route_shortest", "snap_roads"],
+    ["mvt_encode", "convex_hull", "route_shortest", "snap_roads",
+     "geo_cluster"],
 ]
 
 

@@ -7875,6 +7875,50 @@ def q_snap_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GEO_CLUSTER_SQL = (
+    f"""
+    WITH n AS (SELECT doc_id AS node FROM documents),
+    e0 AS (
+      SELECT l.doc_id AS a, r.doc_id AS b
+      FROM documents l JOIN documents r ON l.doc_id < r.doc_id
+      WHERE floor({_WD_HAV}) <= {300000}),
+    e AS (SELECT a AS src, b AS dst FROM e0
+          UNION ALL SELECT b, a FROM e0)"""
+    + _min_label_rounds_sql(4, "doc_id")
+)
+
+
+@register("geo_cluster", _GEO_CLUSTER_SQL)
+def q_geo_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density clustering (grid-DBSCAN core): pages within
+    300 km become edges via the cell-pruned within-distance join
+    (geo/distance_join.py — 3x3 neighborhood equi-join, exact-recall,
+    never all-pairs), then min-label propagation with pointer jumping
+    (plans/components.py) groups transitively-near pages and elects
+    the minimum-id canonical per spatial cluster — the geo analogue of
+    neardup_clusters' completion step, and the dedup/venue-grouping
+    primitive a geocoded crawl needs.  The oracle derives the SAME
+    edge set by all-pairs brute force, so the hash checks the pair
+    join's recall, and replays the label rounds in chained CTEs so
+    unconverged states still match bit-for-bit."""
+    from osm_spark.geo.distance_join import within_distance_pairs
+    from osm_spark.plans import components as _cc
+
+    pts = pages.page_points(spark, sf_dir)
+    pairs = within_distance_pairs(pts, 300000.0).select("a", "b")
+    edges = _persist(_cc.symmetrize(pairs))
+    lbl = _cc.min_label_components(
+        pts.select("doc_id"), edges, "doc_id", iters=4,
+        persist_fn=lambda df: df.localCheckpoint(),
+    )
+    return _cc.cluster_stats(lbl).select(
+        F.col("node").alias("doc_id"),
+        "cluster",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "is_canonical",
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================

@@ -172,6 +172,7 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "convex_hull",
     "route_shortest",
     "snap_roads",
+    "geo_cluster",
 })
 
 
