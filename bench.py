@@ -106,6 +106,7 @@ HEADLINE = [
     "route_shortest",
     "snap_roads",
     "geo_cluster",
+    "geocode_extract",
 ]
 
 
@@ -312,6 +313,8 @@ QUERY_GROUPS: list[list[str]] = [
     # they arrive, capped at 5 per child)
     ["mvt_encode", "convex_hull", "route_shortest", "snap_roads",
      "geo_cluster"],
+    # geoparse / routing second child as the family grows (cap 5)
+    ["geocode_extract"],
 ]
 
 

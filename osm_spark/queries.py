@@ -7919,6 +7919,80 @@ def q_geo_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GEOCODE_LAT_E6 = (
+    "CAST(CASE WHEN doc_id % 20 = 0 THEN 40712000 "
+    "ELSE (doc_id * 7919 % 170000) * 1000 - 85000000 END AS BIGINT)"
+)
+_GEOCODE_LON_E6 = (
+    "CAST(CASE WHEN doc_id % 20 = 0 THEN -74006000 "
+    "ELSE (doc_id * 104729 % 360000) * 1000 - 180000000 END AS BIGINT)"
+)
+
+_GEOCODE_EXTRACT_SQL = f"""
+    WITH g AS (
+      SELECT doc_id,
+             {_GEOCODE_LAT_E6} AS lat_e6,
+             {_GEOCODE_LON_E6} AS lon_e6
+      FROM documents)
+    SELECT doc_id, lat_e6, lon_e6,
+           {tiles.tile_x_sql('(CAST(lon_e6 AS DOUBLE) / 1000000.0)', 12)}
+             AS tile_x,
+           {tiles.tile_y_sql('(CAST(lat_e6 AS DOUBLE) / 1000000.0)', 12)}
+             AS tile_y
+    FROM g
+"""
+
+
+@register("geocode_extract", _GEOCODE_EXTRACT_SQL)
+def q_geocode_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geoparsing (the webtext x geospatial graft in one operator):
+    each page renders with an ICBM-style ``<meta name="geo.position"
+    content="lat;lon">`` tag (exact fixed-6-decimal strings via the
+    wkt_codec integer renderer — no printf surface), the EXTRACTION
+    side regex-pulls the tag back out of the full html (body text and
+    phone-number decoys included), parses the decimals back to exact
+    e6 int64 by pure string ops, and assigns z12 tiles.  The oracle
+    derives lat/lon/tile CLOSED-FORM from doc_id — same pattern as
+    link_pagerank's edge extraction: a regex or parse defect changes
+    the extracted value and reds the hash, and a dropped row reds the
+    row count (rows where extraction fails are filtered, not
+    defaulted)."""
+    d = F.col("doc_id")
+    lat_e6 = F.when(d % 20 == 0, F.lit(40712000)).otherwise(
+        (d * 7919 % 170000) * 1000 - 85000000
+    ).cast("long")
+    lon_e6 = F.when(d % 20 == 0, F.lit(-74006000)).otherwise(
+        (d * 104729 % 360000) * 1000 - 180000000
+    ).cast("long")
+    html = F.concat(
+        F.lit('<html><head><meta name="geo.position" content="'),
+        _e6_str(lat_e6), F.lit(";"), _e6_str(lon_e6),
+        F.lit('"></head><body><p>'), F.col("text"),
+        F.lit(" call 555-0"),
+        F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit(" lat 12.34</p></body></html>"),
+    )
+    pat = r'meta name="geo\.position" content="(-?\d+\.\d{6});(-?\d+\.\d{6})"'
+    docs = _t(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+    ext = docs.select(
+        "doc_id",
+        F.regexp_extract("html", pat, 1).alias("s_lat"),
+        F.regexp_extract("html", pat, 2).alias("s_lon"),
+    ).where((F.col("s_lat") != "") & (F.col("s_lon") != ""))
+    parsed = ext.select(
+        "doc_id",
+        F.regexp_replace("s_lat", r"\.", "").cast("long").alias("lat_e6"),
+        F.regexp_replace("s_lon", r"\.", "").cast("long").alias("lon_e6"),
+    )
+    lat = F.col("lat_e6").cast("double") / F.lit(1000000.0)
+    lon = F.col("lon_e6").cast("double") / F.lit(1000000.0)
+    return parsed.select(
+        "doc_id", "lat_e6", "lon_e6",
+        tiles.tile_x(lon, 12).alias("tile_x"),
+        tiles.tile_y(lat, 12).alias("tile_y"),
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================

@@ -271,3 +271,12 @@ def test_route_shortest_no_python_nodes(spark):
                     "BatchEvalPython", "FlatMapGroupsInPandas"):
         assert py_node not in plan, py_node
     assert "Scan ExistingRDD" in plan
+
+
+def test_geocode_extract_zero_shuffle_no_python(spark):
+    # render + regex + parse + tile fuse into one codegen'd project
+    plan = _plan(spark, "geocode_extract")
+    assert "Exchange hashpartitioning" not in plan
+    for py_node in ("ArrowEvalPython", "MapInPandas",
+                    "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert py_node not in plan, py_node

@@ -173,6 +173,7 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "route_shortest",
     "snap_roads",
     "geo_cluster",
+    "geocode_extract",
 })
 
 
