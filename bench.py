@@ -107,6 +107,7 @@ HEADLINE = [
     "snap_roads",
     "geo_cluster",
     "geocode_extract",
+    "geodesic_area",
 ]
 
 
@@ -314,7 +315,7 @@ QUERY_GROUPS: list[list[str]] = [
     ["mvt_encode", "convex_hull", "route_shortest", "snap_roads",
      "geo_cluster"],
     # geoparse / routing second child as the family grows (cap 5)
-    ["geocode_extract"],
+    ["geocode_extract", "geodesic_area"],
 ]
 
 

@@ -67,3 +67,29 @@ def haversine_m_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
         f" + cos({la1}) * cos({la2}) * sin({dlon} / 2) * sin({dlon} / 2))"
     )
     return f"({2.0 * EARTH_RADIUS!r} * asin(sqrt({a})))"
+
+
+# Per-edge spherical shoelace term, pre-scaled to km^2 and
+# floor-quantized: the 1-ulp sin() divergence between the JVM and
+# libm scales to ~3e-8 km^2 here, so the int64 terms (and therefore
+# their order-independent SUM) match across engines.
+_AREA_K = EARTH_RADIUS * EARTH_RADIUS / 2.0 / 1e6
+
+
+def ring_area_term_km2(lat1, lon1, lat2, lon2) -> Column:
+    """Signed spherical shoelace edge term (orb geo.Area semantics:
+    the Chamberlain–Duquette spherical shoelace: accumulate
+    (λ2−λ1)·(2+sin φ1+sin φ2), total × R²/2 — CLOCKWISE rings come out
+    positive under this variant), floor-quantized to int64 km²."""
+    la1, lo1 = _col(lat1) * _D2R, _col(lon1) * _D2R
+    la2, lo2 = _col(lat2) * _D2R, _col(lon2) * _D2R
+    t = (lo2 - lo1) * (F.lit(2.0) + F.sin(la1) + F.sin(la2))
+    return F.floor(t * F.lit(_AREA_K)).cast("long")
+
+
+def ring_area_term_km2_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Byte-identical DuckDB twin of :func:`ring_area_term_km2`."""
+    la1, lo1 = f"(({lat1}) * {_D2R!r})", f"(({lon1}) * {_D2R!r})"
+    la2, lo2 = f"(({lat2}) * {_D2R!r})", f"(({lon2}) * {_D2R!r})"
+    t = f"(({lo2} - {lo1}) * (2.0 + sin({la1}) + sin({la2})))"
+    return f"CAST(floor({t} * {_AREA_K!r}) AS BIGINT)"

@@ -7993,6 +7993,71 @@ def q_geocode_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GA_TERM = _dist.ring_area_term_km2_sql("lat", "lon", "nlat", "nlon")
+
+_GEODESIC_AREA_SQL = f"""
+    WITH {_CUST_PTS_SQL},
+    ring AS (
+      SELECT c_nationkey AS way_id, lat, lon,
+             coalesce(
+               lead(lat) OVER (PARTITION BY c_nationkey ORDER BY c_custkey),
+               first_value(lat) OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_custkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING)) AS nlat,
+             coalesce(
+               lead(lon) OVER (PARTITION BY c_nationkey ORDER BY c_custkey),
+               first_value(lon) OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_custkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING)) AS nlon
+      FROM pts)
+    SELECT way_id,
+           CAST(sum({_GA_TERM}) AS BIGINT) AS area_km2,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(sum({_GA_TERM}) > 0 AS INT) AS cw
+    FROM ring GROUP BY 1
+"""
+
+
+@register("geodesic_area", _GEODESIC_AREA_SQL)
+def q_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical ring area (orb geo.Area semantics — the geodesic
+    sibling of the planar shoelace in ring_orientation): each nation's
+    customer chain closes into a ring, and the signed area accumulates
+    the (λ2−λ1)(2+sin φ1+sin φ2) edge terms.  Each term is
+    floor-quantized to int64 km² BEFORE the sum (the module float
+    discipline: unordered double SUMs are never emitted raw; the 1-ulp
+    JVM-vs-libm sin divergence scales below the quantization step), so
+    the per-way totals — and the orientation bit derived from the sign
+    (clockwise positive under this formula variant) — match the oracle
+    bit-for-bit.  One window + one groupBy;
+    scan-shaped at any way count."""
+    from osm_spark.geo import distance as _d
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        F.col("c_nationkey").cast("long").alias("way_id"),
+        k.alias("k"),
+        ((k * 6151 % 140000).cast("double") / 1000.0 - 70.0).alias("lat"),
+        ((k * 9277 % 340000).cast("double") / 1000.0 - 170.0).alias("lon"),
+    )
+    w = Window.partitionBy("way_id").orderBy("k")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ring = pts.select(
+        "way_id", "lat", "lon",
+        F.coalesce(F.lead("lat").over(w), F.first("lat").over(wf)).alias("nlat"),
+        F.coalesce(F.lead("lon").over(w), F.first("lon").over(wf)).alias("nlon"),
+    )
+    term = _d.ring_area_term_km2("lat", "lon", "nlat", "nlon")
+    return ring.groupBy("way_id").agg(
+        F.sum(term).alias("area_km2"),
+        F.count(F.lit(1)).alias("n_edges"),
+        (F.sum(term) > 0).cast("int").alias("cw"),
+    )
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================

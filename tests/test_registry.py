@@ -174,6 +174,7 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "snap_roads",
     "geo_cluster",
     "geocode_extract",
+    "geodesic_area",
 })
 
 
