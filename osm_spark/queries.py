@@ -8074,204 +8074,99 @@ def q_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window remain registered and oracle-checked locally.
 
 _DRIVER_WINDOW: list[str] = [
-    # flagship + tile family (raster_vector_roundtrip r03-green,
-    # parked for the round-4 crawl_delta rotation — tile semantics
-    # stay exercised by tile_assign and the flagship entry() smoke)
+    # ------------------------------------------------------------------
+    # Round-5 window.  VERDICT_r04 Next #1: every entry of the round-4
+    # _ROUND5_ROTATION_QUEUE (22 queries, all locally value-verified)
+    # rotates in; 22 round-4 driver-green rows park to _LEGACY (each
+    # family keeps >=1 in-window representative; the parked rows remain
+    # registered + oracle-checked locally).  Kept rows below, then the
+    # rotated-in tail.
+    # ------------------------------------------------------------------
+    # flagship + tile family (tile_assign kept; segment_tiles /
+    # tile_quantiles / tile_topk_terms / tile_smooth rotate in)
     "tile_assign",
-    # hex index family (round 2; h3_assign r02+r03-green, parked for
-    # the round-4 contamination_check rotation — hex stays exercised
-    # in-window by h3_knn's res-8 encode + k-ring walk)
+    # hex index family
     "h3_knn",
-    # WKB + PIP family (round 2; pip_cells_adaptive r03-green, parked
-    # for the round-4 substr_dedup rotation — PIP stays exercised
-    # in-window by pip_polygon_covering's interior/boundary-split test)
-    # (covering_polygon r03-green, parked for the round-4 lm_perplexity
-    # rotation — general-polygon covering stays exercised in-window by
-    # pip_polygon_covering's interior/boundary split over the same
-    # ring-exact covering kernel)
-    "pip_polygon_covering",      # round 3
-    # geojson emission family (geojson_convert r02+r03-green, parked
-    # for the round-4 index_search rotation — feature emission stays
-    # exercised in-window by geojson_way_features over the same
-    # converter kernels)
+    # WKB + PIP + covering family
+    "pip_polygon_covering",
+    # geojson emission family
     "geojson_way_features",
-    # geometry family
+    # geometry family (convex_hull / simplify_dp / resample_line /
+    # wkt_codec / mvt_encode / geodesic_area rotate in alongside)
     "multipolygon_assembly",
-    # temporal / history family (history_at r03-green, parked for the
-    # round-4 nb_classify rotation — temporal keeps asof_annotate, the
-    # snapshot semantics stay covered by test_state_store's
-    # VERSION AS OF suite)
+    # temporal / history family
     "asof_annotate",
-    # ids / stats family (planet_stats r02+r03-green, parked for the
-    # round-4 pq_topk rotation — the stats/argmax path stays exercised
-    # in-window by ids_pack_roundtrip and the flagship entry() rollup)
+    # ids / stats family (length_quantiles rotates in alongside)
     "ids_pack_roundtrip",
-    # PBF wire format (round 3)
+    # PBF wire format
     "pbf_scan",
-    # dedup / text family (minhash_lsh r02+r03-green, parked for the
-    # round-4 neardup_clusters rotation — its entire pair stage
-    # (minhash_signature / lsh_candidates / pair_jaccard) is the front
-    # half of neardup_clusters, so the kernels stay under driver hash;
-    # corpus_prep r03-green, parked for the round-4 page_snapshot_at
-    # rotation — the text family keeps chunk_dedup / substr_dedup /
-    # lm_perplexity / neardup_clusters / index_search / bm25_search /
-    # nb_classify in-window)
-    # similarity family (ivf_topk r03-green, parked for the round-4
-    # semantic_dedup rotation — IVF stays exercised locally and the
-    # family keeps ann_trained_topk + knn_kring + semantic_dedup)
-    # (knn_kring r03-green, parked for the round-4 bm25_search rotation
-    # — exact kNN stays in-window via h3_knn's k-ring expand-verify,
-    # tile math via tile_assign; ann_trained_topk r03-green, parked for
-    # the round-4 kmv_distinct rotation — its Lloyd's training loop and
-    # Arrow argmin are pq_topk's front half, so the kernels stay under
-    # driver hash)
-    # media family (rounds 2-3)
+    # media family
     "media_decode_real",
     "media_resize",
-    # streaming / replication family (replication_state r02+r03-green,
-    # parked for the round-4 frontier_schedule rotation — streaming
-    # keeps replication_actions; the state-store epoch machinery stays
-    # covered by tests/test_streaming_manifest.py + test_state_store)
+    # streaming / replication family
     "replication_actions",
-    # codec family: xml_codec_roundtrip (r02+r03-green) parked for the
-    # round-4 bpe_pair_counts rotation — XML stays exercised in-window
-    # by xml_scan's element-wise file scan over the same codec.
-    # round-4 rotation: the only 3 queries with zero driver rows across
-    # rounds 1-3 (VERDICT_r03 Missing #1) — swapped in against the
-    # family-redundant green rows h3_kring / wkb_roundtrip /
-    # token_count_bpe (each family keeps >=1 driver-green entry).
-    "interesting_nodes",
-    "notes_date_codec",
-    "point_on_surface",
-    # round-4 additions (VERDICT_r03 Next #5/#7): osmapi notes +
-    # changeset-feed parsing and the streaming XML file source —
-    # rotated in against the family-redundant r03-green rows h3_parent
-    # / geojson_features / kmeans_iterate (each family keeps >=1
-    # driver-green entry).
+    # osmapi family
     "osmapi_notes",
     "changeset_feed_parse",
+    # XML file source + diff codec family
     "xml_scan",
-    # round-4: snapshot-table stats pruning (Missing #5 Iceberg-proper)
-    # — rotated in against r03-green pip_broadcast (PIP family keeps
-    # pip_wkb / pip_cells_adaptive / pip_polygon_covering in-window).
-    "table_prune_scan",
-    # round-4: osmChange document codec — rotated in against r03-green
-    # token_quality (text family keeps dedup_exact / minhash_lsh /
-    # ngram_jaccard / simhash_neardup / url_canonical_rollup /
-    # corpus_prep in-window).
-    "osc_roundtrip",
-    # round-4: augmented-diff codec — rotated in against r03-green
-    # media_jpeg (media family keeps media_decode_real / media_resize,
-    # both value-correct with the r04 oracle CAST fix).
     "diff_roundtrip",
-    # round-4 web-page prep suite — rotated in against the r03-green
-    # family-redundant rows simhash_neardup (text family keeps
-    # dedup_exact / minhash_lsh / ngram_jaccard / corpus_prep),
-    # url_canonical_rollup (same family), linestring_at (temporal
-    # family keeps asof_annotate / relation_annotate / history_at) and
-    # changeset_rollup (stats family keeps planet_stats /
-    # ids_pack_roundtrip).
-    "html_extract",
-    "quality_repetition",
-    "pii_scrub",
-    "chunk_dedup",
-    # WARC container source (Common Crawl's page format) — rotated in
-    # against ngram_jaccard (r03-green; text family keeps dedup_exact /
-    # minhash_lsh / corpus_prep / chunk_dedup).
+    # snapshot-table stats pruning
+    "table_prune_scan",
+    # WARC container source
     "warc_scan",
-    # main-content extraction (boilerplate removal) — rotated in
-    # against covering_adaptive (r03-green; covering family keeps
-    # covering_polygon + pip_cells_adaptive + pip_polygon_covering).
-    "main_content",
-    # salient terms (integer-exact TF-IDF ranking) — rotated in against
-    # pip_wkb (r03-green; the PIP family keeps pip_cells_adaptive +
-    # pip_polygon_covering in-window).
-    "top_terms",
-    # robots.txt crawl-policy gate — rotated in against osmapi_fetch
-    # (r03-green; osmapi family keeps osmapi_notes +
-    # changeset_feed_parse in-window).
-    "robots_filter",
-    # CDX-indexed WARC random access — rotated in against
-    # way_linestring (r03-green; the way-geometry path stays exercised
-    # by multipolygon_assembly and the flagship pipeline).
     "warc_cdx_fetch",
-    # link-graph PageRank — rotated in against dedup_exact (r03-green;
-    # exact-dedup semantics stay exercised in-window by chunk_dedup's
-    # digest-keyed first-occurrence keep and corpus_prep).
-    "link_pagerank",
-    # bloom seen-set / stratified sampling / sequence packing — rotated
-    # in against relation_annotate (temporal keeps asof_annotate +
-    # history_at; the relation kernel stays covered by its golden
-    # tests), embedding_topk (similarity keeps ivf_topk +
-    # ann_trained_topk + knn_kring) and kmeans_bigk (the trained-ANN
-    # loop stays in-window via ann_trained_topk), all r03-green.
-    "bloom_seen_filter",
-    "sample_mix",
-    "pack_ctx",
-    # link-graph components / anchor-text rollup / sessionization —
-    # rotated in against within_distance (geo-distance stays exercised
-    # in-window by knn_kring + h3_knn), child_first_depth (iterative
-    # plans stay exercised by link_pagerank + link_components' 4-round
-    # propagation) and changeset_stream (streaming keeps
-    # replication_actions + replication_state), all r03-green.
-    "link_components",
-    "anchor_rollup",
-    "web_sessions",
-    # training-data hygiene ops — rotated in against h3_assign and
-    # xml_codec_roundtrip (both r02+r03-green; hex stays exercised by
-    # h3_knn, the XML codec by xml_scan).
-    "contamination_check",
-    "bpe_pair_counts",
-    # SemDeDup-style end-to-end semantic dedup (LSH candidates ->
-    # cosine verify -> components -> canonical retention), rotated in
-    # against ivf_topk (r03-green).
-    "semantic_dedup",
-    # recrawl snapshot diff (closed-form oracle), rotated in against
-    # raster_vector_roundtrip (r03-green).
-    "crawl_delta",
-    # exact substring (span-level) dedup, rotated in against
-    # pip_cells_adaptive (r03-green; PIP family keeps
-    # pip_polygon_covering in-window).
-    "substr_dedup",
-    # corpus bigram-LM perplexity quality filter, rotated in against
-    # covering_polygon (r03-green; the covering family keeps
-    # pip_polygon_covering in-window).
-    "lm_perplexity",
-    # end-to-end fuzzy-dedup clustering (MinHash-LSH pairs -> Jaccard
-    # verify -> connected components -> canonical retention), rotated
-    # in against minhash_lsh (r02+r03-green; its pair stage is this
-    # query's front half, so every kernel stays under driver hash).
-    "neardup_clusters",
-    # crawl-frontier politeness schedule (salted per-host top-B +
-    # slot assignment), rotated in against replication_state
-    # (r02+r03-green; streaming keeps replication_actions in-window).
-    "frontier_schedule",
-    # inverted-index build + conjunctive search with salted top-k
-    # ranking, rotated in against geojson_convert (r02+r03-green;
-    # geojson family keeps geojson_way_features in-window).
+    # text family (main_content / index_search / bm25_search /
+    # nb_classify / semantic_dedup / neardup_clusters keep the family's
+    # dedup, retrieval, classification and boilerplate kernels under
+    # driver hash; pmi_collocations / phrase_merge rotate in alongside)
+    "main_content",
+    "robots_filter",
     "index_search",
-    # product-quantization ANN (per-subspace Lloyd's codebooks, ADC
-    # lookup-sum ranking), rotated in against planet_stats
-    # (r02+r03-green; stats keeps ids_pack_roundtrip + the flagship
-    # entry() rollup).
-    "pq_topk",
-    # Naive Bayes corpus classifier (train + tf-weighted scoring +
-    # per-doc argmax), rotated in against history_at (r03-green;
-    # temporal keeps asof_annotate in-window).
-    "nb_classify",
-    # BM25-ranked retrieval over the postings build, rotated in
-    # against knn_kring (r03-green; exact kNN stays in-window via
-    # h3_knn, tile math via tile_assign).
     "bm25_search",
-    # recency snapshot of the pages table (At(t) in the webtext
-    # domain), rotated in against corpus_prep (r03-green; the text
-    # family keeps 7 entries in-window).
-    "page_snapshot_at",
-    # KMV distinct-count sketch (salted bottom-k, integer-exact
-    # estimator), rotated in against ann_trained_topk (r03-green; the
-    # trained-ANN loop stays under driver hash via pq_topk's identical
-    # kmeans front half).
-    "kmv_distinct",
+    "nb_classify",
+    "semantic_dedup",
+    "neardup_clusters",
+    # link-graph family (route_shortest rotates in alongside)
+    "link_pagerank",
+    "link_components",
+    # similarity family
+    "pq_topk",
+    # ------------------------------------------------------------------
+    # Round-5 rotations: the 22 queries that had zero driver rows across
+    # rounds 1-4 (exactly the round-4 _ROUND5_ROTATION_QUEUE).  Parked
+    # to make room (all r04 driver-green): interesting_nodes,
+    # notes_date_codec, point_on_surface, osc_roundtrip, html_extract,
+    # quality_repetition, pii_scrub, chunk_dedup, top_terms,
+    # bloom_seen_filter, sample_mix, pack_ctx, anchor_rollup,
+    # web_sessions, contamination_check, bpe_pair_counts, crawl_delta,
+    # substr_dedup, lm_perplexity, frontier_schedule, page_snapshot_at,
+    # kmv_distinct.  Family coverage retained: text keeps 7 rows
+    # in-window, sketches move kmv->hll, tile math gains 4 rows,
+    # geometry gains 6, graph keeps pagerank+components+route.
+    # ------------------------------------------------------------------
+    "pmi_collocations",
+    "length_quantiles",
+    "phrase_merge",
+    "tile_quantiles",
+    "segment_tiles",
+    "geohash_cell",
+    "clip_bbox",
+    "polyline_codec",
+    "simplify_dp",
+    "resample_line",
+    "tile_topk_terms",
+    "segment_bearing",
+    "tile_smooth",
+    "hll_registers",
+    "wkt_codec",
+    "mvt_encode",
+    "convex_hull",
+    "route_shortest",
+    "snap_roads",
+    "geo_cluster",
+    "geocode_extract",
+    "geodesic_area",
 ]
 
 

@@ -142,40 +142,34 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # driver-green) parked; its Lloyd's training loop and Arrow argmin
     # are pq_topk's front half, so the kernels stay under driver hash.
     "ann_trained_topk",
+    # round-5 rotations: all 22 entries of the round-4
+    # _ROUND5_ROTATION_QUEUE swapped into _DRIVER_WINDOW; these 22 rows
+    # (every one r04 driver-green) park to make room.  Family coverage
+    # retained in-window: text keeps main_content / robots_filter /
+    # index_search / bm25_search / nb_classify / semantic_dedup /
+    # neardup_clusters (+ pmi_collocations / phrase_merge rotating in);
+    # sketches move kmv_distinct -> hll_registers; streaming keeps
+    # replication_actions; graph keeps link_pagerank + link_components
+    # (+ route_shortest); stats keeps ids_pack_roundtrip
+    # (+ length_quantiles); osmapi keeps osmapi_notes +
+    # changeset_feed_parse; codecs keep diff_roundtrip + xml_scan.
+    "interesting_nodes", "notes_date_codec", "point_on_surface",
+    "osc_roundtrip", "html_extract", "quality_repetition", "pii_scrub",
+    "chunk_dedup", "top_terms", "bloom_seen_filter", "sample_mix",
+    "pack_ctx", "anchor_rollup", "web_sessions", "contamination_check",
+    "bpe_pair_counts", "crawl_delta", "substr_dedup", "lm_perplexity",
+    "frontier_schedule", "page_snapshot_at", "kmv_distinct",
 })
 
-# New operators registered AFTER the round-4 window saturated (all 50
-# slots hold queries that still need their FIRST driver row this
-# round, so there is no green row left to park without dropping a
-# family's only representative).  These are verified by the local
-# dtype-exact harness + pytest now and MUST be rotated into
-# _DRIVER_WINDOW at the start of round 5, parking round-4-green rows
-# (35+ will be available).  This queue is NOT a parking list: leaving
-# an entry here across a full round is a discipline failure.
-_ROUND5_ROTATION_QUEUE = frozenset({
-    "pmi_collocations",
-    "length_quantiles",
-    "phrase_merge",
-    "tile_quantiles",
-    "segment_tiles",
-    "geohash_cell",
-    "clip_bbox",
-    "polyline_codec",
-    "simplify_dp",
-    "resample_line",
-    "tile_topk_terms",
-    "segment_bearing",
-    "tile_smooth",
-    "hll_registers",
-    "wkt_codec",
-    "mvt_encode",
-    "convex_hull",
-    "route_shortest",
-    "snap_roads",
-    "geo_cluster",
-    "geocode_extract",
-    "geodesic_area",
-})
+# Queries awaiting their first driver window slot.  Round 5: EMPTY —
+# every entry of the round-4 queue rotated into _DRIVER_WINDOW at the
+# start of round 5 (VERDICT_r04 Next #1), so every registered query
+# either sits in the current window or has >=1 driver-green row from a
+# prior round.  New registrations this round go STRAIGHT into
+# _DRIVER_WINDOW (rotating out a family-redundant green row); this
+# queue exists only for the saturation case where no green row can be
+# parked without dropping a family's sole representative.
+_ROUND5_ROTATION_QUEUE = frozenset()
 
 
 def test_every_query_is_windowed_or_legacy():
