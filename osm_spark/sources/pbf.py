@@ -330,25 +330,52 @@ def encode_primitive_block(
         dense += lats + lons + kvs
         groups.append(_len_field(2, dense))
 
+    def _info_field(el: dict) -> bytes:
+        """Optional Info submessage (field 4) for ways/relations —
+        same layout the reference parses in scanWays/scanRelations
+        (osmpbf/decode_data.go:534-586)."""
+        if "version" not in el:
+            return b""
+        info = _varint_field(1, el.get("version", 0))
+        info += _varint_field(
+            2, int(el.get("timestamp", 0)) * 1000 // DATE_GRANULARITY
+        )
+        info += _varint_field(3, el.get("changeset", 0))
+        info += _varint_field(4, el.get("uid", 0))
+        info += _varint_field(5, st.add(el.get("user", "")))
+        info += _varint_field(6, 1 if el.get("visible", True) else 0)
+        return _len_field(4, info)
+
+    # one PrimitiveGroup holding ALL the block's ways (the real planet
+    # layout — a group contains repeated messages of one element type),
+    # not one group per way
+    way_group = bytearray()
     for w in ways or []:
         body = _varint_field(1, w["id"])
         tags = w.get("tags") or {}
         body += _packed(2, [st.add(k) for k in tags], zigzag=False)
         body += _packed(3, [st.add(v) for v in tags.values()], zigzag=False)
+        body += _info_field(w)
         body += _packed(8, _delta(w["refs"]), zigzag=True)
-        groups.append(_len_field(3, body))
+        way_group += _len_field(3, body)
+    if way_group:
+        groups.append(bytes(way_group))
 
     _MTYPE = {"node": 0, "way": 1, "relation": 2}
+    rel_group = bytearray()
     for r in relations or []:
         body = _varint_field(1, r["id"])
         tags = r.get("tags") or {}
         body += _packed(2, [st.add(k) for k in tags], zigzag=False)
         body += _packed(3, [st.add(v) for v in tags.values()], zigzag=False)
+        body += _info_field(r)
         mem = r.get("members") or []
         body += _packed(8, [st.add(m[2]) for m in mem], zigzag=False)
         body += _packed(9, _delta([m[1] for m in mem]), zigzag=True)
         body += _packed(10, [_MTYPE[m[0]] for m in mem], zigzag=False)
-        groups.append(_len_field(4, body))
+        rel_group += _len_field(4, body)
+    if rel_group:
+        groups.append(bytes(rel_group))
 
     block = _len_field(1, st.encode())
     for g in groups:
@@ -569,6 +596,7 @@ def decode_primitive_block(
             elif f == 3:  # Way
                 w: dict = {"tags": {}}
                 keys = vals = None
+                w_info: dict[int, int] = {}
                 for ff, _, vv in _Reader(v).fields():
                     if ff == 1:
                         w["id"] = vv
@@ -576,18 +604,24 @@ def decode_primitive_block(
                         keys = _unpack_varints(vv, False)
                     elif ff == 3:
                         vals = _unpack_varints(vv, False)
+                    elif ff == 4 and want_info:
+                        for f3, _, v3 in _Reader(vv).fields():
+                            w_info[f3] = v3
                     elif ff == 8:
                         w["refs"] = np.cumsum(
                             _unpack_varints(vv, True)
                         ).tolist()
-                if keys is not None:
+                if keys is not None and want_tags:
                     w["tags"] = {
                         strings[k]: strings[x] for k, x in zip(keys, vals)
                     }
+                if w_info:
+                    _apply_info(w, w_info, strings, dgran)
                 ways.append(w)
             elif f == 4:  # Relation
                 r: dict = {"tags": {}, "members": []}
                 keys = vals = roles = mems = types = None
+                r_info: dict[int, int] = {}
                 for ff, _, vv in _Reader(v).fields():
                     if ff == 1:
                         r["id"] = vv
@@ -595,16 +629,21 @@ def decode_primitive_block(
                         keys = _unpack_varints(vv, False)
                     elif ff == 3:
                         vals = _unpack_varints(vv, False)
+                    elif ff == 4 and want_info:
+                        for f3, _, v3 in _Reader(vv).fields():
+                            r_info[f3] = v3
                     elif ff == 8:
                         roles = _unpack_varints(vv, False)
                     elif ff == 9:
                         mems = np.cumsum(_unpack_varints(vv, True))
                     elif ff == 10:
                         types = _unpack_varints(vv, False)
-                if keys is not None:
+                if keys is not None and want_tags:
                     r["tags"] = {
                         strings[k]: strings[x] for k, x in zip(keys, vals)
                     }
+                if r_info:
+                    _apply_info(r, r_info, strings, dgran)
                 if mems is not None:
                     r["members"] = [
                         (_MTYPE[int(t)], int(m), strings[s])
@@ -636,6 +675,18 @@ _NODE_INFO_DEFAULTS = {
     "user": "",
     "visible": True,
 }
+
+
+def _apply_info(el: dict, info: dict[int, int], strings, dgran: int) -> None:
+    """Fill an element dict from a parsed Info submessage — the same
+    field map the reference walks for ways/relations
+    (osmpbf/decode_data.go:534-586)."""
+    el["version"] = info.get(1, 0)
+    el["timestamp"] = info.get(2, 0) * dgran // 1000
+    el["changeset"] = info.get(3, 0)
+    el["uid"] = info.get(4, 0)
+    el["user"] = strings[info.get(5, 0)]
+    el["visible"] = info.get(6, 1) != 0
 
 
 def _merge_node_chunks(chunks: list[dict]) -> dict:
@@ -740,14 +791,41 @@ def _string_table_arrow(payload: bytes):
             r.pos += 4
     if st_payload is None:
         return pa.array([], type=pa.utf8())
-    rr = _Reader(st_payload)
-    while rr.pos < len(st_payload):
-        key = rr.uvarint()
-        f, wt = key >> 3, key & 7
-        ln = rr.uvarint()
-        if f == 1:
-            spans.append((rr.pos, ln))
-        rr.pos += ln
+    # inline walk (the StringTable is all single-byte-key LEN fields;
+    # _Reader method calls cost ~2x the loop body at planet string
+    # counts); falls back to the generic reader on any other shape
+    pos = 0
+    L = len(st_payload)
+    try:
+        while pos < L:
+            key = st_payload[pos]
+            pos += 1
+            if key & 0x80 or (key & 7) != 2:
+                raise ValueError("not a LEN-only string table")
+            ln = st_payload[pos]
+            pos += 1
+            if ln & 0x80:
+                ln &= 0x7F
+                shift = 7
+                while True:
+                    b = st_payload[pos]
+                    pos += 1
+                    ln |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+            if key == 0x0A:  # field 1: s
+                spans.append((pos, ln))
+            pos += ln
+    except (ValueError, IndexError):
+        spans = []
+        rr = _Reader(st_payload)
+        while rr.pos < len(st_payload):
+            k2 = rr.uvarint()
+            ln = rr.uvarint()
+            if k2 >> 3 == 1:
+                spans.append((rr.pos, ln))
+            rr.pos += ln
     data = b"".join(st_payload[s : s + ln] for s, ln in spans)
     lens = np.fromiter((ln for _, ln in spans), dtype=np.int32,
                        count=len(spans))
@@ -971,6 +1049,568 @@ def read_pbf_file_nodes_arrow(
     return df.mapInArrow(gen, schema=out_schema)
 
 
+_WAY_COL_TYPES = {
+    "id": "long", "refs": "array<long>", "tags": "map<string,string>",
+    "version": "int", "timestamp": "long", "changeset": "long",
+    "uid": "long", "user": "string", "visible": "boolean",
+}
+_REL_COL_TYPES = {
+    "id": "long",
+    "members": "array<struct<type:string,ref:long,role:string>>",
+    "tags": "map<string,string>",
+    "version": "int", "timestamp": "long", "changeset": "long",
+    "uid": "long", "user": "string", "visible": "boolean",
+}
+
+
+def _segmented_varints(
+    parts: list[bytes], zigzag: bool, delta: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a list of packed-varint chunks (one per element, b'' for
+    absent fields) in ONE vectorized pass -> (values, counts).
+
+    This is what makes the way/relation Arrow decode fast: per-way
+    refs/keys/vals fields are ~10-30 bytes, and a per-way
+    _unpack_varints call pays ~10 numpy-dispatch overheads for 10
+    values (measured ~180 µs/way block-wide). Concatenating the block's
+    chunks and decoding once amortizes that to ~nothing; per-chunk
+    varint counts come from the terminator-bit cumsum sampled at chunk
+    byte boundaries, and per-chunk delta chains (way refs, relation
+    memids — they restart per element) become a segmented cumsum:
+    global cumsum minus the previous segment's closing total."""
+    n = len(parts)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    buf = b"".join(parts)
+    if not buf:
+        return np.empty(0, dtype=np.int64), np.zeros(n, dtype=np.int64)
+    blens = np.fromiter((len(p) for p in parts), dtype=np.int64, count=n)
+    bends = np.cumsum(blens)
+    a = np.frombuffer(buf, dtype=np.uint8)
+    cum_end = np.concatenate(
+        ([0], np.cumsum((a & 0x80) == 0, dtype=np.int64))
+    )
+    counts = cum_end[bends] - cum_end[bends - blens]
+    vals = _unpack_varints(buf, zigzag)
+    if delta:
+        total = np.cumsum(vals)
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        # previous segment's closing total; starts==0 rows discard the
+        # (valid-index) total[-1] via the where mask
+        base = np.where(starts > 0, total[starts - 1], 0)
+        vals = total - np.repeat(base, counts)
+    return vals, counts
+
+
+def _len_slices(buf: bytes, field: int) -> list[bytes]:
+    """All payload slices of one LEN field from a message whose fields
+    are all single-byte-key LEN fields (the PrimitiveGroup shape:
+    repeated element messages only). ~3x the generic _Reader.fields()
+    generator on the way/relation hot path; any other shape falls back
+    to the generic reader."""
+    out: list[bytes] = []
+    pos = 0
+    L = len(buf)
+    want_key = (field << 3) | 2
+    try:
+        while pos < L:
+            key = buf[pos]
+            pos += 1
+            if key & 0x80 or (key & 7) != 2:
+                raise ValueError("not a LEN-only message")
+            ln = buf[pos]
+            pos += 1
+            if ln & 0x80:
+                ln &= 0x7F
+                shift = 7
+                while True:
+                    b = buf[pos]
+                    pos += 1
+                    ln |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+            if key == want_key:
+                out.append(buf[pos:pos + ln])
+            pos += ln
+    except (ValueError, IndexError):
+        out = [
+            v for f, wt, v in _Reader(buf).fields()
+            if f == field and wt == _LEN
+        ]
+    return out
+
+
+def _info_columns_from_parts(
+    parts: list[bytes], dgran: int, strings, columns, chunk: dict
+) -> None:
+    """Vectorized Info decode for ways/relations: parts[i] is element
+    i's raw Info submessage (b'' when absent). Every Info field is a
+    varint (version/timestamp/changeset/uid/user-sid/visible,
+    osmformat.proto Info), so the concatenated parts decode as ONE
+    varint stream — tag varints sit at even in-message positions,
+    values at odd — and each proto field scatters into its column with
+    one boolean mask. Falls back to a per-message walk if a message
+    carries a non-varint wiretype or an odd varint count (never in
+    real files)."""
+    import pyarrow as pa
+
+    n = len(parts)
+    vals, counts = _segmented_varints(parts, False, False)
+    cols: dict[int, np.ndarray] = {
+        1: np.zeros(n, dtype=np.int64),
+        2: np.zeros(n, dtype=np.int64),
+        3: np.zeros(n, dtype=np.int64),
+        4: np.zeros(n, dtype=np.int64),
+        5: np.zeros(n, dtype=np.int64),
+        6: np.ones(n, dtype=np.int64),
+    }
+    if len(vals):
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        pos = np.arange(len(vals), dtype=np.int64) - np.repeat(starts, counts)
+        is_tag = (pos & 1) == 0
+        tags_raw = vals[is_tag]
+        if np.any(counts & 1) or np.any(tags_raw & 7):
+            # non-varint wiretype / odd stream: per-message fallback
+            for i, p in enumerate(parts):
+                if not p:
+                    continue
+                for f3, _, v3 in _Reader(p).fields():
+                    if 1 <= f3 <= 6:
+                        cols[f3][i] = v3
+        else:
+            v = vals[~is_tag]
+            fnum = tags_raw >> 3
+            row = np.repeat(np.arange(n, dtype=np.int64), counts >> 1)
+            for k in range(1, 7):
+                m = fnum == k
+                cols[k][row[m]] = v[m]
+    if "version" in columns:
+        chunk["version"] = cols[1].astype(np.int32)
+    if "timestamp" in columns:
+        chunk["timestamp"] = cols[2] * dgran // 1000
+    if "changeset" in columns:
+        chunk["changeset"] = cols[3]
+    if "uid" in columns:
+        chunk["uid"] = cols[4]
+    if "user" in columns:
+        chunk["user"] = strings.take(pa.array(cols[5]))
+    if "visible" in columns:
+        chunk["visible"] = cols[6] != 0
+
+
+def _tags_map_array(key_parts, val_parts, n, strings):
+    """MapArray from per-element packed key/val index chunks: ONE
+    segmented varint decode + ONE Arrow take per block, no per-tag
+    Python."""
+    import pyarrow as pa
+
+    kflat, tag_counts = _segmented_varints(key_parts, False, delta=False)
+    vflat, _ = _segmented_varints(val_parts, False, delta=False)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    if len(tag_counts):
+        offsets[1:] = np.cumsum(tag_counts)
+    if len(kflat):
+        keys = strings.take(pa.array(kflat))
+        vals = strings.take(pa.array(vflat))
+    else:
+        keys = pa.array([], type=pa.utf8())
+        vals = pa.array([], type=pa.utf8())
+    return pa.MapArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), keys, vals
+    )
+
+
+def decode_block_ways_arrow(
+    payload: bytes, columns=("id", "refs", "tags")
+):
+    """Arrow-native Way decode -> dict of column -> pyarrow/numpy array
+    (None when the block has no ways). The way-shaped twin of
+    decode_block_nodes_arrow: ways are variable-shaped messages (unlike
+    DenseNodes) so the per-message protobuf header walk stays in
+    Python, but every payload column is vectorized — each way's refs
+    delta chain is one packed-varint kernel + cumsum, the block's refs
+    become ONE concatenate into a ListArray, tags ONE concatenate +
+    Arrow take on the zero-copy string table, Info scalars one numpy
+    cast each. Groups of other element types are skipped without
+    decoding (the reference scanner's SkipNodes/SkipRelations flags,
+    osmpbf scanner options). Decode semantics per
+    osmpbf/decode_data.go:505-668 (scanWays)."""
+    import pyarrow as pa
+
+    want_tags = "tags" in columns
+    want_refs = "refs" in columns
+    want_info = any(
+        c in columns
+        for c in ("version", "timestamp", "changeset", "uid", "user",
+                  "visible")
+    )
+    groups = []
+    dgran = DATE_GRANULARITY
+    for f, wt, v in _Reader(payload).fields():
+        if f == 2:
+            groups.append(v)
+        elif f == 18:
+            dgran = v
+
+    ids: list[int] = []
+    ref_parts: list[bytes] = []
+    key_parts: list[bytes] = []
+    val_parts: list[bytes] = []
+    info_parts: list[bytes] = []
+    for g in groups:
+        # skip-flag twin: only Way messages (field 3) are even sliced
+        for vv in _len_slices(g, 3):
+            wid = 0
+            keys = vals = refs = info_b = b""
+            pos = 0
+            L = len(vv)
+            # inline single-byte-key field walk (way fields are 1-8);
+            # any other shape punts this message to the generic reader
+            try:
+                while pos < L:
+                    key = vv[pos]
+                    pos += 1
+                    if key & 0x80:
+                        raise ValueError("multi-byte key")
+                    wt = key & 7
+                    if wt == 0:
+                        v = vv[pos]
+                        pos += 1
+                        if v & 0x80:
+                            v &= 0x7F
+                            shift = 7
+                            while True:
+                                b = vv[pos]
+                                pos += 1
+                                v |= (b & 0x7F) << shift
+                                if not b & 0x80:
+                                    break
+                                shift += 7
+                        if key == 0x08:  # field 1: id
+                            wid = v
+                    elif wt == 2:
+                        ln = vv[pos]
+                        pos += 1
+                        if ln & 0x80:
+                            ln &= 0x7F
+                            shift = 7
+                            while True:
+                                b = vv[pos]
+                                pos += 1
+                                ln |= (b & 0x7F) << shift
+                                if not b & 0x80:
+                                    break
+                                shift += 7
+                        if key == 0x12:  # field 2: keys
+                            keys = vv[pos:pos + ln]
+                        elif key == 0x1A:  # field 3: vals
+                            vals = vv[pos:pos + ln]
+                        elif key == 0x22:  # field 4: info
+                            info_b = vv[pos:pos + ln]
+                        elif key == 0x42:  # field 8: refs
+                            refs = vv[pos:pos + ln]
+                        pos += ln
+                    else:
+                        raise ValueError(f"wiretype {wt}")
+            except (ValueError, IndexError):
+                wid = 0
+                keys = vals = refs = info_b = b""
+                for f2, wt2, v2 in _Reader(vv).fields():
+                    if f2 == 1:
+                        wid = v2
+                    elif f2 == 2:
+                        keys = v2
+                    elif f2 == 3:
+                        vals = v2
+                    elif f2 == 4:
+                        info_b = v2
+                    elif f2 == 8:
+                        refs = v2
+            ids.append(wid)
+            if want_refs:
+                ref_parts.append(refs)
+            if want_tags:
+                key_parts.append(keys)
+                val_parts.append(vals)
+            if want_info:
+                info_parts.append(info_b)
+    if not ids:
+        return None
+    n = len(ids)
+    strings = (
+        _string_table_arrow(payload) if (want_tags or want_info) else None
+    )
+    chunk: dict = {}
+    if "id" in columns:
+        chunk["id"] = np.asarray(ids, dtype=np.int64)
+    if want_refs:
+        flat, ref_counts = _segmented_varints(ref_parts, True, delta=True)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        offsets[1:] = np.cumsum(ref_counts)
+        chunk["refs"] = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(flat, type=pa.int64()),
+        )
+    if want_tags:
+        chunk["tags"] = _tags_map_array(
+            key_parts, val_parts, n, strings
+        )
+    if want_info:
+        _info_columns_from_parts(info_parts, dgran, strings, columns, chunk)
+    return chunk
+
+
+_ARROW_MTYPE_TABLE = ("node", "way", "relation")
+
+
+def decode_block_relations_arrow(
+    payload: bytes, columns=("id", "members", "tags")
+):
+    """Arrow-native Relation decode -> dict of column -> pyarrow/numpy
+    array (None when the block has no relations). Members become ONE
+    ListArray<struct<type,ref,role>> per block: per-relation memids
+    delta chains vectorize like way refs, roles/types concatenate into
+    single index arrays resolved by Arrow take (roles against the
+    string table, types against the 3-row member-type table —
+    osmpbf/decode_data.go:670-712 extractMembers)."""
+    import pyarrow as pa
+
+    want_tags = "tags" in columns
+    want_members = "members" in columns
+    want_info = any(
+        c in columns
+        for c in ("version", "timestamp", "changeset", "uid", "user",
+                  "visible")
+    )
+    groups = []
+    dgran = DATE_GRANULARITY
+    for f, wt, v in _Reader(payload).fields():
+        if f == 2:
+            groups.append(v)
+        elif f == 18:
+            dgran = v
+
+    ids: list[int] = []
+    mem_ref_parts: list[bytes] = []
+    mem_role_parts: list[bytes] = []
+    mem_type_parts: list[bytes] = []
+    key_parts: list[bytes] = []
+    val_parts: list[bytes] = []
+    info_parts: list[bytes] = []
+    for g in groups:
+        # skip-flag twin: only Relation messages (field 4) are sliced
+        for vv in _len_slices(g, 4):
+            rid = 0
+            keys = vals = roles = mems = types = info_b = b""
+            pos = 0
+            L = len(vv)
+            # inline single-byte-key walk (relation fields are 1-10)
+            try:
+                while pos < L:
+                    key = vv[pos]
+                    pos += 1
+                    if key & 0x80:
+                        raise ValueError("multi-byte key")
+                    wt = key & 7
+                    if wt == 0:
+                        v = vv[pos]
+                        pos += 1
+                        if v & 0x80:
+                            v &= 0x7F
+                            shift = 7
+                            while True:
+                                b = vv[pos]
+                                pos += 1
+                                v |= (b & 0x7F) << shift
+                                if not b & 0x80:
+                                    break
+                                shift += 7
+                        if key == 0x08:  # field 1: id
+                            rid = v
+                    elif wt == 2:
+                        ln = vv[pos]
+                        pos += 1
+                        if ln & 0x80:
+                            ln &= 0x7F
+                            shift = 7
+                            while True:
+                                b = vv[pos]
+                                pos += 1
+                                ln |= (b & 0x7F) << shift
+                                if not b & 0x80:
+                                    break
+                                shift += 7
+                        if key == 0x12:  # field 2: keys
+                            keys = vv[pos:pos + ln]
+                        elif key == 0x1A:  # field 3: vals
+                            vals = vv[pos:pos + ln]
+                        elif key == 0x22:  # field 4: info
+                            info_b = vv[pos:pos + ln]
+                        elif key == 0x42:  # field 8: roles_sid
+                            roles = vv[pos:pos + ln]
+                        elif key == 0x4A:  # field 9: memids
+                            mems = vv[pos:pos + ln]
+                        elif key == 0x52:  # field 10: types
+                            types = vv[pos:pos + ln]
+                        pos += ln
+                    else:
+                        raise ValueError(f"wiretype {wt}")
+            except (ValueError, IndexError):
+                rid = 0
+                keys = vals = roles = mems = types = info_b = b""
+                for f2, wt2, v2 in _Reader(vv).fields():
+                    if f2 == 1:
+                        rid = v2
+                    elif f2 == 2:
+                        keys = v2
+                    elif f2 == 3:
+                        vals = v2
+                    elif f2 == 4:
+                        info_b = v2
+                    elif f2 == 8:
+                        roles = v2
+                    elif f2 == 9:
+                        mems = v2
+                    elif f2 == 10:
+                        types = v2
+            ids.append(rid)
+            if want_members:
+                mem_ref_parts.append(mems)
+                mem_role_parts.append(roles)
+                mem_type_parts.append(types)
+            if want_tags:
+                key_parts.append(keys)
+                val_parts.append(vals)
+            if want_info:
+                info_parts.append(info_b)
+    if not ids:
+        return None
+    n = len(ids)
+    strings = (
+        _string_table_arrow(payload) if (want_tags or want_members
+                                         or want_info) else None
+    )
+    chunk: dict = {}
+    if "id" in columns:
+        chunk["id"] = np.asarray(ids, dtype=np.int64)
+    if want_members:
+        refs_flat, mem_counts = _segmented_varints(
+            mem_ref_parts, True, delta=True
+        )
+        roles_flat, _ = _segmented_varints(mem_role_parts, False, False)
+        types_flat, _ = _segmented_varints(mem_type_parts, False, False)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        offsets[1:] = np.cumsum(mem_counts)
+        type_table = pa.array(_ARROW_MTYPE_TABLE, type=pa.utf8())
+        member_struct = pa.StructArray.from_arrays(
+            [
+                type_table.take(pa.array(types_flat)),
+                pa.array(refs_flat, type=pa.int64()),
+                strings.take(pa.array(roles_flat)),
+            ],
+            names=["type", "ref", "role"],
+        )
+        chunk["members"] = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), member_struct
+        )
+    if want_tags:
+        chunk["tags"] = _tags_map_array(
+            key_parts, val_parts, n, strings
+        )
+    if want_info:
+        _info_columns_from_parts(info_parts, dgran, strings, columns, chunk)
+    return chunk
+
+
+def _read_pbf_file_arrow_kind(
+    spark, path: str, columns, col_types: dict, decode_fn
+):
+    """Shared mapInArrow scaffolding for the way/relation file scans —
+    the group-shaped twin of read_pbf_file_nodes_arrow: the driver
+    walks frame coordinates only, executors pread + inflate their own
+    blobs and yield coalesced RecordBatches."""
+    import pyarrow as pa
+    from pyspark.sql.types import _parse_datatype_string
+
+    bad = [c for c in columns if c not in col_types]
+    if bad:
+        raise ValueError(f"unknown columns {bad}")
+    frames = walk_frames(path)
+    datas = [
+        (path, off, ln) for btype, off, ln in frames if btype == "OSMData"
+    ]
+    df = spark.createDataFrame(datas, "path string, off long, len long")
+    out_schema = _parse_datatype_string(
+        "struct<" + ",".join(f"{c}:{col_types[c]}" for c in columns) + ">"
+    )
+    cols = tuple(columns)
+    COALESCE_ROWS = 64_000
+
+    def gen(batches):
+        handles: dict[str, object] = {}
+        pending: list[dict] = []
+        pending_rows = 0
+
+        def flush():
+            arrays = []
+            for c in cols:
+                vals = [
+                    ch[c] if isinstance(ch[c], pa.Array) else pa.array(ch[c])
+                    for ch in pending
+                ]
+                arrays.append(
+                    vals[0] if len(vals) == 1 else pa.concat_arrays(vals)
+                )
+            return pa.RecordBatch.from_arrays(arrays, names=list(cols))
+
+        for batch in batches:
+            idx = {nm: i for i, nm in enumerate(batch.schema.names)}
+            paths = batch.column(idx["path"]).to_pylist()
+            offs = batch.column(idx["off"]).to_pylist()
+            lens = batch.column(idx["len"]).to_pylist()
+            for p, off, ln in zip(paths, offs, lens):
+                f = handles.get(p)
+                if f is None:
+                    f = handles[p] = open(p, "rb")
+                f.seek(off)
+                chunk = decode_fn(
+                    decompress_blob(f.read(ln)), columns=cols
+                )
+                if chunk is None:
+                    continue
+                pending.append(chunk)
+                pending_rows += len(chunk[cols[0]])
+                if pending_rows >= COALESCE_ROWS:
+                    yield flush()
+                    pending, pending_rows = [], 0
+        if pending:
+            yield flush()
+
+    return df.mapInArrow(gen, schema=out_schema)
+
+
+def read_pbf_file_ways_arrow(spark, path: str, columns=("id", "refs", "tags")):
+    """Arrow-native way scan over a .osm.pbf file — the ways twin of
+    read_pbf_file_nodes_arrow. Blocks holding only other element types
+    cost one inflate each and are skipped undecoded, matching the
+    reference's SkipNodes/SkipRelations scan shape
+    (osmpbf/scanner_test.go:523-555 BenchmarkLondon_ways)."""
+    return _read_pbf_file_arrow_kind(
+        spark, path, columns, _WAY_COL_TYPES, decode_block_ways_arrow
+    )
+
+
+def read_pbf_file_relations_arrow(
+    spark, path: str, columns=("id", "members", "tags")
+):
+    """Arrow-native relation scan over a .osm.pbf file
+    (osmpbf/scanner_test.go:556-588 BenchmarkLondon_relations)."""
+    return _read_pbf_file_arrow_kind(
+        spark, path, columns, _REL_COL_TYPES, decode_block_relations_arrow
+    )
+
+
 def walk_frames(path: str) -> list[tuple[str, int, int]]:
     """Framing walk over a .osm.pbf FILE by header reads + seeks only
     (never touches blob payloads) -> [(btype, offset, length)] spans.
@@ -1139,11 +1779,12 @@ def _read_pbf_groups(spark, pbf_bytes: bytes, kind: str, out_schema, to_rows):
             for b in pdf["blob"]:
                 blk = decode_primitive_block(decompress_blob(bytes(b)))
                 rows.extend(to_rows(blk[kind]))
-            yield (
-                pd.DataFrame(rows, columns=list(empty))
-                if rows
-                else pd.DataFrame(empty)
-            )
+            # skip batches with no elements of this kind: an empty
+            # pd.DataFrame defaults object columns to float64, which
+            # Arrow cannot cast to array/map output types (hit on
+            # mixed node+way+relation files)
+            if rows:
+                yield pd.DataFrame(rows, columns=list(empty))
 
     return df.mapInPandas(gen, schema=out_schema)
 
@@ -1175,11 +1816,10 @@ def _read_pbf_file_groups(spark, path: str, kind: str, out_schema, to_rows):
                     decompress_blob(f.read(int(ln)))
                 )
                 rows.extend(to_rows(blk[kind]))
-            yield (
-                pd.DataFrame(rows, columns=list(empty))
-                if rows
-                else pd.DataFrame(empty)
-            )
+            # see _read_pbf_groups: never yield an empty DataFrame —
+            # float64-defaulted columns break the Arrow cast
+            if rows:
+                yield pd.DataFrame(rows, columns=list(empty))
 
     return df.mapInPandas(gen, schema=out_schema)
 

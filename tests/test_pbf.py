@@ -375,3 +375,103 @@ def test_arrow_scan_matches_row_scan(spark, tmp_path):
     p2.write_bytes(encode_pbf([encode_primitive_block(nodes=bare)]))
     r = read_pbf_file_nodes_arrow(spark, str(p2), columns=cols).collect()[0]
     assert (r.version, r.user, r.visible, dict(r.tags)) == (0, "", True, {})
+
+
+def test_arrow_way_relation_scan_matches_row_scan(spark, tmp_path):
+    """The Arrow-native way/relation scans decode a MIXED file (node +
+    way + relation blocks) identically to the row readers, carry the
+    Info submessage the reference parses in scanWays/scanRelations
+    (osmpbf/decode_data.go:505-712), skip foreign groups undecoded,
+    and honor column projection."""
+    from osm_spark.sources.pbf import (
+        encode_pbf, encode_primitive_block, read_pbf_file_nodes_arrow,
+        read_pbf_file_relations, read_pbf_file_relations_arrow,
+        read_pbf_file_ways, read_pbf_file_ways_arrow,
+    )
+
+    ways = [
+        {
+            "id": 100 + i, "refs": [i * 7, i * 7 + 5, i * 7 + 9],
+            "tags": {"highway": "residential", "name": f"w{i}"}
+            if i % 3 else {},
+            "version": i % 4 + 1, "timestamp": 1_510_000_000 + i * 30,
+            "changeset": 900 + i, "uid": i % 5, "user": f"u{i % 3}",
+            "visible": i % 7 != 0,
+        }
+        for i in range(60)
+    ]
+    rels = [
+        {
+            "id": 500 + i,
+            "members": [
+                ("node", i, "stop"), ("way", 100 + i, "outer"),
+                ("relation", 500, ""),
+            ] if i % 5 else [],
+            "tags": {"type": "route"},
+            "version": 1, "timestamp": 1_520_000_000 + i,
+            "changeset": 1000, "uid": 8, "user": "bob",
+        }
+        for i in range(25)
+    ]
+    nodes = [{"id": i, "lat": 1.0 + i * 1e-4, "lon": 2.0} for i in range(80)]
+    blocks = [
+        encode_primitive_block(nodes=nodes),
+        encode_primitive_block(ways=ways[:40]),
+        encode_primitive_block(relations=rels[:20]),
+        encode_primitive_block(ways=ways[40:], relations=rels[20:]),
+    ]
+    p = tmp_path / "mixed.osm.pbf"
+    p.write_bytes(encode_pbf(blocks))
+
+    wcols = ("id", "refs", "tags", "version", "timestamp", "changeset",
+             "uid", "user", "visible")
+    aw = sorted(
+        read_pbf_file_ways_arrow(spark, str(p), columns=wcols).collect(),
+        key=lambda r: r.id,
+    )
+    assert len(aw) == 60
+    for r, w in zip(aw, sorted(ways, key=lambda w: w["id"])):
+        assert r.id == w["id"] and list(r.refs) == w["refs"]
+        assert dict(r.tags) == w["tags"]
+        assert (r.version, r.timestamp, r.changeset, r.uid, r.user,
+                r.visible) == (
+            w["version"], w["timestamp"], w["changeset"], w["uid"],
+            w["user"], w["visible"],
+        )
+    # row reader agrees on its own (id, refs, tags) schema
+    bw = sorted(read_pbf_file_ways(spark, str(p)).collect(),
+                key=lambda r: r.id)
+    assert [(r.id, list(r.refs), dict(r.tags)) for r in bw] == [
+        (r.id, list(r.refs), dict(r.tags)) for r in aw
+    ]
+
+    rcols = ("id", "members", "tags", "version", "user")
+    ar = sorted(
+        read_pbf_file_relations_arrow(spark, str(p), columns=rcols).collect(),
+        key=lambda r: r.id,
+    )
+    assert len(ar) == 25
+    for r, x in zip(ar, sorted(rels, key=lambda x: x["id"])):
+        assert r.id == x["id"] and r.user == "bob" and r.version == 1
+        assert [(m["type"], m["ref"], m["role"]) for m in r.members] == [
+            tuple(m) for m in x["members"]
+        ]
+    br = sorted(read_pbf_file_relations(spark, str(p)).collect(),
+                key=lambda r: r.id)
+    assert [r.id for r in br] == [r.id for r in ar]
+
+    # projection: pruned scans decode only the asked-for columns
+    pruned = read_pbf_file_ways_arrow(spark, str(p), columns=("id", "refs"))
+    assert pruned.columns == ["id", "refs"] and pruned.count() == 60
+    # the nodes Arrow scan skips the way/relation groups in this file
+    assert read_pbf_file_nodes_arrow(spark, str(p)).count() == 80
+
+    # ways without Info fill reference defaults on the Arrow path
+    p2 = tmp_path / "noinfo.osm.pbf"
+    p2.write_bytes(encode_pbf([
+        encode_primitive_block(ways=[{"id": 3, "refs": [1, 2]}]),
+    ]))
+    r = read_pbf_file_ways_arrow(spark, str(p2), columns=wcols).collect()[0]
+    assert (r.version, r.user, r.visible, dict(r.tags), list(r.refs)) == (
+        0, "", True, {}, [1, 2],
+    )
