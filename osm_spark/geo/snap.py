@@ -45,10 +45,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Per-axis segment-extent bound (µdeg) for _fld exactness: the int64
+# numerator in segment_cells is (gv - lo_m) * (hi_o - lo_o), bounded by
+# extent_main * extent_other, and the double round-trip in _fld is only
+# exact while that PRODUCT (not the quotient) stays below 2^53 —
+# so each axis extent must stay <= 2^26 µdeg (~67 degrees, far above
+# any real road segment).  segment_cells enforces this row-wise.
+_MAX_SEG_EXTENT = 1 << 26
+
+
 def _fld(a: Column, b: Column) -> Column:
     """Exact floor division (divisor > 0): subtracting the positive mod
     makes the numerator exactly divisible, so the double round-trip of
-    `/` is exact for quotients < 2^53."""
+    `/` is exact while the NUMERATOR `a` is exactly representable,
+    i.e. |a| < 2^53 (callers bound it via _MAX_SEG_EXTENT; the
+    quotient is then also < 2^53 automatically)."""
     return ((a - F.pmod(a, b)) / b).cast("long")
 
 
@@ -59,6 +70,22 @@ def segment_cells(segs: DataFrame, shift: int, id_col: str = "seg_id") -> DataFr
     walk is the raster_line.py supercover on raw e6 coordinates."""
     Q = 1 << shift
     geom = [F.col(id_col), F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")]
+    # row-wise exactness guard (see _MAX_SEG_EXTENT): a segment longer
+    # than 2^26 µdeg on either axis would silently break _fld's
+    # floor-division exactness and void the provably-exact candidate
+    # set; fail loudly instead.  A filter (not a projected column) so
+    # the optimizer cannot prune the check.
+    segs = segs.filter(
+        F.when(
+            (F.abs(F.col("bx") - F.col("ax")) <= F.lit(_MAX_SEG_EXTENT))
+            & (F.abs(F.col("by") - F.col("ay")) <= F.lit(_MAX_SEG_EXTENT)),
+            F.lit(True),
+        ).otherwise(
+            F.raise_error(
+                "segment extent exceeds 2^26 µdeg: _fld exactness bound"
+            )
+        )
+    )
 
     def crossings(a_main, a_other, b_main, b_other, flip: bool):
         lo_m = F.least(a_main, b_main)
@@ -139,7 +166,14 @@ def snap_points(
     3x3 completeness bound; asserted).  Returns one row per point:
     (pid, seg_id, matched, d2_q, snap_x, snap_y) — unmatched points
     keep their own coordinates and carry seg_id = -1, d2_q = -1."""
-    assert max_d2 <= float((1 << shift)) ** 2, "snap radius exceeds cell size"
+    if max_d2 > float((1 << shift)) ** 2:
+        # load-bearing completeness invariant (a bare assert would be
+        # stripped under python -O and return silently-wrong matches)
+        raise ValueError(
+            f"snap radius sqrt({max_d2}) exceeds the 2^{shift} µdeg cell "
+            "size: the 3x3 probe would return incomplete nearest-segment "
+            "matches"
+        )
     idx = segment_cells(segs, shift)
     probes = points.select(
         point_id,
