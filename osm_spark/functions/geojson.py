@@ -119,12 +119,39 @@ def way_feature(way: dict, line: list[tuple[float, float]],
     return f
 
 
+def relation_feature(rel: dict, geometry: dict,
+                     relations: list[dict] | None = None,
+                     tainted: bool = False,
+                     no_id: bool = False, no_meta: bool = False,
+                     no_rel: bool = False) -> dict:
+    """Relation-feature wrapper (convert.go:284-299): geometry is
+    supplied by the caller (route LineString/MultiLineString from
+    buildRouteLineString, or the assembled multipolygon from
+    geom/assembly.py); id/meta/relations emission shares
+    _common_props with nodes and ways so the NoID/NoMeta/
+    NoRelationMembership options behave identically across element
+    types (options.go:7-31, options_test.go)."""
+    f = {
+        "type": "Feature",
+        "geometry": geometry,
+        "properties": _common_props(rel, "relation", relations,
+                                    no_meta, no_rel),
+    }
+    if tainted:
+        f["properties"]["tainted"] = True
+    if not no_id:
+        f["id"] = f"relation/{int(rel['id'])}"
+    return f
+
+
 def feature_json(feature: dict) -> str:
     """Canonical JSON: sorted keys, compact separators."""
     return json.dumps(feature, sort_keys=True, separators=(",", ":"))
 
 
-def node_features_df(nodes: DataFrame, memberships: DataFrame | None = None) -> DataFrame:
+def node_features_df(nodes: DataFrame, memberships: DataFrame | None = None,
+                     no_id: bool = False, no_meta: bool = False,
+                     no_rel: bool = False) -> DataFrame:
     """Distributed node-feature emission.
 
     nodes: (id, lat, lon, version, changeset, ts nullable, user nullable,
@@ -196,7 +223,8 @@ def node_features_df(nodes: DataFrame, memberships: DataFrame | None = None) -> 
                     "uid": row.get("uid"),
                     "tags": dict(row["tags"]) if row.get("tags") else {},
                 }
-                f = node_feature(node, rels)
+                f = node_feature(node, rels, no_id=no_id,
+                                 no_meta=no_meta, no_rel=no_rel)
                 if f is None:
                     continue
                 out_ids.append(row["id"])
@@ -206,7 +234,9 @@ def node_features_df(nodes: DataFrame, memberships: DataFrame | None = None) -> 
     return nodes.mapInPandas(gen, schema=schema)
 
 
-def way_features_df(ways: DataFrame, memberships: DataFrame | None = None) -> DataFrame:
+def way_features_df(ways: DataFrame, memberships: DataFrame | None = None,
+                    no_id: bool = False, no_meta: bool = False,
+                    no_rel: bool = False) -> DataFrame:
     """Distributed way-feature emission (wayToFeature applied batch-wise).
 
     ways: (id, line array<struct<lon:double, lat:double>>, is_polygon
@@ -274,6 +304,7 @@ def way_features_df(ways: DataFrame, memberships: DataFrame | None = None) -> Da
                 f = way_feature(
                     way, line, bool(row.get("is_polygon")),
                     bool(row.get("tainted")), rels,
+                    no_id=no_id, no_meta=no_meta, no_rel=no_rel,
                 )
                 if f is None:
                     continue

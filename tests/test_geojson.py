@@ -83,3 +83,144 @@ def test_canonical_json_deterministic():
     s = GJ.feature_json(f)
     assert s == GJ.feature_json(json.loads(s))  # stable under re-serialize
     assert '"a":"1","b":"2"' in s  # sorted keys, compact
+
+
+# ---- option surface, pinned to the reference's options tests ----------
+# (osmgeojson/options.go:7-31, options_test.go:73-147: for each element
+# type, the default emission carries feature.id / properties.meta /
+# properties.relations; NoID(true) drops the feature id, NoMeta(true)
+# drops meta, NoRelationMembership(true) drops relations — each toggle
+# independent of the others.)
+
+# the three options_test.go fixtures: element id=1 with full meta,
+# referenced by relation 1 with role "roo"
+_OPT_META = {"version": 7, "changeset": 1234, "user": "johndoe",
+             "uid": 123, "ts": "2013-01-13T22:56:07Z"}
+_OPT_RELS = [{"rel_id": 1, "role": "roo", "tags": {}}]
+
+
+def _opt_features():
+    node = GJ.node_feature(
+        {"id": 1, "lat": 1.234, "lon": 4.321, **_OPT_META},
+        GJ.relation_summaries(_OPT_RELS),
+    )
+    way = GJ.way_feature(
+        {"id": 1, **_OPT_META}, [(1.0, 1.0), (2.0, 2.0)], False, False,
+        GJ.relation_summaries(_OPT_RELS),
+    )
+    rel = GJ.relation_feature(
+        {"id": 1, "tags": {"type": "multipolygon"}, **_OPT_META},
+        {"type": "Polygon",
+         "coordinates": [[[1, 1], [2, 2], [3, 3], [1, 1]]]},
+        GJ.relation_summaries(_OPT_RELS),
+    )
+    return {"node": node, "way": way, "relation": rel}
+
+
+def _opt_features_with(**opts):
+    node = GJ.node_feature(
+        {"id": 1, "lat": 1.234, "lon": 4.321, **_OPT_META},
+        GJ.relation_summaries(_OPT_RELS), **opts,
+    )
+    way = GJ.way_feature(
+        {"id": 1, **_OPT_META}, [(1.0, 1.0), (2.0, 2.0)], False, False,
+        GJ.relation_summaries(_OPT_RELS), **opts,
+    )
+    rel = GJ.relation_feature(
+        {"id": 1, "tags": {"type": "multipolygon"}, **_OPT_META},
+        {"type": "Polygon",
+         "coordinates": [[[1, 1], [2, 2], [3, 3], [1, 1]]]},
+        GJ.relation_summaries(_OPT_RELS), **opts,
+    )
+    return {"node": node, "way": way, "relation": rel}
+
+
+def test_option_default_emission():
+    """options_test.go defaults: id set, meta set, relations set."""
+    for etype, f in _opt_features().items():
+        assert f["id"] == f"{etype}/1"
+        assert f["properties"]["meta"] == {
+            "timestamp": "2013-01-13T22:56:07Z", "version": 7,
+            "changeset": 1234, "user": "johndoe", "uid": 123,
+        }
+        assert f["properties"]["relations"] == [
+            {"id": 1, "role": "roo", "tags": {}}
+        ]
+
+
+def test_option_no_id():
+    """TestOptionNoID (options_test.go:73-97): feature id nil, the
+    other properties untouched."""
+    for etype, f in _opt_features_with(no_id=True).items():
+        assert "id" not in f, etype
+        assert f["properties"]["id"] == 1  # numeric property id stays
+        assert "meta" in f["properties"]
+        assert "relations" in f["properties"]
+
+
+def test_option_no_meta():
+    """TestOptionNoMeta (options_test.go:99-123)."""
+    for etype, f in _opt_features_with(no_meta=True).items():
+        assert "meta" not in f["properties"], etype
+        assert f["id"] == f"{etype}/1"
+        assert "relations" in f["properties"]
+
+
+def test_option_no_relation_membership():
+    """TestOptionNoRelationMembership (options_test.go:125-149)."""
+    for etype, f in _opt_features_with(no_rel=True).items():
+        assert "relations" not in f["properties"], etype
+        assert f["id"] == f"{etype}/1"
+        assert "meta" in f["properties"]
+
+
+def test_option_all_off_spark_path(spark):
+    """The NoID+NoMeta+NoRelationMembership combination through the
+    distributed emitters (benchmarks_test.go:77-84
+    BenchmarkConvert_NoIDsMetaMembership shape)."""
+    nodes = spark.createDataFrame(
+        [(1, 1.234, 4.321, 7, 1234, "2013-01-13T22:56:07Z", "johndoe",
+          123, {"amenity": "pub"})],
+        "id long, lat double, lon double, version int, changeset long,"
+        " ts string, user string, uid long, tags map<string,string>",
+    )
+    mem = spark.createDataFrame(
+        [(1, 1, "roo", {})],
+        "ref long, rel_id long, role string, tags map<string,string>",
+    )
+    f = json.loads(
+        GJ.node_features_df(
+            nodes, mem, no_id=True, no_meta=True, no_rel=True
+        ).collect()[0].feature
+    )
+    assert "id" not in f
+    assert "meta" not in f["properties"]
+    assert "relations" not in f["properties"]
+    assert f["properties"]["tags"] == {"amenity": "pub"}
+    # default through the same path keeps all three
+    f2 = json.loads(GJ.node_features_df(nodes, mem).collect()[0].feature)
+    assert f2["id"] == "node/1"
+    assert f2["properties"]["relations"] == [
+        {"id": 1, "role": "roo", "tags": {}}
+    ]
+    assert f2["properties"]["meta"]["user"] == "johndoe"
+
+    ways = spark.createDataFrame(
+        [(1, [(1.0, 1.0), (2.0, 2.0)], False, False, 7, 1234,
+          {"highway": "x"})],
+        "id long, line array<struct<lon:double,lat:double>>,"
+        " is_polygon boolean, tainted boolean, version int,"
+        " changeset long, tags map<string,string>",
+    )
+    wmem = spark.createDataFrame(
+        [(1, 1, "roo", {})],
+        "ref long, rel_id long, role string, tags map<string,string>",
+    )
+    wf = json.loads(
+        GJ.way_features_df(
+            ways, wmem, no_id=True, no_meta=True, no_rel=True
+        ).collect()[0].feature
+    )
+    assert "id" not in wf
+    assert "meta" not in wf["properties"]
+    assert "relations" not in wf["properties"]
