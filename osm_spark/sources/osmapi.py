@@ -118,6 +118,41 @@ def raise_for_status(code: int, url: str) -> None:
     raise exc(url) if exc else UnexpectedStatusCodeError(code, url)
 
 
+def urllib_transport(
+    timeout: float = 30.0,
+    user_agent: str = "osm-spark/1.0",
+    headers: dict[str, str] | None = None,
+) -> Callable[[str], bytes]:
+    """Production ``url -> bytes`` transport over urllib — the glue the
+    reference gets from http.DefaultClient (datasource.go getFromAPI).
+    HTTP statuses map to the same typed errors as raise_for_status
+    (404 -> NotFoundError etc., datasource.go:66-101); gzip response
+    bodies (Content-Encoding or .gz replication payloads served raw)
+    are NOT decoded — callers own payload decompression, matching the
+    pluggable-transport contract. Wire it explicitly:
+
+        ds = OsmApiDatasource(spark, transport=urllib_transport())
+
+    The env-gated live tests (tests/test_osmapi.py, OSM_SPARK_LIVE=1 —
+    the reference's LIVE_TEST=true pattern, osmapi/live_test.go:15-19)
+    exercise this against api.openstreetmap.org; the always-on replay
+    test exercises it against a local loopback server."""
+    import urllib.error
+    import urllib.request
+
+    def fetch(url: str) -> bytes:
+        req = urllib.request.Request(
+            url, headers={"User-Agent": user_agent, **(headers or {})}
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return resp.read()
+        except urllib.error.HTTPError as e:
+            raise_for_status(e.code, url)
+            raise  # pragma: no cover — raise_for_status always raises
+    return fetch
+
+
 # ------------------------------------------------------------ option/At
 def at_param(t) -> str:
     """options.go:17-25: ``at=2006-01-02T15:04:05Z`` in UTC."""
