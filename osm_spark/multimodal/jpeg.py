@@ -1,6 +1,6 @@
-"""Baseline JPEG (ITU-T.81 sequential DCT) — pure numpy + struct.
+"""JPEG (ITU-T.81 huffman DCT, sequential + progressive) — pure numpy.
 
-A REAL, spec-compliant baseline JPEG codec with zero dependencies:
+A REAL, spec-compliant JPEG codec with zero dependencies:
 
 - encoder: level shift -> 8x8 float DCT-II (orthonormal matrix form) ->
   quantize -> zigzag -> DC-diff/AC-run-length huffman coding -> a
@@ -22,9 +22,18 @@ arbitrary baseline tables (it rebuilds codes canonically from BITS),
 not just the encoder's.
 
 The encoder writes 4:4:4 by default; ``subsample=True`` switches color
-images to 4:2:0 (2x2-averaged chroma, interleaved 16x16 MCUs). Not
-implemented (documented, raises): progressive DCT (SOF2), arithmetic
-coding, restart intervals, 12-bit precision.
+images to 4:2:0 (2x2-averaged chroma, interleaved 16x16 MCUs).
+
+Progressive (SOF2, T.81 Annex G): decode_jpeg is a multi-scan
+coefficient-domain engine handling spectral selection + successive
+approximation (all four scan types — DC/AC x first/refine, including
+the EOB-run + correction-bit AC refinement of G.1.2.3) and DRI/RSTn
+restart intervals; encode_jpeg_progressive emits a full
+successive-approximation scan script whose quantized coefficients are
+identical to encode_jpeg's, making baseline-vs-progressive decode
+byte-equality the roundtrip oracle. Not implemented (documented,
+raises): arithmetic coding, lossless/hierarchical modes, 12-bit
+precision, 16-bit quant tables.
 """
 
 from __future__ import annotations
@@ -286,6 +295,292 @@ def encode_jpeg(pixels: np.ndarray, subsample: bool = False) -> bytes:
     return bytes(out)
 
 
+# ----------------------------------------------------- progressive encode
+# Flat canonical tables for progressive scans: every JPEG table travels
+# in DHT, so a flat prefix code is spec-valid; progressive AC scans use
+# EOBn symbols (r<<4 for r 0..14) that the baseline table lacks, and a
+# flat 9-bit table over all 256 symbols covers every (r, s) pair.
+_DC_FLAT_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_FLAT_VALS = list(range(16))
+# 256 symbols split 128@len8 + 128@len9 (a BITS byte caps at 255;
+# kraft sum 128/256 + 128/512 = 0.75 <= 1, canonical-valid)
+_AC_FLAT_BITS = [0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0]
+_AC_FLAT_VALS = list(range(256))
+_ENC_DC_FLAT = _canonical_codes(_DC_FLAT_BITS, _DC_FLAT_VALS)
+_ENC_AC_FLAT = _canonical_codes(_AC_FLAT_BITS, _AC_FLAT_VALS)
+
+
+def _component_coefs(pixels: np.ndarray, subsample: bool):
+    """Shared encoder prep: color transform, optional 4:2:0, MCU
+    padding, per-block quantized zigzag coefficients. Returns (gray, h,
+    w, qids, samps, coefs, mcus_x, mcus_y) with coefs[ci] an int64
+    (blocks_y, blocks_x, 64) array over the MCU-padded grid."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    qtabs = [QTAB_LUMA, QTAB_CHROMA]
+    if gray:
+        planes = [pixels.astype(np.float64)]
+        qids = [0]
+        samps = [(1, 1)]
+    else:
+        if pixels.shape[2] != 3:
+            raise ValueError("expected (h, w, 3) RGB or (h, w) grayscale")
+        ycc = _rgb_to_ycbcr(pixels)
+        if subsample:
+            H2 = (h + 1) & ~1
+            W2 = (w + 1) & ~1
+            yp = _pad_plane(ycc[:, :, 0], H2, W2)
+            chroma = [
+                _pad_plane(ycc[:, :, i], H2, W2)
+                .reshape(H2 // 2, 2, W2 // 2, 2)
+                .mean(axis=(1, 3))
+                for i in (1, 2)
+            ]
+            planes = [yp, chroma[0], chroma[1]]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [ycc[:, :, i] for i in range(3)]
+            samps = [(1, 1)] * 3
+        qids = [0, 1, 1]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    coefs = []
+    for (hi, vi), p, qi in zip(samps, planes, qids):
+        by, bx = mcus_y * vi, mcus_x * hi
+        padded = _pad_plane(p, by * 8, bx * 8)
+        c = np.zeros((by, bx, 64), dtype=np.int64)
+        for yb in range(by):
+            for xb in range(bx):
+                block = padded[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] - 128.0
+                c[yb, xb] = _quantize_block(block, qtabs[qi])
+        coefs.append(c)
+    return gray, h, w, qids, samps, coefs, mcus_x, mcus_y
+
+
+class _ScanWriter:
+    """Entropy writer for one progressive scan: bit writing + deferred
+    EOB-run / correction-bit buffers + restart markers."""
+
+    def __init__(self, enc_ac, restart_interval: int = 0):
+        self.bw = _BitWriter()
+        self.enc_ac = enc_ac
+        self.ri = restart_interval
+        self.units = 0  # MCUs (interleaved) or blocks since last RST
+        self.rst = 0
+        self.eobrun = 0
+        self.brbuf: list[int] = []
+
+    def write(self, code: int, length: int) -> None:
+        self.bw.write(code, length)
+
+    def flush_eob(self) -> None:
+        """emit_eobrun: EOBn symbol + extension bits + the correction
+        bits buffered across the run (T.81 G.1.2.2-3)."""
+        if self.eobrun:
+            rr = self.eobrun.bit_length() - 1
+            code, ln = self.enc_ac[rr << 4]
+            self.bw.write(code, ln)
+            if rr:
+                self.bw.write(self.eobrun - (1 << rr), rr)
+            self.eobrun = 0
+        for b in self.brbuf:
+            self.bw.write(b, 1)
+        self.brbuf = []
+
+    def unit_done(self) -> None:
+        """Advance the restart counter; emit RSTn at interval
+        boundaries (byte-aligned, unstuffed, preds/EOB state reset by
+        the caller via the return value)."""
+        self.units += 1
+        self.needs_reset = False
+        if self.ri and self.units % self.ri == 0:
+            self.flush_eob()
+            self.bw.flush()
+            self.bw.buf += bytes([0xFF, 0xD0 + self.rst])
+            self.rst = (self.rst + 1) % 8
+            self.needs_reset = True
+
+    def finish(self) -> bytes:
+        self.flush_eob()
+        self.bw.flush()
+        return bytes(self.bw.buf)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+) -> bytes:
+    """Progressive JPEG (SOF2, T.81 Annex G) with full successive
+    approximation: DC first (Al=1) -> DC refine, then per component and
+    spectral band AC first (Al=1) -> AC refine. The quantized
+    coefficients are identical to encode_jpeg's, so decode_jpeg's
+    output is byte-identical between the two encodings — that equality
+    is the roundtrip oracle. ``restart_interval`` > 0 emits DRI + RSTn
+    markers every that many MCUs/blocks in every scan."""
+    gray, h, w, qids, samps, coefs, mcus_x, mcus_y = _component_coefs(
+        pixels, subsample
+    )
+    ncomp = len(coefs)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_segment(0, QTAB_LUMA)
+    if not gray:
+        out += _dqt_segment(1, QTAB_CHROMA)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, qids[ci]])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, _DC_FLAT_BITS, _DC_FLAT_VALS)
+    out += _dht_segment(1, 0, _AC_FLAT_BITS, _AC_FLAT_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    def sos(comp_ids, ss, se, ah, al):
+        seg = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            seg += bytes([cid, 0x00])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(seg) + 2) + seg
+
+    # ---- scan 1: DC first, interleaved, Al=1 ----
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    sw = _ScanWriter(_ENC_AC_FLAT, restart_interval)
+    preds = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                hi, vi = samps[ci]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        v = int(coefs[ci][my * vi + byy, mx * hi + bxx, 0]) >> 1
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        cat = _category(diff)
+                        code, ln = _ENC_DC_FLAT[cat]
+                        sw.write(code, ln)
+                        if cat:
+                            sw.write(_amp_bits(diff, cat), cat)
+            sw.unit_done()
+            if sw.needs_reset:
+                preds = [0] * ncomp
+    out += sw.finish()
+
+    # ---- scan 2: DC refine, Ah=1 -> Al=0 (raw bits) ----
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    sw = _ScanWriter(_ENC_AC_FLAT, restart_interval)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                hi, vi = samps[ci]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        sw.write(
+                            int(coefs[ci][my * vi + byy, mx * hi + bxx, 0])
+                            & 1,
+                            1,
+                        )
+            sw.unit_done()
+    out += sw.finish()
+
+    def comp_blocks(ci):
+        """Non-interleaved scan raster: the component's OWN block dims
+        (A.2.2), not the MCU-padded grid."""
+        hi, vi = samps[ci]
+        cw = -(-(w * hi) // hmax)
+        ch = -(-(h * vi) // vmax)
+        for yb in range(-(-ch // 8)):
+            for xb in range(-(-cw // 8)):
+                yield coefs[ci][yb, xb]
+
+    # ---- AC first scans per component/band, Al=1 ----
+    for ci in range(ncomp):
+        for ss, se in bands:
+            out += sos([ci + 1], ss, se, 0, 1)
+            sw = _ScanWriter(_ENC_AC_FLAT, restart_interval)
+            for blk in comp_blocks(ci):
+                run = 0
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    t = abs(v) >> 1
+                    if t == 0:
+                        run += 1
+                        continue
+                    sw.flush_eob()
+                    while run > 15:
+                        code, ln = _ENC_AC_FLAT[0xF0]
+                        sw.write(code, ln)
+                        run -= 16
+                    cat = _category(t)
+                    code, ln = _ENC_AC_FLAT[(run << 4) | cat]
+                    sw.write(code, ln)
+                    sw.write(_amp_bits(t if v > 0 else -t, cat), cat)
+                    run = 0
+                if run > 0:
+                    sw.eobrun += 1
+                    if sw.eobrun == 0x7FFF:
+                        sw.flush_eob()
+                sw.unit_done()
+            out += sw.finish()
+
+    # ---- AC refine scans per component/band, Ah=1 -> Al=0 ----
+    # (T.81 G.1.2.3 encoder: newly-significant coefficients code as
+    # (run-of-zero-HISTORY)<<4|1 + sign bit; coefficients already
+    # nonzero in earlier scans contribute buffered correction bits.)
+    for ci in range(ncomp):
+        for ss, se in bands:
+            out += sos([ci + 1], ss, se, 1, 0)
+            sw = _ScanWriter(_ENC_AC_FLAT, restart_interval)
+            for blk in comp_blocks(ci):
+                absv = [abs(int(blk[k])) for k in range(ss, se + 1)]
+                eob = 0  # 1 past the last newly-significant index
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob = i + 1
+                run = 0
+                br: list[int] = []
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i < eob:
+                        sw.flush_eob()
+                        code, ln = _ENC_AC_FLAT[0xF0]
+                        sw.write(code, ln)
+                        run -= 16
+                        for b in br:
+                            sw.write(b, 1)
+                        br = []
+                    if t > 1:
+                        br.append(t & 1)
+                        continue
+                    sw.flush_eob()
+                    code, ln = _ENC_AC_FLAT[(run << 4) | 1]
+                    sw.write(code, ln)
+                    sw.write(1 if int(blk[ss + i]) > 0 else 0, 1)
+                    for b in br:
+                        sw.write(b, 1)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    sw.eobrun += 1
+                    sw.brbuf.extend(br)
+                    if sw.eobrun == 0x7FFF or len(sw.brbuf) > 930:
+                        sw.flush_eob()
+                sw.unit_done()
+            out += sw.finish()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------- decode
 class _BitReader:
     def __init__(self, data: bytes):
@@ -318,6 +613,21 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self) -> None:
+        """Consume an RSTn marker at a restart-interval boundary:
+        discard pad bits to the byte boundary, skip the 2-byte marker
+        (T.81 F.2.1.3.1)."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise ValueError("expected RSTn at restart interval")
+
 
 def _extend(v: int, cat: int) -> int:
     # T.81 F.2.2.1 EXTEND
@@ -334,12 +644,36 @@ def _decode_huffman(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid huffman code in scan")
 
 
+def _find_entropy_end(buf: bytes, start: int) -> int:
+    """First offset >= start of a marker that terminates entropy-coded
+    data: 0xFF followed by anything except 0x00 stuffing or RSTn."""
+    pos = start
+    n = len(buf)
+    while True:
+        pos = buf.find(b"\xff", pos)
+        if pos < 0 or pos >= n - 1:
+            return n
+        nxt = buf[pos + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            pos += 2
+            continue
+        return pos
+
+
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline JPEG -> (h, w, 3) uint8 RGB or (h, w) grayscale.
-    Handles arbitrary baseline DQT/DHT layouts and interleaved MCUs
-    with arbitrary integer sampling factors (4:4:4 / 4:2:0 / 4:2:2 —
-    the paired encoder emits 4:4:4, or 4:2:0 when subsample=True);
-    progressive/arithmetic raise."""
+    """Huffman DCT JPEG -> (h, w, 3) uint8 RGB or (h, w) grayscale.
+
+    Multi-scan coefficient-domain engine: every scan (the single
+    baseline SOF0/SOF1 scan, or a progressive SOF2 scan script with
+    spectral selection + successive approximation, T.81 Annex G.1.2)
+    accumulates into per-component zigzag coefficient stores; dequant +
+    IDCT + upsample run ONCE at the end, vectorized over all blocks.
+    Handles arbitrary DQT/DHT layouts (tables may be redefined between
+    scans), interleaved MCUs with arbitrary integer sampling factors,
+    non-interleaved progressive AC scans over component-own block dims
+    (A.2.2), DRI/RSTn restart intervals, and the four progressive scan
+    types (DC/AC x first/refine). Arithmetic coding, lossless,
+    hierarchical, and 12-bit precision raise."""
     buf = bytes(buf)
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -348,7 +682,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps = None
     h = w = None
-    scan_comps = None
+    progressive = False
+    dri = 0
+    scans = []  # (scan_comps, Ss, Se, Ah, Al, htabs snapshot, dri, lo, hi)
     while pos < len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -371,7 +707,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                     seg, dtype=np.uint8, count=64, offset=off + 1
                 ).astype(np.int64)
                 off += 65
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (may be redefined between scans)
             off = 0
             while off < len(seg):
                 tc, th = seg[off] >> 4, seg[off] & 0xF
@@ -383,30 +719,38 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                     (lnn, code): v for v, (code, lnn) in canon.items()
                 }
                 off += 17 + nval
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker == 0xDD:  # DRI
+            dri = struct.unpack_from(">H", seg, 0)[0]
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("12-bit precision")
             comps = []
             for ci in range(nc):
-                cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                comps.append((cid, samp >> 4, samp & 0xF, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                cid, samp_b, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, samp_b >> 4, samp_b & 0xF, tq))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential DCT (SOF0) is supported"
+                "only huffman sequential (SOF0/SOF1) and progressive "
+                "(SOF2) DCT are supported"
             )
-        elif marker == 0xDA:  # SOS — scan follows
+        elif marker == 0xDA:  # SOS + entropy-coded data
             ns = seg[0]
             scan_comps = []
             for ci in range(ns):
                 cid, tsel = seg[1 + 2 * ci], seg[2 + 2 * ci]
                 scan_comps.append((cid, tsel >> 4, tsel & 0xF))
-            break
-    if comps is None or scan_comps is None:
-        raise ValueError("JPEG missing SOF0/SOS")
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            end = _find_entropy_end(buf, pos)
+            scans.append((scan_comps, ss, se, ahal >> 4, ahal & 0xF,
+                          dict(htabs), dri, pos, end))
+            pos = end
+    if comps is None or not scans:
+        raise ValueError("JPEG missing SOF/SOS")
 
-    r = _BitReader(buf[pos:])
     nc = len(comps)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -415,21 +759,53 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     samp = {cid: (hi, vi) for cid, hi, vi, _ in comps}
     qsel = {cid: tq for cid, _, _, tq in comps}
     comp_order = [cid for cid, _, _, _ in comps]
-    planes = {
-        cid: np.zeros((mcus_y * 8 * vi, mcus_x * 8 * hi))
+    coefs = {
+        cid: np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int64)
         for cid, hi, vi, _ in comps
     }
-    preds = {cid: 0 for cid in comp_order}
 
-    def decode_block(tdc: int, tac: int, cid: int) -> np.ndarray:
+    for scan_comps, ss, se, ah, al, tabs, ri, lo, hi_off in scans:
+        _apply_scan(
+            _BitReader(buf[lo:hi_off]), scan_comps, ss, se, ah, al, tabs,
+            ri, progressive, coefs, samp, hmax, vmax, w, h, mcus_x, mcus_y,
+        )
+
+    # dequant + IDCT, vectorized over every block of each component
+    full = []
+    for cid in comp_order:
+        c = coefs[cid]
+        by, bx = c.shape[:2]
+        deq = (c * qtabs[qsel[cid]])[:, :, _UNZIGZAG].reshape(by, bx, 8, 8)
+        px = np.einsum("ij,ybjk,kl->ybil", _C.T, deq, _C) + 128.0
+        p = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        hi, vi = samp[cid]
+        if hi < hmax or vi < vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    if nc == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(np.stack(full, axis=2))
+
+
+def _apply_scan(
+    r, scan_comps, ss, se, ah, al, htabs, dri, progressive,
+    coefs, samp, hmax, vmax, w, h, mcus_x, mcus_y,
+):
+    """Decode one entropy-coded scan into the coefficient stores —
+    baseline full-band, or one of the four progressive scan types
+    (T.81 G.1.2: DC/AC x first/refine), with RSTn restart handling."""
+    preds = {cid: 0 for cid, _, _ in scan_comps}
+    state = {"eobrun": 0}
+
+    def full_block(blk, tdc, tac, cid):
         sym = _decode_huffman(r, htabs[(0, tdc)])
         diff = _extend(r.bits(sym), sym) if sym else 0
         preds[cid] += diff
-        zz = np.zeros(64, dtype=np.int64)
-        zz[0] = preds[cid]
+        blk[0] = preds[cid]
         k = 1
+        tab = htabs[(1, tac)]
         while k < 64:
-            rs = _decode_huffman(r, htabs[(1, tac)])
+            rs = _decode_huffman(r, tab)
             if rs == 0x00:  # EOB
                 break
             if rs == 0xF0:  # ZRL
@@ -437,33 +813,131 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 continue
             k += rs >> 4
             cat = rs & 0xF
-            zz[k] = _extend(r.bits(cat), cat)
+            blk[k] = _extend(r.bits(cat), cat)
             k += 1
-        # zz and the DQT table are BOTH zigzag-ordered: dequantize
-        # elementwise, then reorder to natural
-        coef = (zz * qtabs[qsel[cid]])[_UNZIGZAG].reshape(8, 8)
-        return idct2(coef) + 128.0
 
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for cid, tdc, tac in scan_comps:
-                hi, vi = samp[cid]
-                for byy in range(vi):
-                    for bxx in range(hi):
-                        y0 = (my * vi + byy) * 8
-                        x0 = (mx * hi + bxx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = decode_block(
-                            tdc, tac, cid
-                        )
+    def dc_first(blk, tdc, tac, cid):
+        sym = _decode_huffman(r, htabs[(0, tdc)])
+        diff = _extend(r.bits(sym), sym) if sym else 0
+        preds[cid] += diff
+        blk[0] = preds[cid] << al
 
-    # upsample subsampled components by pixel replication, crop to (h, w)
-    full = []
-    for cid in comp_order:
+    def dc_refine(blk, tdc, tac, cid):
+        if r.bit():
+            blk[0] |= 1 << al
+
+    def ac_first(blk, tdc, tac, cid):
+        if state["eobrun"]:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        tab = htabs[(1, tac)]
+        while k <= se:
+            rs = _decode_huffman(r, tab)
+            rr, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if rr == 15:  # ZRL
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << rr) - 1
+                if rr:
+                    state["eobrun"] += r.bits(rr)
+                break
+            k += rr
+            blk[k] = _extend(r.bits(s), s) << al
+            k += 1
+
+    def ac_refine(blk, tdc, tac, cid):
+        # T.81 G.1.2.3 decode (the libjpeg decode_mcu_AC_refine shape):
+        # newly-significant coefficients arrive as (zero-HISTORY
+        # run)<<4|1 + sign bit; every already-nonzero coefficient passed
+        # over consumes one correction bit.
+        p1 = 1 << al
+        m1 = -1 << al
+        k = ss
+        if state["eobrun"] == 0:
+            tab = htabs[(1, tac)]
+            while k <= se:
+                rs = _decode_huffman(r, tab)
+                rr, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if rr < 15:
+                        state["eobrun"] = 1 << rr
+                        if rr:
+                            state["eobrun"] += r.bits(rr)
+                        break
+                    # rr == 15: ZRL — skip 16 zero-history positions
+                else:
+                    newval = p1 if r.bit() else m1
+                while k <= se:
+                    if blk[k]:
+                        if r.bit() and not (blk[k] & p1):
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    else:
+                        if rr == 0:
+                            break
+                        rr -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+        if state["eobrun"]:
+            while k <= se:
+                if blk[k]:
+                    if r.bit() and not (blk[k] & p1):
+                        blk[k] += p1 if blk[k] > 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+
+    if not progressive:
+        per_block = full_block
+    elif ss == 0:
+        per_block = dc_first if ah == 0 else dc_refine
+    else:
+        per_block = ac_first if ah == 0 else ac_refine
+
+    def restart():
+        r.restart()
+        for cid in preds:
+            preds[cid] = 0
+        state["eobrun"] = 0
+
+    if len(scan_comps) > 1:
+        # interleaved MCU order (multi-component scans: the baseline
+        # single scan, or progressive DC scans with ns > 1)
+        n_mcus = mcus_x * mcus_y
+        done = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for cid, tdc, tac in scan_comps:
+                    hi, vi = samp[cid]
+                    for byy in range(vi):
+                        for bxx in range(hi):
+                            per_block(
+                                coefs[cid][my * vi + byy, mx * hi + bxx],
+                                tdc, tac, cid,
+                            )
+                done += 1
+                if dri and done % dri == 0 and done < n_mcus:
+                    restart()
+    else:
+        # single-component scan is non-interleaved (A.2.2): raster over
+        # the component's OWN block dims, NOT the MCU-padded grid; one
+        # block per restart-counted MCU. Covers progressive AC scans,
+        # single-comp progressive DC scans, baseline grayscale, and
+        # baseline sequential per-component scans.
+        cid, tdc, tac = scan_comps[0]
         hi, vi = samp[cid]
-        p = planes[cid]
-        if hi < hmax or vi < vmax:
-            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
-        full.append(p[:h, :w])
-    if nc == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-    return _ycbcr_to_rgb(np.stack(full, axis=2))
+        cw = -(-(w * hi) // hmax)
+        ch = -(-(h * vi) // vmax)
+        bw_ = -(-cw // 8)
+        bh_ = -(-ch // 8)
+        done = 0
+        n_blocks = bw_ * bh_
+        for yb in range(bh_):
+            for xb in range(bw_):
+                per_block(coefs[cid][yb, xb], tdc, tac, cid)
+                done += 1
+                if dri and done % dri == 0 and done < n_blocks:
+                    restart()

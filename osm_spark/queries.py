@@ -3883,22 +3883,26 @@ def q_pbf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline-JPEG round-trip through the FULL lossy pipeline
+    """REAL JPEG round-trip through the FULL lossy pipeline
     (multimodal/jpeg.py: DCT -> quantize -> zigzag -> huffman bitstream
     with byte stuffing -> markers, then the general decoder back): the
     fixture images are BLOCK-UNIFORM, which diagonalizes the DCT (each
     8x8 block is a pure DC coefficient), so the lossy codec becomes
     bit-exact and the DuckDB oracle can predict every decoded pixel —
     the one fixture family where a closed-form oracle can check a DCT
-    codec end-to-end. Any defect in the DCT, quantizer, zigzag,
-    huffman tables, bit packing, stuffing or marker layout shifts the
+    codec end-to-end. Odd media_ids encode PROGRESSIVE (SOF2, full
+    successive approximation + RSTn restarts), even ids baseline
+    (SOF0); the decoder's multi-scan engine must reconstruct identical
+    pixels from both, so the one oracle checks both codecs. Any defect
+    in the DCT, quantizer, zigzag, huffman tables, bit packing,
+    stuffing, marker layout, or progressive scan decode shifts the
     histogram."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     import numpy as np
 
-    from osm_spark.multimodal.jpeg import encode_jpeg
+    from osm_spark.multimodal.jpeg import encode_jpeg, encode_jpeg_progressive
     from osm_spark.multimodal.media import decode_features
 
     def _mk_fn(ids):
@@ -3909,7 +3913,10 @@ def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             vals = (mid * 31 + np.arange(bw * bh) * 17) % 256
             blocks = vals.astype(np.uint8).reshape(bh, bw)
             img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
-            blobs.append(encode_jpeg(img))
+            if mid % 2:
+                blobs.append(encode_jpeg_progressive(img, restart_interval=2))
+            else:
+                blobs.append(encode_jpeg(img))
         return pd.Series(blobs)
 
     _mk = pandas_udf(_mk_fn, "binary")

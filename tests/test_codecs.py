@@ -202,3 +202,47 @@ def test_jpeg_420_subsampled_roundtrip():
         [np.full((13, 17), c) for c in (10, 200, 130)], axis=2
     ).astype(np.uint8)
     assert J.decode_jpeg(J.encode_jpeg(odd, subsample=True)).shape == odd.shape
+
+
+def test_jpeg_progressive_matches_baseline():
+    """Progressive (SOF2) and baseline (SOF0) encodings of the same
+    pixels share quantized coefficients, so the multi-scan decoder must
+    reconstruct BYTE-IDENTICAL pixels from both — across gray/color,
+    4:4:4/4:2:0, non-multiple-of-8 dims, restart intervals, and band
+    scripts. This exercises all four progressive scan types including
+    the EOB-run + correction-bit AC refinement (T.81 G.1.2.3)."""
+    import numpy as np
+
+    from osm_spark.multimodal import jpeg as J
+
+    rng = np.random.RandomState(7)
+    cases = [
+        ((24, 17, 3), False, 0, ((1, 5), (6, 63))),
+        ((24, 17, 3), True, 0, ((1, 5), (6, 63))),
+        ((16, 16), False, 0, ((1, 5), (6, 63))),
+        ((33, 41, 3), True, 0, ((1, 63),)),
+        ((48, 48, 3), True, 2, ((1, 5), (6, 63))),  # RSTn in every scan
+        ((8, 8, 3), False, 0, ((1, 2), (3, 9), (10, 63))),
+    ]
+    for shape, sub, ri, bands in cases:
+        px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        base = J.decode_jpeg(J.encode_jpeg(px, subsample=sub))
+        prog_bytes = J.encode_jpeg_progressive(
+            px, subsample=sub, restart_interval=ri, bands=bands
+        )
+        assert prog_bytes[2:4] != b"\xff\xc0"  # really SOF2, not SOF0
+        prog = J.decode_jpeg(prog_bytes)
+        assert np.array_equal(base, prog), (shape, sub, ri, bands)
+
+    # smooth gradient: long EOB runs across blocks (the EOBn > 1 path)
+    g = np.clip(
+        np.add.outer(np.arange(64), np.arange(64)) * 2, 0, 255
+    ).astype(np.uint8)
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg(g)),
+        J.decode_jpeg(J.encode_jpeg_progressive(g)),
+    )
+
+    # block-uniform fixtures stay bit-exact through the progressive path
+    u = np.full((16, 24), 137, dtype=np.uint8)
+    assert (J.decode_jpeg(J.encode_jpeg_progressive(u)) == u).all()
