@@ -811,10 +811,63 @@ def _warc_child(cpus: str) -> None:
         sec, n3 = run_pruned()
         best_pr = sec if best_pr is None or sec < best_pr else best_pr
         assert n3 == n_members
+
+    # payload-DISCARD twin (the BASELINE.md scaling decomposition): the
+    # identical member walk + header parse + payload materialization as
+    # the full decode, but nothing ships to the JVM — one (pages,
+    # payload_bytes) row per split. The full-decode wall minus this is
+    # the Arrow-IPC + JVM-parse share, which at local[32] runs a JVM
+    # thread AND a python worker per task on the same 32 vCPUs (2x
+    # oversubscription a real multi-node 4N cluster does not have).
+    from osm_spark.sources.warc import _walk_members_buffered
+
+    def run_discard() -> tuple[float, int]:
+        size = os.path.getsize(path)
+        splits_df = spark.createDataFrame(
+            [(path, off, min(off + split, size))
+             for off in range(0, size, split)],
+            "path string, start long, end long",
+        )
+        import pandas as pd
+
+        def gen(batches):
+            for pdf in batches:
+                n = 0
+                nb = 0
+                for p, s0, e0 in zip(pdf["path"], pdf["start"], pdf["end"]):
+                    with open(p, "rb") as f:
+                        for off, consumed, plain in _walk_members_buffered(
+                            f, int(s0), int(e0), 4 << 20
+                        ):
+                            head_end = plain.index(b"\r\n\r\n")
+                            head = plain[:head_end]
+                            low = head.lower()
+                            i = low.find(b"\ncontent-length:")
+                            j = low.find(b"\r", i + 16)
+                            ln = int(head[i + 16 : j]) if i != -1 else 0
+                            payload = plain[head_end + 4 : head_end + 4 + ln]
+                            nb += len(payload)
+                            n += 1
+                yield pd.DataFrame({"n": [n], "nb": [nb]})
+
+        t0 = time.time()
+        row = (
+            splits_df.mapInPandas(gen, schema="n long, nb long")
+            .agg(F.sum("n").alias("n"), F.sum("nb").alias("s"))
+            .collect()[0]
+        )
+        return time.time() - t0, row["n"]
+
+    best_disc = None
+    for _ in range(3):
+        sec, n4 = run_discard()
+        best_disc = sec if best_disc is None or sec < best_disc else best_disc
+        assert n4 == n_members
     print(json.dumps({
         "which": "warc", "sec": round(best, 3),
         "sec_extract": round(best_ex, 3),
-        "sec_pruned": round(best_pr, 3), "pages": n_members,
+        "sec_pruned": round(best_pr, 3),
+        "sec_discard": round(best_disc, 3), "pages": n_members,
     }))
 
 

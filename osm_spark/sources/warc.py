@@ -206,6 +206,14 @@ def _walk_members_buffered(f, start: int, end: int, read_step: int):
     # +2 so a member whose start is just before `end` still exposes its
     # full 3-byte magic for detection (ownership stays start-offset<end)
     data = bytearray(f.read(end - start + 2))
+    # adaptive inflater feed: members are a few hundred bytes compressed
+    # in a Common-Crawl-layout file, and every byte fed past the member
+    # end comes back as a fresh `unused_data` allocation — feeding a
+    # fixed 64 KB per ~400-byte member cost ~128 KB of memcpy/alloc PER
+    # PAGE (the allocator wall that capped full-decode scaling at ~0.5
+    # on one socket). Track the last member's compressed size and feed
+    # ~2x that, growing toward _FEED only when a member runs long.
+    est = [4096]
 
     def _extend() -> bool:
         more = f.read(read_step)
@@ -217,19 +225,36 @@ def _walk_members_buffered(f, start: int, end: int, read_step: int):
     def _inflate_at(pos: int):
         """(plaintext, consumed) for a member at pos, or None."""
         d = zlib.decompressobj(wbits=31)
-        out = bytearray()
         i = pos
+        first = None
+        parts = None
+        step = est[0]
         while True:
-            if i >= len(data) and not _extend():
-                return None  # truncated
-            chunk = bytes(memoryview(data)[i:i + _FEED])
+            take = min(step, len(data) - i)
+            if take <= 0:
+                if not _extend():
+                    return None  # truncated
+                continue
             try:
-                out += d.decompress(chunk)
+                # inline unnamed memoryview: zero-copy feed, and no
+                # lingering view to block data.extend() resizes
+                piece = d.decompress(memoryview(data)[i:i + take])
             except zlib.error:
                 return None
-            i += len(chunk)
+            i += take
+            if first is None:
+                first = piece
+            else:
+                if parts is None:
+                    parts = [first]
+                parts.append(piece)
             if d.eof:
-                return bytes(out), i - pos - len(d.unused_data)
+                consumed = i - pos - len(d.unused_data)
+                est[0] = min(_FEED, max(512, consumed + (consumed >> 1)))
+                return (
+                    first if parts is None else b"".join(parts)
+                ), consumed
+            step = _FEED  # member longer than the estimate: stride up
 
     # locate the first VERIFIED member start at/after `start`
     pos, first = 0, None
