@@ -8107,9 +8107,12 @@ _DRIVER_WINDOW: list[str] = [
     "ids_pack_roundtrip",
     # PBF wire format
     "pbf_scan",
-    # media family
+    # media family (media_jpeg swapped in for round 5: its behavior
+    # CHANGED this round — odd ids now encode progressive JPEG — so it
+    # needs fresh driver attestation; media_resize, r04-green and
+    # untouched, parks in its place)
     "media_decode_real",
-    "media_resize",
+    "media_jpeg",
     # streaming / replication family
     "replication_actions",
     # osmapi family

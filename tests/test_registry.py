@@ -43,7 +43,11 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # pip_polygon_covering; dedup/minhash/ngram/simhash/url/corpus;
     # media_decode_real+media_resize).
     "h3_parent", "geojson_features", "kmeans_iterate", "pip_broadcast",
-    "token_quality", "media_jpeg",
+    "token_quality",
+    # round-5 swap: media_jpeg rotated back IN (progressive-JPEG change
+    # needs fresh attestation); media_resize (r04-green, untouched)
+    # parks here in its place.
+    "media_resize",
     # round-4 web-page-prep rotations: driver-green in r03, parked to
     # make room for html_extract / quality_repetition / pii_scrub /
     # chunk_dedup; text family keeps dedup_exact + minhash_lsh +
