@@ -91,3 +91,95 @@ def test_geojson_node_feature_total(nid, lat, lon):
     back = json.loads(s)
     assert back["properties"]["id"] == nid
     assert back["geometry"]["coordinates"] == [lon, lat]
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(-(2**40), 2**40), min_size=0, max_size=12),
+        min_size=0,
+        max_size=20,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_segmented_varints_matches_per_chunk(chunks, delta):
+    """_segmented_varints (one concatenated decode + terminator-bit
+    counts + segmented cumsum) is value-identical to decoding each
+    chunk separately — including empty chunks, leading empties, and
+    per-chunk delta restarts."""
+    from osm_spark.sources.pbf import (
+        _delta, _packed, _segmented_varints, _unpack_varints,
+    )
+
+    def enc(vals):
+        if not vals:
+            return b""
+        body = _packed(1, _delta(vals) if delta else vals, zigzag=True)
+        # strip the field tag+len header: keep only the packed payload
+        # (re-derive via a reader)
+        from osm_spark.sources.pbf import _Reader
+
+        for f, wt, v in _Reader(body).fields():
+            return v
+        return b""
+
+    parts = [enc(c) for c in chunks]
+    vals, counts = _segmented_varints(parts, True, delta)
+    # reference: per-chunk decode
+    expect = []
+    for p, c in zip(parts, chunks):
+        got = _unpack_varints(p, True)
+        if delta:
+            got = np.cumsum(got)
+        expect.extend(int(x) for x in got)
+        assert len(got) == len(c)
+    assert [int(x) for x in vals] == expect
+    assert [int(x) for x in counts] == [len(c) for c in chunks]
+    # and the decoded values round-trip the originals
+    flat = [x for c in chunks for x in c]
+    assert [int(x) for x in vals] == flat
+
+
+@given(
+    st.lists(
+        st.binary(min_size=0, max_size=3000),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(1, 4),
+)
+@settings(max_examples=60, deadline=None)
+def test_warc_member_walk_adaptive_feed(payloads, nsplits):
+    """The adaptive-feed member walk yields every member exactly once
+    with byte-identical plaintext and correct consumed sizes, for
+    arbitrary payload sizes (tiny members after huge ones stress the
+    feed estimator both directions) and any split partition."""
+    import gzip
+    import io
+
+    from osm_spark.sources.warc import _walk_members_buffered, build_record
+
+    recs = [
+        build_record(p, "response", f"http://x/{i}", 1_500_000_000 + i)
+        for i, p in enumerate(payloads)
+    ]
+    members = [gzip.compress(r) for r in recs]
+    blob = b"".join(members)
+    starts = []
+    pos = 0
+    for m in members:
+        starts.append(pos)
+        pos += len(m)
+
+    got = []
+    bounds = sorted({0, len(blob)} | {
+        starts[(i * len(starts)) // nsplits] for i in range(1, nsplits)
+    })
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        f = io.BytesIO(blob)
+        for off, consumed, plain in _walk_members_buffered(f, s, e, 1 << 16):
+            got.append((off, consumed, plain))
+    got.sort()
+    assert [g[0] for g in got] == starts
+    assert [g[1] for g in got] == [len(m) for m in members]
+    assert [g[2] for g in got] == recs
