@@ -357,6 +357,17 @@ def encode_primitive_block(
         body += _packed(3, [st.add(v) for v in tags.values()], zigzag=False)
         body += _info_field(w)
         body += _packed(8, _delta(w["refs"]), zigzag=True)
+        if "lats" in w:
+            # locations-on-ways (osmium add-locations-to-ways; the
+            # reference loads these automatically, decode_data.go:607-647
+            # Way fields 9/10): per-node coordinates as zigzag delta
+            # chains in block granularity, parallel to refs
+            body += _packed(
+                9, _delta([_coord(x) for x in w["lats"]]), zigzag=True
+            )
+            body += _packed(
+                10, _delta([_coord(x) for x in w["lons"]]), zigzag=True
+            )
         way_group += _len_field(3, body)
     if way_group:
         groups.append(bytes(way_group))
@@ -610,6 +621,22 @@ def decode_primitive_block(
                     elif ff == 8:
                         w["refs"] = np.cumsum(
                             _unpack_varints(vv, True)
+                        ).tolist()
+                    elif ff == 9:  # locations-on-ways lat deltas
+                        w["lats"] = (
+                            1e-9 * (
+                                lat_off
+                                + gran
+                                * np.cumsum(_unpack_varints(vv, True))
+                            )
+                        ).tolist()
+                    elif ff == 10:  # locations-on-ways lon deltas
+                        w["lons"] = (
+                            1e-9 * (
+                                lon_off
+                                + gran
+                                * np.cumsum(_unpack_varints(vv, True))
+                            )
                         ).tolist()
                 if keys is not None and want_tags:
                     w["tags"] = {
@@ -1051,6 +1078,7 @@ def read_pbf_file_nodes_arrow(
 
 _WAY_COL_TYPES = {
     "id": "long", "refs": "array<long>", "tags": "map<string,string>",
+    "lats": "array<double>", "lons": "array<double>",
     "version": "int", "timestamp": "long", "changeset": "long",
     "uid": "long", "user": "string", "visible": "boolean",
 }
@@ -1240,21 +1268,30 @@ def decode_block_ways_arrow(
 
     want_tags = "tags" in columns
     want_refs = "refs" in columns
+    want_locs = "lats" in columns or "lons" in columns
     want_info = any(
         c in columns
         for c in ("version", "timestamp", "changeset", "uid", "user",
                   "visible")
     )
     groups = []
-    dgran = DATE_GRANULARITY
+    gran, lat_off, lon_off, dgran = GRANULARITY, 0, 0, DATE_GRANULARITY
     for f, wt, v in _Reader(payload).fields():
         if f == 2:
             groups.append(v)
+        elif f == 17:
+            gran = v
         elif f == 18:
             dgran = v
+        elif f == 19:
+            lat_off = v
+        elif f == 20:
+            lon_off = v
 
     ids: list[int] = []
     ref_parts: list[bytes] = []
+    lat_parts: list[bytes] = []
+    lon_parts: list[bytes] = []
     key_parts: list[bytes] = []
     val_parts: list[bytes] = []
     info_parts: list[bytes] = []
@@ -1262,7 +1299,7 @@ def decode_block_ways_arrow(
         # skip-flag twin: only Way messages (field 3) are even sliced
         for vv in _len_slices(g, 3):
             wid = 0
-            keys = vals = refs = info_b = b""
+            keys = vals = refs = info_b = wlats = wlons = b""
             pos = 0
             L = len(vv)
             # inline single-byte-key field walk (way fields are 1-8);
@@ -1310,12 +1347,16 @@ def decode_block_ways_arrow(
                             info_b = vv[pos:pos + ln]
                         elif key == 0x42:  # field 8: refs
                             refs = vv[pos:pos + ln]
+                        elif key == 0x4A:  # field 9: way-node lats
+                            wlats = vv[pos:pos + ln]
+                        elif key == 0x52:  # field 10: way-node lons
+                            wlons = vv[pos:pos + ln]
                         pos += ln
                     else:
                         raise ValueError(f"wiretype {wt}")
             except (ValueError, IndexError):
                 wid = 0
-                keys = vals = refs = info_b = b""
+                keys = vals = refs = info_b = wlats = wlons = b""
                 for f2, wt2, v2 in _Reader(vv).fields():
                     if f2 == 1:
                         wid = v2
@@ -1327,9 +1368,16 @@ def decode_block_ways_arrow(
                         info_b = v2
                     elif f2 == 8:
                         refs = v2
+                    elif f2 == 9:
+                        wlats = v2
+                    elif f2 == 10:
+                        wlons = v2
             ids.append(wid)
             if want_refs:
                 ref_parts.append(refs)
+            if want_locs:
+                lat_parts.append(wlats)
+                lon_parts.append(wlons)
             if want_tags:
                 key_parts.append(keys)
                 val_parts.append(vals)
@@ -1352,6 +1400,22 @@ def decode_block_ways_arrow(
             pa.array(offsets, type=pa.int32()),
             pa.array(flat, type=pa.int64()),
         )
+    if want_locs:
+        # locations-on-ways (decode_data.go:607-647): per-way zigzag
+        # delta chains in block granularity, same segmented decode as
+        # refs then ONE vectorized scale per block
+        for col, parts, off0 in (
+            ("lats", lat_parts, lat_off), ("lons", lon_parts, lon_off),
+        ):
+            if col not in columns:
+                continue
+            raw, cnts = _segmented_varints(parts, True, delta=True)
+            offs = np.zeros(n + 1, dtype=np.int32)
+            offs[1:] = np.cumsum(cnts)
+            chunk[col] = pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()),
+                pa.array(1e-9 * (off0 + gran * raw), type=pa.float64()),
+            )
     if want_tags:
         chunk["tags"] = _tags_map_array(
             key_parts, val_parts, n, strings

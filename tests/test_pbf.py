@@ -475,3 +475,59 @@ def test_arrow_way_relation_scan_matches_row_scan(spark, tmp_path):
     assert (r.version, r.user, r.visible, dict(r.tags), list(r.refs)) == (
         0, "", True, {}, [1, 2],
     )
+
+
+def test_locations_on_ways(spark, tmp_path):
+    """Files annotated by osmium add-locations-to-ways carry per-node
+    coordinates on Way fields 9/10 as granularity-scaled zigzag delta
+    chains; the reference loads them automatically
+    (osmpbf/decode_data.go:607-647, osmpbf/README.md locations-on-ways
+    section). Both decode paths reproduce them, and ways without the
+    annotation yield empty location arrays."""
+    from osm_spark.sources.pbf import (
+        decode_primitive_block, decompress_blob, encode_pbf,
+        encode_primitive_block, read_pbf_file_ways_arrow, split_blobs,
+    )
+
+    ways = [
+        {
+            "id": 1, "refs": [10, 11, 12],
+            "tags": {"highway": "primary"},
+            "lats": [51.5074, 51.5080, -33.8688],
+            "lons": [-0.1278, -0.1280, 151.2093],
+        },
+        {"id": 2, "refs": [12, 10]},  # un-annotated way in the same file
+        {
+            "id": 3, "refs": [7],
+            "lats": [0.0000001], "lons": [-0.0000001],
+        },
+    ]
+    data = encode_pbf([encode_primitive_block(ways=ways)])
+
+    def q(deg):  # the codec's defined value: 1e-9 * gran * round(1e7*deg)
+        return [1e-9 * (100 * round(x * 1e7)) for x in deg]
+
+    # row decoder
+    blk = decode_primitive_block(decompress_blob(split_blobs(data)[1][1]))
+    w1, w2, w3 = blk["ways"]
+    assert w1["lats"] == q([51.5074, 51.5080, -33.8688])
+    assert w1["lons"] == q([-0.1278, -0.1280, 151.2093])
+    assert "lats" not in w2
+    assert w3["lats"] == q([0.0000001]) and w3["lons"] == q([-0.0000001])
+
+    # Arrow scan with the location columns projected
+    p = tmp_path / "low.osm.pbf"
+    p.write_bytes(data)
+    rows = {
+        r.id: r
+        for r in read_pbf_file_ways_arrow(
+            spark, str(p), columns=("id", "refs", "lats", "lons")
+        ).collect()
+    }
+    assert rows[1].lats == q([51.5074, 51.5080, -33.8688])
+    assert rows[1].lons == q([-0.1278, -0.1280, 151.2093])
+    assert rows[2].lats == [] and rows[2].lons == []
+    assert rows[3].lats == q([0.0000001])
+    # default projection unchanged
+    d = read_pbf_file_ways_arrow(spark, str(p))
+    assert d.columns == ["id", "refs", "tags"]
