@@ -2914,6 +2914,70 @@ def q_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xml_bz2_scan",
+    """
+    SELECT 'node' AS etype, event_id AS id,
+           CAST(user_id % 9 + 1 AS INT) AS version,
+           event_id * 2 AS changeset,
+           value AS lat, -value AS lon
+    FROM events
+    """,
+)
+def q_xml_bz2_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splittable bzip2 XML source (sources/bzip2.py — the parallel
+    re-expression of the reference's sequential planet-dump read,
+    osmxml/scanner_test.go:163-230): events render to a node document,
+    compress into a MULTI-BLOCK bzip2 file (level 1 = 100 KB blocks,
+    so block magics land at arbitrary bit offsets), and the scan runs
+    with raw-byte splits far smaller than the compressed file so both
+    ownership levels — bz2 blocks per raw range, elements per owned
+    decompressed bytes — cross every task edge. The typed parse must
+    reproduce every node exactly once; the oracle recomputes the rows
+    straight from events."""
+    import bz2 as _bz2
+    import hashlib
+    import os
+    import tempfile
+
+    from osm_spark.functions import xml_codec as X
+    from osm_spark.sources.bzip2 import read_osm_xml_bz2
+    from osm_spark.sources.xmlfile import parse_elements
+
+    ev = _t(spark, sf_dir, "events")
+    no_tags = F.array().cast("array<struct<k:string,v:string>>")
+    node_xml = ev.select(
+        F.col("event_id").alias("id"),
+        X.node_to_xml(
+            X.node_struct(
+                "event_id", F.col("value"), -F.col("value"),
+                (F.col("user_id") % 9 + 1).cast("int"),
+                F.col("event_id") * 2, no_tags,
+            )
+        ).alias("xml"),
+    )
+    lines = [r.xml for r in node_xml.orderBy("id").collect()]
+    # fixture-sized render (~10k elements at sf0.01), as in xml_scan
+    body = ("<osm version=\"0.6\">\n" + "\n".join(lines) + "\n</osm>\n").encode()
+    comp = _bz2.BZ2Compressor(1)  # 100 KB blocks -> multi-block file
+    data = comp.compress(body) + comp.flush()
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(
+        tempfile.gettempdir(), f"osm_spark_xml_bz2_{key}.osm.bz2"
+    )
+    fd, tmp = tempfile.mkstemp(dir=tempfile.gettempdir())
+    with os.fdopen(fd, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)  # atomic vs concurrent sessions
+
+    snip = read_osm_xml_bz2(spark, path, split_bytes=4 << 10)
+    return parse_elements(snip, "node").select(
+        F.lit("node").alias("etype"), "id", "version", "changeset",
+        "lat", "lon",
+    )
+
+
+@register(
     "table_prune_scan",
     """
     SELECT user_id,
@@ -8118,9 +8182,10 @@ _DRIVER_WINDOW: list[str] = [
     # osmapi family
     "osmapi_notes",
     "changeset_feed_parse",
-    # XML file source + diff codec family
+    # XML file source + diff codec family (diff_roundtrip, r04-green,
+    # parks to make room for the round-5 splittable-bzip2 source row)
     "xml_scan",
-    "diff_roundtrip",
+    "xml_bz2_scan",
     # snapshot-table stats pruning
     "table_prune_scan",
     # WARC container source

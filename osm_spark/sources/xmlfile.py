@@ -18,9 +18,13 @@ Spark-first design, mirroring the PBF block scan (pbf.py:644-704):
 - Snippet extraction is byte scanning only (regex, C-speed); the
   actual XML parse happens JVM-side via from_xml over the snippet
   column (functions/xml_codec.py schemas) — no Python XML parsing.
-- ``.osm.gz`` / ``.osm.bz2`` are not splittable (same as Hadoop): one
-  task streams the whole decompressed member (scanner_test.go:163-230
-  is the reference's bz2 path).
+- ``.osm.bz2`` IS splittable (sources/bzip2.py, Hadoop
+  SplittableCompressionCodec semantics): tasks own the bit-aligned
+  bzip2 blocks starting in their raw range and the elements starting
+  in their owned decompressed bytes — planet dumps ship as bzip2, so
+  this is the path that matters at 100 TB. ``.osm.gz`` stays a single
+  stream split (gzip carries inter-block state; same as Hadoop).
+  scanner_test.go:163-230 is the reference's sequential bz2 path.
 
 Well-formedness contract (documented, not checked): '<' never appears
 raw outside markup (XML requires ``&lt;``), so element starts and
@@ -125,19 +129,26 @@ def read_osm_xml(
 
     Plain files split into ``split_bytes`` ranges; each task owns the
     elements STARTING in its range and reads just past its end to
-    finish the last one. Compressed files scan as one stream split.
-    Feed the result to :func:`parse_elements` for typed columns.
+    finish the last one. ``.bz2`` files split the same way over the
+    compressed bytes via bit-aligned block ownership
+    (:func:`osm_spark.sources.bzip2.read_osm_xml_bz2` — planet dumps
+    are bzip2, so the compressed file stays the dataset). ``.gz``
+    scans as one stream split. Feed the result to
+    :func:`parse_elements` for typed columns.
 
     Multi-split scanning is exact for files whose element bodies carry
     no scannable child tags — i.e. the planet/diff shape (node/way/
     relation/bounds, whose children are only tag/nd/member). A notes
     feed nests ``<user>`` inside ``<note>``, so a split starting
     mid-note could misread the tail; scan such feeds with
-    ``split_bytes`` >= file size (or compressed, which already
-    single-splits).
+    ``split_bytes`` >= file size (which also single-splits bz2).
     """
     comp = _compression(path)
     size = os.path.getsize(path)
+    if comp == "bz2" and size > split_bytes:
+        from osm_spark.sources.bzip2 import read_osm_xml_bz2
+
+        return read_osm_xml_bz2(spark, path, split_bytes)
     if comp:
         splits = [(path, 0, size, comp)]
     else:

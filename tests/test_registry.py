@@ -163,6 +163,11 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     "pack_ctx", "anchor_rollup", "web_sessions", "contamination_check",
     "bpe_pair_counts", "crawl_delta", "substr_dedup", "lm_perplexity",
     "frontier_schedule", "page_snapshot_at", "kmv_distinct",
+    # round-5 xml_bz2_scan rotation: diff_roundtrip (r04 driver-green)
+    # parked; the XML codec family keeps xml_scan in-window and gains
+    # the splittable-bzip2 source row (both levels of split ownership
+    # under driver hash).
+    "diff_roundtrip",
 })
 
 # Queries awaiting their first driver window slot.  Round 5: EMPTY —
