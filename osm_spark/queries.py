@@ -6515,6 +6515,58 @@ def q_segment_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rl.supercover(segs, z=8, qbits=16)
 
 
+@register(
+    "way_crossings",
+    """
+    WITH s AS (
+      SELECT doc_id AS sid,
+             (doc_id * 104729 % 36000) * 1000 AS x1,
+             (doc_id * 7919 % 17000) * 1000 AS y1,
+             (doc_id * 104729 % 36000) * 1000
+               + ((doc_id * 65537 % 2001) - 1000) * 1000 AS x2,
+             (doc_id * 7919 % 17000) * 1000
+               + ((doc_id * 4099 % 2001) - 1000) * 1000 AS y2
+      FROM documents),
+    p AS (
+      SELECT a.sid AS seg_a, b.sid AS seg_b,
+             (a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1) AS d1,
+             (a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1) AS d2,
+             (b.x2-b.x1)*(a.y1-b.y1) - (b.y2-b.y1)*(a.x1-b.x1) AS d3,
+             (b.x2-b.x1)*(a.y2-b.y1) - (b.y2-b.y1)*(a.x2-b.x1) AS d4
+      FROM s a JOIN s b ON a.sid < b.sid)
+    SELECT seg_a, seg_b FROM p
+    WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+      AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
+    """,
+)
+def q_way_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-intersection spatial join (geo/crossings.py) — the OSM
+    QA query 'which ways properly cross without sharing a node' (the
+    reference's WayNodes geometries + orb-style planar predicates,
+    scaled to a planet of ways): documents derive ~1°-long int64 µdeg
+    segments inside a 36°x17° region, each explodes to its bbox grid
+    cells (2^20 µdeg ≈ 1.05°, 1-4 cells/segment), candidates equi-join
+    on cell + bbox overlap, and the exact orientation sign test keeps
+    strict interior crossings only.  Everything is exact integer
+    arithmetic end-to-end, so the oracle's brute-force ALL-PAIRS
+    derivation (which exists only in DuckDB — the Spark side never
+    leaves the cell join) agrees bit-for-bit.  The pair-keyed DISTINCT
+    is sized by the output, not the candidate set."""
+    from osm_spark.geo.crossings import segment_crossings
+
+    d = F.col("doc_id")
+    segs = _t(spark, sf_dir, "documents").select(
+        d.alias("seg_id"),
+        (d * 104729 % 36000 * 1000).alias("x1"),
+        (d * 7919 % 17000 * 1000).alias("y1"),
+        (d * 104729 % 36000 * 1000
+         + (d * 65537 % 2001 - 1000) * 1000).alias("x2"),
+        (d * 7919 % 17000 * 1000
+         + (d * 4099 % 2001 - 1000) * 1000).alias("y2"),
+    )
+    return segment_crossings(segs, cell_bits=20)
+
+
 def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Render every document into an HTML page and pack the pages into
     a deterministic `.warc.gz` (one gzip member per record — the Common
@@ -8163,8 +8215,10 @@ _DRIVER_WINDOW: list[str] = [
     # geojson emission family
     "geojson_way_features",
     # geometry family (convex_hull / simplify_dp / resample_line /
-    # wkt_codec / mvt_encode / geodesic_area rotate in alongside)
-    "multipolygon_assembly",
+    # wkt_codec / mvt_encode / geodesic_area rotate in alongside;
+    # multipolygon_assembly, r04-green, parks for the round-5
+    # segment-intersection join row)
+    "way_crossings",
     # temporal / history family
     "asof_annotate",
     # ids / stats family (length_quantiles rotates in alongside)

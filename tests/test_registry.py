@@ -168,6 +168,11 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # the splittable-bzip2 source row (both levels of split ownership
     # under driver hash).
     "diff_roundtrip",
+    # round-5 way_crossings rotation: multipolygon_assembly (r04
+    # driver-green) parked; the geometry family keeps convex_hull /
+    # simplify_dp / resample_line / wkt_codec / mvt_encode /
+    # geodesic_area in-window and gains the segment-intersection join.
+    "multipolygon_assembly",
 })
 
 # Queries awaiting their first driver window slot.  Round 5: EMPTY —
