@@ -871,6 +871,109 @@ def _warc_child(cpus: str) -> None:
     }))
 
 
+BZ2_MB = int(os.environ.get("SPARK_GRAFT_BZ2_MB", "1536"))
+
+
+def _make_bench_bz2(target_mb: int) -> tuple[str, int]:
+    """Synthetic multi-block planet-style .osm.bz2 for the splittable
+    bzip2 decode bench, cached in /tmp.
+
+    16 MB of LCG-coordinate node XML compresses ONCE at level 1
+    (100 KB blocks, so magics land at arbitrary bit offsets), then the
+    compressed stream tiles as MULTISTREAM concatenation to the target
+    decompressed size — blocks are independent, so decode work per
+    block is identical and tiling scales the corpus without scaling
+    the one-time encode (same trick as _make_bench_warc)."""
+    import bz2 as _bz2
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"osm_spark_bench_bz2_{target_mb}.osm.bz2"
+    )
+    base_nodes = 240_000
+    reps = max(1, (target_mb << 20) // (base_nodes * 68))
+    if os.path.exists(path):
+        return path, base_nodes * reps
+
+    x = 88172645463325252
+
+    def rnd(mod):
+        nonlocal x
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return (x >> 17) % mod
+
+    lines = [b'<osm version="0.6">']
+    for i in range(base_nodes):
+        lines.append(
+            b'<node id="%d" lat="%d.%06d" lon="-%d.%06d" version="%d"'
+            b' changeset="%d"/>'
+            % (i + 1, rnd(85), rnd(1000000), rnd(179), rnd(1000000),
+               rnd(9) + 1, rnd(1 << 30))
+        )
+    lines.append(b"</osm>\n")
+    comp = _bz2.BZ2Compressor(1)
+    stream = comp.compress(b"\n".join(lines)) + comp.flush()
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+    with os.fdopen(fd, "wb") as f:
+        for _ in range(reps):
+            f.write(stream)
+    os.replace(tmp, path)
+    return path, base_nodes * reps
+
+
+def _bz2_child(cpus: str) -> None:
+    """Fresh JVM: splittable bzip2 scan rates over the cached synthetic
+    planet dump (sources/bzip2.py) — the compressed-ingest counterpart
+    of the PBF/WARC decode benches.  Two numbers: block decode
+    (bit-aligned magic scan + standalone block decompression; count +
+    byte-sum so every block crosses into the plan) and end-to-end
+    element scan (blocks + two-level ownership + snippet extraction).
+    Best of 3 after a warm-up."""
+    import pyspark.sql.functions as F
+
+    from osm_spark.session import get_spark
+    from osm_spark.sources.bzip2 import read_bz2_blocks, read_osm_xml_bz2
+
+    path, n_elements = _make_bench_bz2(BZ2_MB)
+    spark = get_spark(
+        "bench-bz2", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    split = max(os.path.getsize(path) // (int(cpus) * 3), 1 << 20)
+
+    def run_blocks() -> tuple[float, int]:
+        t0 = time.time()
+        row = (
+            read_bz2_blocks(spark, path, split_bytes=split)
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.length("data")).alias("s"))
+            .collect()[0]
+        )
+        return time.time() - t0, int(row["s"])
+
+    def run_elements() -> tuple[float, int]:
+        t0 = time.time()
+        n = read_osm_xml_bz2(spark, path, split_bytes=split).count()
+        return time.time() - t0, n
+
+    run_blocks()
+    best_blk = None
+    nbytes = 0
+    for _ in range(3):
+        sec, nbytes = run_blocks()
+        best_blk = sec if best_blk is None or sec < best_blk else best_blk
+    best_el = None
+    for _ in range(3):
+        sec, n = run_elements()
+        best_el = sec if best_el is None or sec < best_el else best_el
+        assert n == n_elements, (n, n_elements)
+    print(json.dumps({
+        "which": "bz2", "sec_blocks": round(best_blk, 3),
+        "sec_elements": round(best_el, 3),
+        "bytes": nbytes, "elements": n_elements,
+    }))
+
+
 def _pbf_child(cpus: str) -> None:
     """Fresh JVM: block-parallel PBF node decode rate over the cached
     synthetic planet — the one number directly comparable to the
@@ -1048,6 +1151,33 @@ def run_default() -> None:
         )
     times["warc_decode"] = warc_sec
 
+    # Splittable bzip2 decode rate: fresh JVM, best of 2 children (the
+    # compressed-planet-ingest twin of the PBF/WARC rates)
+    bz2_blk_sec = bz2_el_sec = None
+    bz2_bytes = bz2_elements = 0
+    for _ in range(2):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--bz2-child", CPUS],
+            capture_output=True, text=True, timeout=1800,
+            env={**os.environ},
+        )
+        line = [
+            l for l in out.stdout.strip().splitlines() if l.startswith("{")
+        ][-1]
+        r = json.loads(line)
+        bz2_bytes, bz2_elements = r["bytes"], r["elements"]
+        bz2_blk_sec = (
+            r["sec_blocks"]
+            if bz2_blk_sec is None or r["sec_blocks"] < bz2_blk_sec
+            else bz2_blk_sec
+        )
+        bz2_el_sec = (
+            r["sec_elements"]
+            if bz2_el_sec is None or r["sec_elements"] < bz2_el_sec
+            else bz2_el_sec
+        )
+    times["bz2_decode"] = bz2_blk_sec
+
     # flagships measure in FRESH JVMs (see _flagship_child docstring)
     flagship_jvms = 3
     flagship_sec, n_pages = _run_flagship_fresh("tile", jvms=flagship_jvms)
@@ -1076,6 +1206,8 @@ def run_default() -> None:
         "warc_extract_pages_per_sec": int(warc_pages / warc_extract),
         "warc_pruned_pages_per_sec": int(warc_pages / warc_pruned),
         "hex_pages_per_sec": int(hex_pages / hex_sec),
+        "bz2_mb_per_sec": int(bz2_bytes / bz2_blk_sec / (1 << 20)),
+        "bz2_elements_per_sec": int(bz2_elements / bz2_el_sec),
     }
     verbose = {
         "metric": "headline_queries_total",
@@ -1088,6 +1220,8 @@ def run_default() -> None:
         "pbf_ways": pbf_ways,
         "pbf_relations": pbf_rels,
         "warc_pages": warc_pages,
+        "bz2_bytes": bz2_bytes,
+        "bz2_elements": bz2_elements,
         "flagship_pages": n_pages,
         "cpus": int(CPUS),
         "replicate": REPLICATE,
@@ -1381,5 +1515,7 @@ if __name__ == "__main__":
         _pbf_wr_child(sys.argv[2])
     elif len(sys.argv) > 1 and sys.argv[1] == "--warc-child":
         _warc_child(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--bz2-child":
+        _bz2_child(sys.argv[2])
     else:
         run_default()

@@ -64,33 +64,59 @@ _MASK48 = (1 << 48) - 1
 BLOCK, EOS = 0, 1
 
 
+def _phase_patterns(magic: int):
+    """For each of the 8 bit phases: the fully-determined inner bytes
+    (memchr-searchable), their byte offset from the window start, and
+    the two partial edge-byte checks ((mask, value) or None).
+
+    At phase s the 48 magic bits span bytes 0..6 of the window; bytes
+    1..5 come entirely from the magic (byte j = magic >> (40+s-8j)),
+    byte 0 keeps only its low 8-s bits and byte 6 only its high s bits.
+    Phase 0 is the aligned case: all 6 bytes are exact."""
+    pats = []
+    for s in range(8):
+        if s == 0:
+            pats.append((magic.to_bytes(6, "big"), 0, None, None))
+            continue
+        inner = bytes((magic >> (40 + s - 8 * j)) & 0xFF for j in range(1, 6))
+        head = ((1 << (8 - s)) - 1, magic >> (40 + s))
+        tail = (0xFF << (8 - s) & 0xFF, (magic & ((1 << s) - 1)) << (8 - s))
+        pats.append((inner, 1, head, tail))
+    return pats
+
+
+_PATTERNS = [
+    (kind, s, pat)
+    for kind, magic in ((BLOCK, _BLOCK_MAGIC), (EOS, _EOS_MAGIC))
+    for s, pat in enumerate(_phase_patterns(magic))
+]
+
+
 def scan_magics(buf: bytes, base: int = 0) -> list[tuple[int, int]]:
     """All (absolute_bit_position, kind) block/EOS magics in ``buf``,
     sorted; ``base`` is the file byte offset of ``buf[0]``.
 
-    Vectorized: per 4 MiB chunk, one uint64 sliding 56-bit window
-    (7 bytes big-endian), then 8 shift-and-mask compares — one per bit
-    phase.  A magic starting at bit s of byte i satisfies
-    ``(w[i] >> (8 - s)) & MASK48 == magic``.
-    """
-    import numpy as np
-
+    One C-speed ``bytes.find`` sweep per (magic, bit-phase) pair — 16
+    sweeps total — over the fully-determined inner bytes, then the two
+    partial edge bytes verify under mask.  A 5-byte inner pattern false
+    positive costs one masked compare (~2^-40 per position), so every
+    sweep runs at memchr speed."""
     hits: list[tuple[int, int]] = []
     n = len(buf)
-    chunk = 1 << 22
-    arr = np.frombuffer(buf, np.uint8)
-    for off in range(0, max(n - 6, 0), chunk):
-        m = min(chunk, n - 6 - off)
-        if m <= 0:
-            break
-        w = arr[off:off + m].astype(np.uint64)
-        for k in range(1, 7):
-            w = (w << np.uint64(8)) | arr[off + k:off + k + m]
-        for s in range(8):
-            vals = (w >> np.uint64(8 - s)) & np.uint64(_MASK48)
-            for kind, magic in ((BLOCK, _BLOCK_MAGIC), (EOS, _EOS_MAGIC)):
-                for i in np.nonzero(vals == np.uint64(magic))[0].tolist():
-                    hits.append(((base + off + i) * 8 + s, kind))
+    for kind, s, (inner, off, head, tail) in _PATTERNS:
+        pos = buf.find(inner)
+        while pos != -1:
+            w = pos - off  # window start byte
+            if w >= 0:
+                if head is None:
+                    hits.append(((base + w) * 8, kind))
+                elif (
+                    w + 6 < n
+                    and buf[w] & head[0] == head[1]
+                    and buf[w + 6] & tail[0] == tail[1]
+                ):
+                    hits.append(((base + w) * 8 + s, kind))
+            pos = buf.find(inner, pos + 1)
     hits.sort()
     return hits
 
