@@ -5445,6 +5445,117 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ct.contamination_report(ev, tr, "doc_id", "text", n=8)
 
 
+_FUZZY_BANDS = "\n      UNION ALL\n      ".join(
+    "SELECT doc_id, {b} AS band, s{x} || '|' || s{y} AS band_key "
+    "FROM {{t}}".format(b=b, x=2 * b, y=2 * b + 1)
+    for b in range(4)
+)
+
+
+@register(
+    "fuzzy_contamination",
+    f"""
+    WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+    ev AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 500000, text || ' qq7 leak tail' FROM documents
+      WHERE doc_id % 10 = 1),
+    sht AS (SELECT doc_id, unnest({_SH3}) AS sh FROM tr),
+    she AS (SELECT doc_id, unnest({_SH3}) AS sh FROM ev),
+    sigt AS (SELECT doc_id, {_SIG_COLS} FROM sht GROUP BY 1),
+    sige AS (SELECT doc_id, {_SIG_COLS} FROM she GROUP BY 1),
+    bt AS ({_FUZZY_BANDS.format(t="sigt")}),
+    be AS ({_FUZZY_BANDS.format(t="sige")}),
+    cand AS (SELECT DISTINCT e.doc_id AS a, t.doc_id AS b
+             FROM be e JOIN bt t
+               ON e.band = t.band AND e.band_key = t.band_key),
+    shdt AS (SELECT DISTINCT doc_id, sh FROM sht),
+    shde AS (SELECT DISTINCT doc_id, sh FROM she),
+    inter AS (SELECT c.a, c.b, count(*) AS i
+              FROM cand c
+              JOIN shde x ON x.doc_id = c.a
+              JOIN shdt y ON y.doc_id = c.b AND y.sh = x.sh
+              GROUP BY 1, 2),
+    se AS (SELECT doc_id, count(DISTINCT sh) AS ns FROM she GROUP BY 1),
+    st AS (SELECT doc_id, count(DISTINCT sh) AS ns FROM sht GROUP BY 1),
+    flag AS (SELECT c.a, c.b, coalesce(i.i, 0) AS inter,
+                    se.ns + st.ns - coalesce(i.i, 0) AS uni
+             FROM cand c
+             LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+             JOIN se ON se.doc_id = c.a
+             JOIN st ON st.doc_id = c.b),
+    hits AS (SELECT a, count(*) AS n_cand,
+                    sum(CASE WHEN inter * 2 >= uni THEN 1 ELSE 0 END)
+                      AS n_contam,
+                    min(CASE WHEN inter * 2 >= uni THEN b END) AS best_train
+             FROM flag GROUP BY a)
+    SELECT e.doc_id,
+           CAST(coalesce(h.n_cand, 0) AS BIGINT) AS n_cand,
+           CAST(coalesce(h.n_contam, 0) AS BIGINT) AS n_contam,
+           h.best_train,
+           CAST(coalesce(h.n_contam, 0) >= 1 AS INT) AS contaminated
+    FROM ev e LEFT JOIN hits h ON h.a = e.doc_id
+    """,
+)
+def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY train/eval decontamination (text/dedup.py
+    lsh_candidates_cross) — the MinHash twin of the exact 8-gram
+    contamination_check: paraphrased/near-duplicate eval leaks that exact
+    n-gram overlap misses.  Corpus: train = 90% of documents; eval =
+    the held-out 10% (clean) plus PLANTED near-copies of train docs
+    ('train text' + a 3-word tail).  Both sides minhash (k=8), band
+    (4x2), and the candidate join is CROSS-corpus on (band, band_key)
+    with the eval side broadcast — at real scale the eval benchmark is
+    thousands of docs against a trillion-doc train side, so the train
+    corpus never shuffles for the join.  Candidates verify with exact
+    distinct-shingle jaccard; contaminated = jaccard >= 0.5, compared
+    as ``inter*2 >= uni`` in int64 so both engines agree exactly.
+    Never all-pairs anywhere; the per-eval-doc rollup is keyed on the
+    (small) eval side."""
+    from osm_spark.text import dedup as _dd2
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(32, "doc_id")
+    tr = docs.where(F.col("doc_id") % 10 != 0)
+    ev = docs.where(F.col("doc_id") % 10 == 0).unionByName(
+        docs.where(F.col("doc_id") % 10 == 1).select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.concat("text", F.lit(" qq7 leak tail")).alias("text"),
+        )
+    )
+    sig_t = _persist(_dd2.minhash_signature(tr, "doc_id", "text", k=8))
+    sig_e = _persist(_dd2.minhash_signature(ev, "doc_id", "text", k=8))
+    sh_t = _persist(
+        tr.select("doc_id", F.array_distinct(_dd2.shingles("text")).alias("sh"))
+    )
+    sh_e = _persist(
+        ev.select("doc_id", F.array_distinct(_dd2.shingles("text")).alias("sh"))
+    )
+    cand = _dd2.lsh_candidates_cross(
+        sig_e, sig_t, "doc_id", k=8, rows_per_band=2, broadcast_a=True
+    )
+    jac = _dd2.pair_jaccard_cross(cand, sh_e, sh_t)
+    contam = F.col("inter") * 2 >= F.col("uni")
+    hits = jac.groupBy("a").agg(
+        F.count("*").alias("n_cand"),
+        F.sum(contam.cast("long")).alias("n_contam"),
+        F.min(F.when(contam, F.col("b"))).alias("best_train"),
+    )
+    return (
+        ev.select("doc_id")
+        .join(hits.withColumnRenamed("a", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+            F.coalesce("n_contam", F.lit(0)).alias("n_contam"),
+            "best_train",
+            (F.coalesce("n_contam", F.lit(0)) >= 1).cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
 @register(
     "bpe_pair_counts",
     """
@@ -8249,10 +8360,13 @@ _DRIVER_WINDOW: list[str] = [
     # nb_classify / semantic_dedup / neardup_clusters keep the family's
     # dedup, retrieval, classification and boilerplate kernels under
     # driver hash; pmi_collocations / phrase_merge rotate in alongside)
+    # (bm25_search, r04-green, parks for the round-5 cross-corpus
+    # fuzzy-decontamination row; index_search keeps the postings/top-k
+    # retrieval kernels in-window)
     "main_content",
     "robots_filter",
     "index_search",
-    "bm25_search",
+    "fuzzy_contamination",
     "nb_classify",
     "semantic_dedup",
     "neardup_clusters",

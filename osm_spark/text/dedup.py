@@ -118,6 +118,70 @@ def lsh_candidates(
     )
 
 
+def band_frame(
+    sig: DataFrame, id_col: str, out: str, k: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """Project a minhash signature frame to its banded form
+    ``(out, band, band_key)`` — k/rows_per_band rows per doc."""
+    frames = []
+    for b in range(k // rows_per_band):
+        key = F.concat_ws(
+            "|",
+            *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)],
+        )
+        frames.append(
+            sig.select(
+                F.col(id_col).alias(out), F.lit(b).alias("band"),
+                key.alias("band_key"),
+            )
+        )
+    allb = frames[0]
+    for f in frames[1:]:
+        allb = allb.unionByName(f)
+    return allb
+
+
+def lsh_candidates_cross(
+    sig_a: DataFrame,
+    sig_b: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    rows_per_band: int = 2,
+    broadcast_a: bool = False,
+) -> DataFrame:
+    """Cross-corpus LSH: candidate (a, b) pairs where a document of
+    corpus A shares a band key with a document of corpus B — the fuzzy
+    train/eval decontamination join.  Never all-pairs: one equi-join
+    on (band, band_key).  Set ``broadcast_a`` when corpus A (the eval
+    benchmark, typically thousands of docs against a trillion-doc
+    train side) fits in a broadcast — the join then runs map-side with
+    no shuffle of the big corpus."""
+    a = band_frame(sig_a, id_col, "a", k, rows_per_band)
+    b = band_frame(sig_b, id_col, "b", k, rows_per_band)
+    if broadcast_a:
+        a = F.broadcast(a)
+    return a.join(b, ["band", "band_key"]).select("a", "b").distinct()
+
+
+def pair_jaccard_cross(
+    pairs: DataFrame, sh_a: DataFrame, sh_b: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact distinct-shingle jaccard for cross-corpus (a, b) pairs;
+    ``sh_a``/``sh_b`` are (id, sh array) frames for each side."""
+    a = sh_a.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b = sh_b.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "a")
+        .join(b, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size(F.array_union("sh_a", "sh_b")).alias("uni"),
+        )
+    )
+
+
 def pair_jaccard(
     docs: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
     shingle_df: DataFrame | None = None,

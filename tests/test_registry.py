@@ -173,6 +173,11 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # simplify_dp / resample_line / wkt_codec / mvt_encode /
     # geodesic_area in-window and gains the segment-intersection join.
     "multipolygon_assembly",
+    # round-5 fuzzy_contamination rotation: bm25_search (r04
+    # driver-green) parked; index_search keeps the postings/top-k
+    # retrieval kernels in-window and the minhash/band kernels gain
+    # their cross-corpus decontamination row.
+    "bm25_search",
 })
 
 # Queries awaiting their first driver window slot.  Round 5: EMPTY —
