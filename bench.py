@@ -823,11 +823,14 @@ def _warc_child(cpus: str) -> None:
 
     def run_discard() -> tuple[float, int]:
         size = os.path.getsize(path)
+        ranges = [
+            (path, off, min(off + split, size))
+            for off in range(0, size, split)
+        ]
+        # one split per task, same dynamic granularity as read_warc
         splits_df = spark.createDataFrame(
-            [(path, off, min(off + split, size))
-             for off in range(0, size, split)],
-            "path string, start long, end long",
-        )
+            ranges, "path string, start long, end long"
+        ).repartition(len(ranges))
         import pandas as pd
 
         def gen(batches):
@@ -956,6 +959,49 @@ def _bz2_child(cpus: str) -> None:
         n = read_osm_xml_bz2(spark, path, split_bytes=split).count()
         return time.time() - t0, n
 
+    # payload-DISCARD twin (the BASELINE.md scaling decomposition, same
+    # method as the WARC bench): identical magic scan + block wrap +
+    # decompression per task, but only (blocks, bytes) counts ship to
+    # the JVM — isolates the pure decode work (C, embarrassingly
+    # parallel) from the 2 GB Arrow/JVM payload ship.
+    def run_discard() -> tuple[float, int]:
+        from osm_spark.sources.bzip2 import _iter_task_blocks
+
+        size = os.path.getsize(path)
+        ranges = [
+            (path, off, min(off + split, size), size)
+            for off in range(0, size, split)
+        ]
+        # one split per task, same dynamic granularity as read_bz2_blocks
+        splits_df = spark.createDataFrame(
+            ranges, "path string, start long, end long, size long"
+        ).repartition(len(ranges))
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                n = nb = 0
+                for p, s0, e0, z0 in zip(
+                    pdf["path"], pdf["start"], pdf["end"], pdf["size"]
+                ):
+                    for owned, data in _iter_task_blocks(
+                        p, int(s0), int(e0), int(z0)
+                    ):
+                        if not owned:
+                            break
+                        n += 1
+                        nb += len(data)
+                yield pd.DataFrame({"n": [n], "nb": [nb]})
+
+        t0 = time.time()
+        row = (
+            splits_df.mapInPandas(gen, schema="n long, nb long")
+            .agg(F.sum("n").alias("n"), F.sum("nb").alias("s"))
+            .collect()[0]
+        )
+        return time.time() - t0, int(row["s"])
+
     run_blocks()
     best_blk = None
     nbytes = 0
@@ -967,9 +1013,15 @@ def _bz2_child(cpus: str) -> None:
         sec, n = run_elements()
         best_el = sec if best_el is None or sec < best_el else best_el
         assert n == n_elements, (n, n_elements)
+    best_disc = None
+    for _ in range(3):
+        sec, nb2 = run_discard()
+        best_disc = sec if best_disc is None or sec < best_disc else best_disc
+        assert nb2 == nbytes
     print(json.dumps({
         "which": "bz2", "sec_blocks": round(best_blk, 3),
         "sec_elements": round(best_el, 3),
+        "sec_discard": round(best_disc, 3),
         "bytes": nbytes, "elements": n_elements,
     }))
 

@@ -169,7 +169,14 @@ class _RangeReader:
         """Grow the window to cover file byte ``upto`` (exclusive)."""
         need = min(upto, self.size) - self.base - len(self.buf)
         if need > 0:
-            self.buf += self.f.read(max(need, self.step))
+            data = self.f.read(max(need, self.step))
+            if not data:
+                # file shorter than the claimed size (truncated or
+                # replaced mid-job): clamp so at_eof() turns true
+                # instead of busy-spinning on empty reads forever
+                self.size = self.base + len(self.buf)
+                return
+            self.buf += data
             lo = max(self._scanned - 6, 0)
             self.bnds.extend(
                 b for b in scan_magics(self.buf[lo:], self.base + lo)
@@ -205,10 +212,9 @@ def _iter_task_blocks(path: str, start: int, end: int, size: int,
                 if r.bnds[i][1] == BLOCK:
                     break
                 i += 1
+            # previous-task exclusion is structural: the reader opens at
+            # `start`, so no boundary before it can ever be discovered
             p, owned = r.bnds[i][0], r.bnds[i][0] // 8 < end
-            if r.bnds[i][0] // 8 < start:  # previous task's block
-                i += 1
-                continue
             # validate against successive boundaries (false-positive
             # magics inside payload fail decompression and are dropped)
             j, data = i + 1, None
@@ -299,13 +305,30 @@ def read_osm_xml_bz2(spark: SparkSession, path: str,
             for p, s, e, z in zip(
                 pdf["path"], pdf["start"], pdf["end"], pdf["size"]
             ):
-                owned_len, parts = 0, []
+                # the anchor scan per overrun block looks only at that
+                # block plus a 15-byte carry (anchors are <=11 bytes, so
+                # one straddling the previous part's edge is caught);
+                # `pos` tracks the carry's absolute stream offset so
+                # anchors inside the last OWNED bytes don't count
+                owned_len, parts, tail, pos = 0, [], b"", 0
                 for owned, data in _iter_task_blocks(p, int(s), int(e), int(z)):
-                    parts.append(data)
                     if owned:
+                        parts.append(data)
                         owned_len += len(data)
-                    elif _ANCHOR_RE.search(b"".join(parts), owned_len):
+                        pos += len(data)
+                        tail = data[-15:]
+                        continue
+                    if owned_len == 0:
+                        break  # nothing owned: skip foreign decompression
+                    parts.append(data)
+                    base = pos - len(tail)
+                    if any(
+                        base + m.start() >= owned_len
+                        for m in _ANCHOR_RE.finditer(tail + data)
+                    ):
                         break  # every owned element closes before it
+                    pos += len(data)
+                    tail = (tail + data)[-15:]
                 if owned_len == 0:
                     continue
                 buf = b"".join(parts)

@@ -123,6 +123,7 @@ def read_osm_xml(
     path: str,
     split_bytes: int = 32 << 20,
     read_step: int = 4 << 20,
+    bz2_split: bool = True,
 ) -> DataFrame:
     """Element-wise parallel scan of a ``.osm`` file (optionally
     .gz/.bz2) -> DataFrame (etype string, xml string).
@@ -141,11 +142,12 @@ def read_osm_xml(
     relation/bounds, whose children are only tag/nd/member). A notes
     feed nests ``<user>`` inside ``<note>``, so a split starting
     mid-note could misread the tail; scan such feeds with
-    ``split_bytes`` >= file size (which also single-splits bz2).
+    ``split_bytes`` >= file size, or ``bz2_split=False`` to force the
+    pre-round-5 single-stream bz2 behavior without knowing the size.
     """
     comp = _compression(path)
     size = os.path.getsize(path)
-    if comp == "bz2" and size > split_bytes:
+    if comp == "bz2" and bz2_split and size > split_bytes:
         from osm_spark.sources.bzip2 import read_osm_xml_bz2
 
         return read_osm_xml_bz2(spark, path, split_bytes)

@@ -94,22 +94,8 @@ def lsh_candidates(
     per-bucket pair generation via self-join. Hot buckets (boilerplate
     text) are the skew risk — AQE skew join splits them.
     """
-    n_bands = k // rows_per_band
-    bands = []
-    for b in range(n_bands):
-        key = F.concat_ws(
-            "|", *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        )
-        bands.append(
-            sig.select(
-                F.col(id_col), F.lit(b).alias("band"), key.alias("band_key")
-            )
-        )
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionByName(b)
-    left = allb.withColumnRenamed(id_col, "a")
-    right = allb.withColumnRenamed(id_col, "b")
+    left = band_frame(sig, id_col, "a", k, rows_per_band)
+    right = band_frame(sig, id_col, "b", k, rows_per_band)
     return (
         left.join(right, ["band", "band_key"])
         .filter(F.col("a") < F.col("b"))
@@ -195,18 +181,7 @@ def pair_jaccard(
             F.col(id_col),
             F.array_distinct(shingles(text_col)).alias("sh"),
         )
-    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
-    return (
-        pairs.join(a, "a")
-        .join(b, "b")
-        .select(
-            "a",
-            "b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
-            F.size(F.array_union("sh_a", "sh_b")).alias("uni"),
-        )
-    )
+    return pair_jaccard_cross(pairs, sh, sh, id_col)
 
 
 def _hexval(ch: Column) -> Column:
