@@ -3250,6 +3250,115 @@ def q_h3_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_POLYFILL_OFF = [(2, 0), (1, 2), (-1, 2), (-2, 0), (0, -2)]
+
+
+def _polyfill_oracle(res: int = 4) -> str:
+    """DuckDB twin of hex_polyfill over the pentagon corpus: same
+    fractional-axial corner math, same adjugate/7^R center, same
+    quantization, same integer ray cast — bit-for-bit."""
+    from osm_spark.geo import hex as _hhx
+    from osm_spark.geo.polyfill import center_lonlat_sql
+
+    a, b, c, d = _hhx.m_pow(res)
+
+    def fax(lon: str, lat: str) -> tuple[str, str]:
+        q0 = f"(({lon}) * {_hhx.C1!r} - ({lat}) * {_hhx.C2!r})"
+        r0 = f"(({lat}) * {_hhx.C3!r})"
+        return (
+            f"({float(a)!r} * {q0} + {float(b)!r} * {r0})",
+            f"({float(c)!r} * {q0} + {float(d)!r} * {r0})",
+        )
+
+    sx = [f"(cx + {dx} * s)" for dx, _ in _POLYFILL_OFF]
+    sy = [f"(cy + {dy} * s)" for _, dy in _POLYFILL_OFF]
+    lon_lo = f"(least({', '.join(sx)}) / 1000000.0)"
+    lon_hi = f"(greatest({', '.join(sx)}) / 1000000.0)"
+    lat_lo = f"(least({', '.join(sy)}) / 1000000.0)"
+    lat_hi = f"(greatest({', '.join(sy)}) / 1000000.0)"
+    corners = [
+        fax(lon, lat)
+        for lon in (lon_lo, lon_hi)
+        for lat in (lat_lo, lat_hi)
+    ]
+    qlo = f"(CAST(floor(least({', '.join(cq for cq, _ in corners)})) AS BIGINT) - 1)"
+    qhi = f"(CAST(floor(greatest({', '.join(cq for cq, _ in corners)})) AS BIGINT) + 1)"
+    rlo = f"(CAST(floor(least({', '.join(cr for _, cr in corners)})) AS BIGINT) - 1)"
+    rhi = f"(CAST(floor(greatest({', '.join(cr for _, cr in corners)})) AS BIGINT) + 1)"
+    clon, clat = center_lonlat_sql("q", "r", res)
+    terms = []
+    n = len(_POLYFILL_OFF)
+    for k in range(n):
+        xj, yj = sx[k], sy[k]
+        xi, yi = sx[k - 1], sy[k - 1]
+        t = f"(({xj} - {xi}) * (py - {yi}) - (px - {xi}) * ({yj} - {yi}))"
+        terms.append(
+            f"(CASE WHEN (({yi} > py) <> ({yj} > py)) AND "
+            f"(CASE WHEN {yj} > {yi} THEN {t} > 0 ELSE {t} < 0 END) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return f"""
+    WITH polys AS (
+      SELECT doc_id AS poly_id,
+             (doc_id * 104729 % 60000) * 1000 - 30000000 AS cx,
+             (doc_id * 7919 % 30000) * 1000 - 15000000 AS cy,
+             (doc_id % 3 + 1) * 400000 AS s
+      FROM documents WHERE doc_id % 10 = 7),
+    cand AS (
+      SELECT poly_id, cx, cy, s, uq.q AS q, ur.r AS r
+      FROM polys,
+           unnest(range({qlo}, {qhi} + 1)) AS uq(q),
+           unnest(range({rlo}, {rhi} + 1)) AS ur(r)),
+    pts AS (
+      SELECT poly_id, cx, cy, s, q, r,
+             CAST(floor({clon} * 1000000.0) AS BIGINT) AS px,
+             CAST(floor({clat} * 1000000.0) AS BIGINT) AS py
+      FROM cand)
+    SELECT poly_id, q, r FROM pts
+    WHERE ({' + '.join(terms)}) % 2 = 1
+    """
+
+
+@register("hex_polyfill", _polyfill_oracle(4))
+def q_hex_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex polyfill (geo/polyfill.py) — region->cells, the third leg of
+    the hex family (H3 polyfill center-containment semantics; the
+    reference's analog is the tile.Range bbox cover, maptile/tile.go,
+    hex-exact and trimmed to the polygon interior): documents derive
+    µdeg pentagon polygons, candidate res-4 cells enumerate from the
+    bbox's LINEAR axial image (a cell center's fractional axial coords
+    ARE its integer (q, r), so the parallelogram's integer points are
+    the complete candidate set), centers come from the closed-form
+    adjugate-over-7^R inverse, and containment is an exact int64 ray
+    cast over the quantized center — explode + filter, zero joins,
+    zero Python, whole-stage codegen.  The oracle replays every stage
+    bit-for-bit in DuckDB."""
+    from osm_spark.geo.polyfill import hex_polyfill as _pf
+
+    d = F.col("doc_id")
+    polys = (
+        _t(spark, sf_dir, "documents")
+        .where(d % 10 == 7)
+        .select(
+            d.alias("poly_id"),
+            (d * 104729 % 60000 * 1000 - 30000000).alias("cx"),
+            (d * 7919 % 30000 * 1000 - 15000000).alias("cy"),
+            ((d % 3 + 1) * 400000).alias("s"),
+        )
+        .select(
+            "poly_id",
+            F.array(*[
+                F.struct(
+                    (F.col("cx") + dx * F.col("s")).alias("x"),
+                    (F.col("cy") + dy * F.col("s")).alias("y"),
+                )
+                for dx, dy in _POLYFILL_OFF
+            ]).alias("verts"),
+        )
+    )
+    return _pf(polys, res=4)
+
+
 def _h3_parent_oracle() -> str:
     q3, r3 = _hx.axial_sql(pages.GEO_LAT_SQL, pages.GEO_LON_SQL, 3)
     pq2, pr2 = _hx.parent_axial_sql("q3", "r3")
@@ -8353,9 +8462,10 @@ _DRIVER_WINDOW: list[str] = [
     "xml_bz2_scan",
     # snapshot-table stats pruning
     "table_prune_scan",
-    # WARC container source
+    # WARC container source (warc_cdx_fetch, r04-green, parks for the
+    # round-5 hex-polyfill row; warc_scan keeps the container kernels)
     "warc_scan",
-    "warc_cdx_fetch",
+    "hex_polyfill",
     # text family (main_content / index_search / bm25_search /
     # nb_classify / semantic_dedup / neardup_clusters keep the family's
     # dedup, retrieval, classification and boilerplate kernels under

@@ -178,6 +178,10 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # retrieval kernels in-window and the minhash/band kernels gain
     # their cross-corpus decontamination row.
     "bm25_search",
+    # round-5 hex_polyfill rotation: warc_cdx_fetch (r04 driver-green)
+    # parked; warc_scan keeps the container kernels in-window and the
+    # hex family gains its region->cells polyfill row.
+    "warc_cdx_fetch",
 })
 
 # Queries awaiting their first driver window slot.  Round 5: EMPTY —
