@@ -106,6 +106,56 @@ def ray_cast_int(verts: Column, px: Column, py: Column) -> Column:
     return crossings % 2 == 1
 
 
+def hex_compact(
+    cells: DataFrame,
+    res: int,
+    id_col: str = "poly_id",
+    min_res: int = 0,
+) -> DataFrame:
+    """H3 compactCells semantics: (id, q, r) cells all at resolution
+    ``res`` -> the minimal mixed-resolution covering set
+    (id, res, q, r), where every COMPLETE 7-child set is replaced by
+    its parent, recursively.
+
+    Parent = hexround(M^-1 @ child) is exact on integer axial coords
+    (hex.py digit-chain invariant), so a complete sibling set is just
+    a parent-keyed group of size 7.  Per level: one groupBy + one
+    anti-join; the loop is bounded by the RESOLUTION (<= 15 levels),
+    never by data, and each level's frame shrinks 7x where compaction
+    fires.  Promoted parents re-enter the next level, so interiors
+    collapse all the way up while the boundary fringe stays fine.
+    Each level's frame eagerly localCheckpoints (the components.py
+    round pattern): ``cur`` feeds both the group and the anti-join, so
+    without truncation the analyzed plan doubles per level."""
+    from osm_spark.geo.hex_spark import parent_axial_cols
+
+    kept = []
+    cur = cells.select(id_col, F.lit(res).alias("res"), "q", "r")
+    for rv in range(res, min_res, -1):
+        pq, pr = parent_axial_cols(F.col("q"), F.col("r"))
+        with_p = cur.select(
+            id_col, "res", "q", "r", pq.alias("pq"), pr.alias("pr")
+        ).localCheckpoint()
+        full = (
+            with_p.groupBy(id_col, "pq", "pr")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") == 7)
+            .drop("n")
+        )
+        kept.append(
+            with_p.join(full, [id_col, "pq", "pr"], "left_anti")
+            .select(id_col, "res", "q", "r")
+        )
+        cur = full.select(
+            id_col, F.lit(rv - 1).alias("res"),
+            F.col("pq").alias("q"), F.col("pr").alias("r"),
+        )
+    out = cur
+    for k in kept:
+        out = out.unionByName(k)
+    return out
+
+
 def hex_polyfill(
     polys: DataFrame,
     res: int,

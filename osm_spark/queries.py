@@ -3253,10 +3253,12 @@ def q_h3_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 _POLYFILL_OFF = [(2, 0), (1, 2), (-1, 2), (-2, 0), (0, -2)]
 
 
-def _polyfill_oracle(res: int = 4) -> str:
-    """DuckDB twin of hex_polyfill over the pentagon corpus: same
-    fractional-axial corner math, same adjugate/7^R center, same
-    quantization, same integer ray cast — bit-for-bit."""
+def _polyfill_cte(res: int = 4) -> str:
+    """CTE chain ending in ``pf(poly_id, q, r)`` — the DuckDB twin of
+    hex_polyfill over the pentagon corpus: same fractional-axial corner
+    math, same adjugate/7^R center, same quantization, same integer
+    ray cast — bit-for-bit.  Shared by the polyfill and compact
+    oracles."""
     from osm_spark.geo import hex as _hhx
     from osm_spark.geo.polyfill import center_lonlat_sql
 
@@ -3297,8 +3299,7 @@ def _polyfill_oracle(res: int = 4) -> str:
             f"(CASE WHEN {yj} > {yi} THEN {t} > 0 ELSE {t} < 0 END) "
             f"THEN 1 ELSE 0 END)"
         )
-    return f"""
-    WITH polys AS (
+    return f"""polys AS (
       SELECT doc_id AS poly_id,
              (doc_id * 104729 % 60000) * 1000 - 30000000 AS cx,
              (doc_id * 7919 % 30000) * 1000 - 15000000 AS cy,
@@ -3313,13 +3314,16 @@ def _polyfill_oracle(res: int = 4) -> str:
       SELECT poly_id, cx, cy, s, q, r,
              CAST(floor({clon} * 1000000.0) AS BIGINT) AS px,
              CAST(floor({clat} * 1000000.0) AS BIGINT) AS py
-      FROM cand)
-    SELECT poly_id, q, r FROM pts
-    WHERE ({' + '.join(terms)}) % 2 = 1
-    """
+      FROM cand),
+    pf AS (
+      SELECT poly_id, q, r FROM pts
+      WHERE ({' + '.join(terms)}) % 2 = 1)"""
 
 
-@register("hex_polyfill", _polyfill_oracle(4))
+@register(
+    "hex_polyfill",
+    f"WITH {_polyfill_cte(4)}\n    SELECT poly_id, q, r FROM pf",
+)
 def q_hex_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hex polyfill (geo/polyfill.py) — region->cells, the third leg of
     the hex family (H3 polyfill center-containment semantics; the
@@ -3357,6 +3361,80 @@ def q_hex_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _pf(polys, res=4)
+
+
+def _compact_oracle(res: int = 5) -> str:
+    """Polyfill at ``res`` then ``res`` unrolled compaction levels —
+    each level: parent keys (the exact hexround(M^-1) twin), complete
+    7-sibling groups, anti-join survivors, promoted parents."""
+    from osm_spark.geo import hex as _hhx
+
+    ctes = [_polyfill_cte(res), f"c{res} AS (SELECT poly_id, q, r FROM pf)"]
+    for rv in range(res, 0, -1):
+        pq, pr = _hhx.parent_axial_sql("q", "r")
+        ctes.append(
+            f"p{rv} AS (SELECT poly_id, q, r, {pq} AS pq, {pr} AS pr "
+            f"FROM c{rv})"
+        )
+        ctes.append(
+            f"f{rv} AS (SELECT poly_id, pq, pr FROM p{rv} "
+            f"GROUP BY 1, 2, 3 HAVING count(*) = 7)"
+        )
+        ctes.append(
+            f"k{rv} AS (SELECT p.poly_id, {rv} AS res, p.q, p.r "
+            f"FROM p{rv} p LEFT JOIN f{rv} f ON f.poly_id = p.poly_id "
+            f"AND f.pq = p.pq AND f.pr = p.pr WHERE f.poly_id IS NULL)"
+        )
+        ctes.append(
+            f"c{rv - 1} AS (SELECT poly_id, pq AS q, pr AS r FROM f{rv})"
+        )
+    levels = " UNION ALL ".join(
+        [f"SELECT poly_id, CAST(res AS INT) AS res, q, r FROM k{rv}"
+         for rv in range(res, 0, -1)]
+        + ["SELECT poly_id, CAST(0 AS INT) AS res, q, r FROM c0"]
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + levels
+
+
+@register("hex_compact", _compact_oracle(5))
+def q_hex_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 compactCells over a polyfill (geo/polyfill.py hex_compact):
+    the pentagon corpus polyfills at res 5 (fine enough that polygon
+    interiors contain complete 7-sibling sets), then every complete
+    sibling group collapses to its parent, recursively — the minimal
+    mixed-resolution cover a cell-keyed polygon join actually wants to
+    broadcast.  Parent keys are the exact hexround(M^-1) twin already
+    driver-proven by h3_parent; per level the plan is one groupBy +
+    one anti-join, and the level count is bounded by the RESOLUTION,
+    never the data.  The oracle unrolls the same levels in DuckDB."""
+    from osm_spark.geo.polyfill import hex_compact as _hc
+    from osm_spark.geo.polyfill import hex_polyfill as _pf
+
+    d = F.col("doc_id")
+    polys = (
+        _t(spark, sf_dir, "documents")
+        .where(d % 10 == 7)
+        .select(
+            d.alias("poly_id"),
+            (d * 104729 % 60000 * 1000 - 30000000).alias("cx"),
+            (d * 7919 % 30000 * 1000 - 15000000).alias("cy"),
+            ((d % 3 + 1) * 400000).alias("s"),
+        )
+        .select(
+            "poly_id",
+            F.array(*[
+                F.struct(
+                    (F.col("cx") + dx * F.col("s")).alias("x"),
+                    (F.col("cy") + dy * F.col("s")).alias("y"),
+                )
+                for dx, dy in _POLYFILL_OFF
+            ]).alias("verts"),
+        )
+    )
+    cells = _persist(_pf(polys, res=5))
+    return _hc(cells, res=5).select(
+        "poly_id", F.col("res").cast("int").alias("res"), "q", "r"
+    )
 
 
 def _h3_parent_oracle() -> str:
@@ -8447,10 +8525,11 @@ _DRIVER_WINDOW: list[str] = [
     "pbf_scan",
     # media family (media_jpeg swapped in for round 5: its behavior
     # CHANGED this round — odd ids now encode progressive JPEG — so it
-    # needs fresh driver attestation; media_resize, r04-green and
-    # untouched, parks in its place)
-    "media_decode_real",
+    # needs fresh driver attestation; media_resize and, later in the
+    # round, media_decode_real — both r04-green and untouched — park
+    # in its favor, the latter making room for hex_compact)
     "media_jpeg",
+    "hex_compact",
     # streaming / replication family
     "replication_actions",
     # osmapi family

@@ -104,3 +104,50 @@ def test_tiny_polygon_yields_no_cells(spark):
     got = _run(spark, polys, 3)
     want = _mirror(polys, 3)
     assert got == want  # usually empty; mirror is the contract either way
+
+
+def _compact_mirror(cells, res):
+    """Brute mirror of hex_compact over (pid, q, r) sets."""
+    from osm_spark.geo import hex as HH
+    import numpy as np
+
+    def parent(q, r):
+        pq, pr = HH._parent_axial(np.array([q]), np.array([r]))
+        return int(pq[0]), int(pr[0])
+
+    out = set()
+    cur = {(pid, q, r) for pid, q, r in cells}
+    for rv in range(res, 0, -1):
+        groups = {}
+        for pid, q, r in cur:
+            groups.setdefault((pid, *parent(q, r)), []).append((pid, q, r))
+        nxt = set()
+        for (pid, pq, pr), members in groups.items():
+            if len(members) == 7:
+                nxt.add((pid, pq, pr))
+            else:
+                out.update((p, rv, q, r) for p, q, r in members)
+        cur = nxt
+    out.update((p, 0, q, r) for p, q, r in cur)
+    return out
+
+
+def test_compact_matches_mirror_and_conserves_area(spark):
+    from osm_spark.geo.polyfill import hex_compact
+
+    polys = _mk_polys(8)
+    res = 5
+    cells = _run(spark, polys, res)  # (pid, q, r) polyfill ground truth
+    df = spark.createDataFrame(
+        [(p, q, r) for p, q, r in cells], "poly_id long, q long, r long"
+    )
+    got = {
+        (r.poly_id, r.res, r.q, r.r)
+        for r in hex_compact(df, res).collect()
+    }
+    assert got == _compact_mirror(cells, res)
+    # conservation: expanding every compacted cell back to res-5
+    # children reproduces the input exactly
+    area = sum(7 ** (res - rv) for _, rv, _, _ in got)
+    assert area == len(cells)
+    assert any(rv < res for _, rv, _, _ in got)  # compaction fired

@@ -182,6 +182,11 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # parked; warc_scan keeps the container kernels in-window and the
     # hex family gains its region->cells polyfill row.
     "warc_cdx_fetch",
+    # round-5 hex_compact rotation: media_decode_real (r04 driver-green,
+    # untouched this round) parked; media_jpeg keeps the media kernels
+    # in-window (it carries the round-5 progressive-JPEG change) and
+    # the hex family gains its compactCells row.
+    "media_decode_real",
 })
 
 # Queries awaiting their first driver window slot.  Round 5: EMPTY —
