@@ -108,6 +108,11 @@ HEADLINE = [
     "geo_cluster",
     "geocode_extract",
     "geodesic_area",
+    "way_crossings",
+    "xml_bz2_scan",
+    "fuzzy_contamination",
+    "hex_polyfill",
+    "hex_compact",
 ]
 
 
@@ -315,7 +320,11 @@ QUERY_GROUPS: list[list[str]] = [
     ["mvt_encode", "convex_hull", "route_shortest", "snap_roads",
      "geo_cluster"],
     # geoparse / routing second child as the family grows (cap 5)
-    ["geocode_extract", "geodesic_area"],
+    ["geocode_extract", "geodesic_area", "way_crossings"],
+    # round-5 session-2 suite: splittable-bz2 xml scan, cross-corpus
+    # fuzzy decontamination, hex polyfill + compact (cap 5)
+    ["xml_bz2_scan", "fuzzy_contamination", "hex_polyfill",
+     "hex_compact"],
 ]
 
 
