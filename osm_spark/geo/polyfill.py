@@ -156,6 +156,58 @@ def hex_compact(
     return out
 
 
+def hex_cover_join(
+    points: DataFrame,
+    cover: DataFrame,
+    res: int,
+    q_col: str = "q",
+    r_col: str = "r",
+) -> DataFrame:
+    """Join points against a COMPACTED mixed-resolution cover
+    (hex_compact output: id, res, q, r) — the reason compact exists:
+    a polygon layer polyfilled fine and compacted coarse broadcasts in
+    O(boundary) cells, and each point probes it once per resolution
+    level via its ancestor chain (pure column math, no UDF).
+
+    ``points`` carries the finest-res cell in (q_col, r_col); the
+    ancestor chain res..0 builds level by level as NAMED columns (each
+    hexround references its inputs ~10x, so a chained single
+    expression would grow ~10^levels nodes and overflow Catalyst's
+    tree walk — attribute references per level keep it linear), then
+    explodes to res+1 probe rows, and the equi-join on (res, q, r)
+    hits at most ONE cover cell per point per cover id (compact covers
+    are disjoint across levels by construction).  Broadcast the small
+    side; the points never shuffle."""
+    from osm_spark.geo.hex_spark import parent_axial_cols
+
+    pts0 = points.drop("res")
+    qc, rc = q_col, r_col
+    levels = [(res, qc, rc)]
+    for rv in range(res - 1, -1, -1):
+        pq, pr = parent_axial_cols(F.col(qc), F.col(rc))
+        qc, rc = f"_q{rv}", f"_r{rv}"
+        pts0 = pts0.select("*", pq.alias(qc), pr.alias(rc))
+        levels.append((rv, qc, rc))
+    anc = F.array(*[
+        F.struct(
+            F.lit(rv).cast("int").alias("res"),
+            F.col(qn).alias("q"), F.col(rn).alias("r"),
+        )
+        for rv, qn, rn in levels
+    ])
+    pts = (
+        pts0.withColumn("_a", F.explode(anc))
+        .drop(*[qn for _, qn, _ in levels], *[rn for _, _, rn in levels])
+        .select("*", "_a.res", "_a.q", "_a.r")
+        .drop("_a")
+    )
+    key = ["res", "q", "r"]
+    cov = cover.select(
+        "*", F.col("res").cast("int").alias("_res")
+    ).drop("res").withColumnRenamed("_res", "res")
+    return pts.join(F.broadcast(cov), key).drop(*key)
+
+
 def hex_polyfill(
     polys: DataFrame,
     res: int,

@@ -3253,6 +3253,35 @@ def q_h3_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 _POLYFILL_OFF = [(2, 0), (1, 2), (-1, 2), (-2, 0), (0, -2)]
 
 
+def _pentagon_polys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The polyfill/compact/cover-join fixture layer: µdeg pentagons
+    anchored ON the geocoded page positions (doc_id % 10 == 7), so the
+    cover-join genuinely hits — twin of _polyfill_cte's polys CTE."""
+    d = F.col("doc_id")
+    return (
+        _t(spark, sf_dir, "documents")
+        .where(d % 10 == 7)
+        .select(
+            d.alias("poly_id"),
+            F.floor(pages.geo_lon(d) * F.lit(1000000.0)).cast("long")
+            .alias("cx"),
+            F.floor(pages.geo_lat(d) * F.lit(1000000.0)).cast("long")
+            .alias("cy"),
+            ((d % 3 + 1) * 400000).alias("s"),
+        )
+        .select(
+            "poly_id",
+            F.array(*[
+                F.struct(
+                    (F.col("cx") + dx * F.col("s")).alias("x"),
+                    (F.col("cy") + dy * F.col("s")).alias("y"),
+                )
+                for dx, dy in _POLYFILL_OFF
+            ]).alias("verts"),
+        )
+    )
+
+
 def _polyfill_cte(res: int = 4) -> str:
     """CTE chain ending in ``pf(poly_id, q, r)`` — the DuckDB twin of
     hex_polyfill over the pentagon corpus: same fractional-axial corner
@@ -3301,8 +3330,8 @@ def _polyfill_cte(res: int = 4) -> str:
         )
     return f"""polys AS (
       SELECT doc_id AS poly_id,
-             (doc_id * 104729 % 60000) * 1000 - 30000000 AS cx,
-             (doc_id * 7919 % 30000) * 1000 - 15000000 AS cy,
+             CAST(floor({pages.GEO_LON_SQL} * 1000000.0) AS BIGINT) AS cx,
+             CAST(floor({pages.GEO_LAT_SQL} * 1000000.0) AS BIGINT) AS cy,
              (doc_id % 3 + 1) * 400000 AS s
       FROM documents WHERE doc_id % 10 = 7),
     cand AS (
@@ -3339,34 +3368,14 @@ def q_hex_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit in DuckDB."""
     from osm_spark.geo.polyfill import hex_polyfill as _pf
 
-    d = F.col("doc_id")
-    polys = (
-        _t(spark, sf_dir, "documents")
-        .where(d % 10 == 7)
-        .select(
-            d.alias("poly_id"),
-            (d * 104729 % 60000 * 1000 - 30000000).alias("cx"),
-            (d * 7919 % 30000 * 1000 - 15000000).alias("cy"),
-            ((d % 3 + 1) * 400000).alias("s"),
-        )
-        .select(
-            "poly_id",
-            F.array(*[
-                F.struct(
-                    (F.col("cx") + dx * F.col("s")).alias("x"),
-                    (F.col("cy") + dy * F.col("s")).alias("y"),
-                )
-                for dx, dy in _POLYFILL_OFF
-            ]).alias("verts"),
-        )
-    )
-    return _pf(polys, res=4)
+    return _pf(_pentagon_polys(spark, sf_dir), res=4)
 
 
-def _compact_oracle(res: int = 5) -> str:
-    """Polyfill at ``res`` then ``res`` unrolled compaction levels —
-    each level: parent keys (the exact hexround(M^-1) twin), complete
-    7-sibling groups, anti-join survivors, promoted parents."""
+def _compact_ctes(res: int = 5) -> str:
+    """CTE chain ending in ``cover(poly_id, res, q, r)`` — polyfill at
+    ``res`` then ``res`` unrolled compaction levels; each level: parent
+    keys (the exact hexround(M^-1) twin), complete 7-sibling groups,
+    anti-join survivors, promoted parents."""
     from osm_spark.geo import hex as _hhx
 
     ctes = [_polyfill_cte(res), f"c{res} AS (SELECT poly_id, q, r FROM pf)"]
@@ -3393,7 +3402,65 @@ def _compact_oracle(res: int = 5) -> str:
          for rv in range(res, 0, -1)]
         + ["SELECT poly_id, CAST(0 AS INT) AS res, q, r FROM c0"]
     )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + levels
+    ctes.append(f"cover AS ({levels})")
+    return ",\n    ".join(ctes)
+
+
+def _compact_oracle(res: int = 5) -> str:
+    return (
+        f"WITH {_compact_ctes(res)}\n"
+        f"    SELECT poly_id, res, q, r FROM cover"
+    )
+
+
+def _cover_join_oracle(res: int = 5) -> str:
+    """Points probe the compacted cover once per ancestor level —
+    identical axial + parent chains to the Spark columns."""
+    from osm_spark.geo import hex as _hhx
+
+    q5, r5 = _hhx.axial_sql(pages.GEO_LAT_SQL, pages.GEO_LON_SQL, res)
+    ctes = [
+        _compact_ctes(res),
+        f"g{res} AS (SELECT doc_id, {q5} AS q, {r5} AS r FROM documents)",
+    ]
+    for rv in range(res - 1, -1, -1):
+        pq, pr = _hhx.parent_axial_sql("q", "r")
+        ctes.append(
+            f"g{rv} AS (SELECT doc_id, {pq} AS q, {pr} AS r FROM g{rv + 1})"
+        )
+    probes = " UNION ALL ".join(
+        f"SELECT doc_id, CAST({rv} AS INT) AS res, q, r FROM g{rv}"
+        for rv in range(res, -1, -1)
+    )
+    return f"""WITH {",".join([chr(10) + "    " + c for c in ctes])},
+    probes AS ({probes})
+    SELECT p.doc_id, c.poly_id
+    FROM probes p JOIN cover c USING (res, q, r)
+    """
+
+
+@register("hex_cover_join", _cover_join_oracle(5))
+def q_hex_cover_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-granular polygon containment join (geo/polyfill.py
+    hex_cover_join) — the broadcast pattern polyfill+compact exist
+    for: the pentagon layer polyfills at res 5, compacts to the
+    minimal mixed-res cover, BROADCASTS, and each geocoded page probes
+    it with its in-row ancestor chain (res 5 down to 0, chained exact
+    parent rounding — no UDF, no shuffle of the page side).  A point
+    hits at most one cover cell per polygon because compact covers are
+    level-disjoint by construction.  The oracle replays the axial,
+    parent, compaction, and probe chains bit-for-bit."""
+    from osm_spark.geo.hex_spark import axial_cols
+    from osm_spark.geo.polyfill import hex_compact as _hc
+    from osm_spark.geo.polyfill import hex_polyfill as _pf
+
+    cover = _hc(_persist(_pf(_pentagon_polys(spark, sf_dir), res=5)), res=5)
+    pts = pages.page_points(spark, sf_dir)
+    q5, r5 = axial_cols("lat", "lon", 5)
+    pts = pts.select("doc_id", q5.alias("q"), r5.alias("r"))
+    from osm_spark.geo.polyfill import hex_cover_join as _cj
+
+    return _cj(pts, cover, res=5).select("doc_id", "poly_id")
 
 
 @register("hex_compact", _compact_oracle(5))
@@ -3410,28 +3477,7 @@ def q_hex_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_spark.geo.polyfill import hex_compact as _hc
     from osm_spark.geo.polyfill import hex_polyfill as _pf
 
-    d = F.col("doc_id")
-    polys = (
-        _t(spark, sf_dir, "documents")
-        .where(d % 10 == 7)
-        .select(
-            d.alias("poly_id"),
-            (d * 104729 % 60000 * 1000 - 30000000).alias("cx"),
-            (d * 7919 % 30000 * 1000 - 15000000).alias("cy"),
-            ((d % 3 + 1) * 400000).alias("s"),
-        )
-        .select(
-            "poly_id",
-            F.array(*[
-                F.struct(
-                    (F.col("cx") + dx * F.col("s")).alias("x"),
-                    (F.col("cy") + dy * F.col("s")).alias("y"),
-                )
-                for dx, dy in _POLYFILL_OFF
-            ]).alias("verts"),
-        )
-    )
-    cells = _persist(_pf(polys, res=5))
+    cells = _persist(_pf(_pentagon_polys(spark, sf_dir), res=5))
     return _hc(cells, res=5).select(
         "poly_id", F.col("res").cast("int").alias("res"), "q", "r"
     )
@@ -8532,9 +8578,11 @@ _DRIVER_WINDOW: list[str] = [
     "hex_compact",
     # streaming / replication family
     "replication_actions",
-    # osmapi family
+    # osmapi family (changeset_feed_parse, r04-green, parks for the
+    # round-5 hex cover-join row; osmapi_notes keeps the notes/user/
+    # changeset parse kernels in-window)
     "osmapi_notes",
-    "changeset_feed_parse",
+    "hex_cover_join",
     # XML file source + diff codec family (diff_roundtrip, r04-green,
     # parks to make room for the round-5 splittable-bzip2 source row)
     "xml_scan",

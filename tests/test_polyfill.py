@@ -151,3 +151,44 @@ def test_compact_matches_mirror_and_conserves_area(spark):
     area = sum(7 ** (res - rv) for _, rv, _, _ in got)
     assert area == len(cells)
     assert any(rv < res for _, rv, _, _ in got)  # compaction fired
+
+
+def test_cover_join_matches_cell_semantics(spark):
+    """hex_cover_join = 'point's ancestor chain hits the compacted
+    cover' — verified against the polyfill ground truth: a point whose
+    res-5 cell is in the polyfill must join (compact conserves the
+    cell set exactly), and every joined point's res-5 cell must be in
+    the polyfill."""
+    import numpy as np
+
+    from osm_spark.geo import hex as HH
+    from osm_spark.geo.polyfill import hex_compact, hex_cover_join
+
+    polys = _mk_polys(8)
+    res = 5
+    cells = _run(spark, polys, res)
+    cover = hex_compact(
+        spark.createDataFrame(
+            [(p, q, r) for p, q, r in cells], "poly_id long, q long, r long"
+        ),
+        res,
+    )
+    # probe points: one at each polyfilled cell center (must all hit)
+    # plus far-away misses
+    probes = [(i, q, r, pid) for i, (pid, q, r) in enumerate(sorted(cells))]
+    miss_base = len(probes)
+    pts = spark.createDataFrame(
+        [(i, q, r) for i, q, r, _ in probes]
+        + [(miss_base + k, 10_000 + k, -10_000 - k) for k in range(5)],
+        "pt long, q long, r long",
+    )
+    got = {
+        (r.pt, r.poly_id) for r in hex_cover_join(pts, cover, res).collect()
+    }
+    want = {
+        (i, pid2)
+        for i, q, r, _ in probes
+        for (pid2, q2, r2) in cells
+        if q2 == q and r2 == r  # overlapping pentagons join every owner
+    }
+    assert got == want and len(got) >= len(probes)

@@ -187,6 +187,10 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # in-window (it carries the round-5 progressive-JPEG change) and
     # the hex family gains its compactCells row.
     "media_decode_real",
+    # round-5 hex_cover_join rotation: changeset_feed_parse (r04
+    # driver-green) parked; osmapi_notes keeps the osmapi parse kernels
+    # in-window and the hex family gains its broadcast cover-join row.
+    "changeset_feed_parse",
 })
 
 # Queries awaiting their first driver window slot.  Round 5: EMPTY —
