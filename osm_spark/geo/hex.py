@@ -271,16 +271,25 @@ def cell_center(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 # ------------------------------------------------------------- SQL twins
-def axial_sql(lat: str, lon: str, res: int) -> tuple[str, str]:
-    """(q_expr, r_expr) ANSI SQL reproducing latlon_to_axial bit-for-bit
-    (same constants via repr, same +,-,*,/ op order, same floor(x+0.5)
-    rounding). Expressions are self-contained (no CTE needed)."""
+def frac_axial_sql(lat: str, lon: str, res: int) -> tuple[str, str]:
+    """FRACTIONAL (qf_expr, rf_expr) ANSI SQL twin of frac_axial — the
+    ONE place the 'q0f = lon*C1 - lat*C2; M^R product' op sequence is
+    written in SQL.  Every consumer (cell rounding, polyfill corner
+    ranges) must build on this so the IEEE op order can never drift
+    between twins."""
     a, b, c, d = m_pow(res)
     q0f = f"(({lon}) * {C1!r} - ({lat}) * {C2!r})"
     r0f = f"(({lat}) * {C3!r})"
     qf = f"({float(a)!r} * {q0f} + {float(b)!r} * {r0f})"
     rf = f"({float(c)!r} * {q0f} + {float(d)!r} * {r0f})"
-    return hexround_sql(qf, rf)
+    return qf, rf
+
+
+def axial_sql(lat: str, lon: str, res: int) -> tuple[str, str]:
+    """(q_expr, r_expr) ANSI SQL reproducing latlon_to_axial bit-for-bit
+    (same constants via repr, same +,-,*,/ op order, same floor(x+0.5)
+    rounding). Expressions are self-contained (no CTE needed)."""
+    return hexround_sql(*frac_axial_sql(lat, lon, res))
 
 
 def hexround_sql(qf: str, rf: str) -> tuple[str, str]:

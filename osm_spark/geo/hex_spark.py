@@ -108,8 +108,10 @@ def hexround_cols(qf: Column, rf: Column) -> tuple[Column, Column]:
     return q.cast("long"), r.cast("long")
 
 
-def axial_cols(lat, lon, res: int) -> tuple[Column, Column]:
-    """Column twin of hex.latlon_to_axial: integer axial cell coords."""
+def frac_axial_cols(lat, lon, res: int) -> tuple[Column, Column]:
+    """FRACTIONAL Column twin of hex.frac_axial — the ONE place the
+    'q0f = lon*C1 - lat*C2; M^R product' op sequence is written as
+    Columns (mirrors hex.frac_axial_sql term for term)."""
     lat = F.col(lat) if isinstance(lat, str) else lat
     lon = F.col(lon) if isinstance(lon, str) else lon
     q0f = lon * F.lit(H.C1) - lat * F.lit(H.C2)
@@ -117,7 +119,12 @@ def axial_cols(lat, lon, res: int) -> tuple[Column, Column]:
     a, b, c, d = H.m_pow(res)
     qf = F.lit(float(a)) * q0f + F.lit(float(b)) * r0f
     rf = F.lit(float(c)) * q0f + F.lit(float(d)) * r0f
-    return hexround_cols(qf, rf)
+    return qf, rf
+
+
+def axial_cols(lat, lon, res: int) -> tuple[Column, Column]:
+    """Column twin of hex.latlon_to_axial: integer axial cell coords."""
+    return hexround_cols(*frac_axial_cols(lat, lon, res))
 
 
 def parent_axial_cols(q: Column, r: Column) -> tuple[Column, Column]:

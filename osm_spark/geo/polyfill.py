@@ -46,15 +46,11 @@ from osm_spark.geo import hex as H
 
 
 def _axial_f(lon: Column, lat: Column, res: int) -> tuple[Column, Column]:
-    """Fractional axial coords at ``res`` — same op order as
-    hex.frac_axial / hex.axial_sql."""
-    a, b, c, d = H.m_pow(res)
-    q0f = lon * F.lit(H.C1) - lat * F.lit(H.C2)
-    r0f = lat * F.lit(H.C3)
-    return (
-        F.lit(float(a)) * q0f + F.lit(float(b)) * r0f,
-        F.lit(float(c)) * q0f + F.lit(float(d)) * r0f,
-    )
+    """Fractional axial coords at ``res`` — the shared op-order-pinned
+    helper (hex_spark.frac_axial_cols / hex.frac_axial_sql twins)."""
+    from osm_spark.geo.hex_spark import frac_axial_cols
+
+    return frac_axial_cols(lat, lon, res)
 
 
 def center_lonlat(q: Column, r: Column, res: int) -> tuple[Column, Column]:
@@ -180,7 +176,13 @@ def hex_cover_join(
     side; the points never shuffle."""
     from osm_spark.geo.hex_spark import parent_axial_cols
 
-    pts0 = points.drop("res")
+    if "res" in points.columns:
+        raise ValueError(
+            "hex_cover_join: the points frame already carries a 'res' "
+            "column, which would collide with the probe level — rename "
+            "it before joining"
+        )
+    pts0 = points
     qc, rc = q_col, r_col
     levels = [(res, qc, rc)]
     for rv in range(res - 1, -1, -1):
@@ -202,9 +204,7 @@ def hex_cover_join(
         .drop("_a")
     )
     key = ["res", "q", "r"]
-    cov = cover.select(
-        "*", F.col("res").cast("int").alias("_res")
-    ).drop("res").withColumnRenamed("_res", "res")
+    cov = cover.withColumn("res", F.col("res").cast("int"))
     return pts.join(F.broadcast(cov), key).drop(*key)
 
 

@@ -3291,15 +3291,8 @@ def _polyfill_cte(res: int = 4) -> str:
     from osm_spark.geo import hex as _hhx
     from osm_spark.geo.polyfill import center_lonlat_sql
 
-    a, b, c, d = _hhx.m_pow(res)
-
     def fax(lon: str, lat: str) -> tuple[str, str]:
-        q0 = f"(({lon}) * {_hhx.C1!r} - ({lat}) * {_hhx.C2!r})"
-        r0 = f"(({lat}) * {_hhx.C3!r})"
-        return (
-            f"({float(a)!r} * {q0} + {float(b)!r} * {r0})",
-            f"({float(c)!r} * {q0} + {float(d)!r} * {r0})",
-        )
+        return _hhx.frac_axial_sql(lat, lon, res)
 
     sx = [f"(cx + {dx} * s)" for dx, _ in _POLYFILL_OFF]
     sy = [f"(cy + {dy} * s)" for _, dy in _POLYFILL_OFF]
