@@ -8519,6 +8519,256 @@ def q_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Zonal statistics (geo/zonal.py — per-polygon point rollups)
+# =====================================================================
+
+_ZONAL_STATS_SQL = f"""
+    WITH {_RECT_SQL},
+    hits AS (
+      SELECT d.doc_id, r.poly_id, d.n_chars
+      FROM documents d, rect r
+      WHERE {pages.GEO_LAT_SQL} > r.clat - r.hlat + 0.0005
+        AND {pages.GEO_LAT_SQL} < r.clat + r.hlat + 0.0005
+        AND {pages.GEO_LON_SQL} > r.clon - r.hlon + 0.0005
+        AND {pages.GEO_LON_SQL} < r.clon + r.hlon + 0.0005)
+    SELECT poly_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(n_chars) AS BIGINT) AS sum_val,
+           CAST((sum(n_chars) * 1000) // count(*) AS BIGINT)
+             AS mean_val_e3,
+           CAST(min(doc_id) AS BIGINT) AS min_point,
+           CAST(max(doc_id) AS BIGINT) AS max_point
+    FROM hits GROUP BY poly_id
+"""
+
+
+@register("zonal_stats", _ZONAL_STATS_SQL)
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (geo/zonal.py): aggregate a per-page measure
+    (n_chars — standing in for token mass) per containing zone polygon
+    — the geographic-mix audit a geocoded corpus runs before training.
+    The assignment is the audited cell-join PIP (z6 tiles, salt 4, AQE
+    skew join) and the rollup is ONE zone-keyed groupBy with map-side
+    partials — shuffle volume |zones|, never |points|; the mean is
+    exact integer fixed point (sum*1000 DIV n), no float summation.
+    The oracle recomputes membership with interval logic and the same
+    integer rollup, so the hash checks the PIP recall AND the stats."""
+    from osm_spark.geo import zonal as _zn
+
+    docs = _t(spark, sf_dir, "documents")
+    pts = docs.select(
+        "doc_id",
+        "n_chars",
+        pages.geo_lat("doc_id").alias("lat"),
+        pages.geo_lon("doc_id").alias("lon"),
+    )
+    polys = _rect_polygons_df(spark, sf_dir)
+    return _zn.zonal_stats(pts, polys, "n_chars", zoom=6, salt=4)
+
+
+# =====================================================================
+# Nearest-site assignment (discrete Voronoi labelling)
+# =====================================================================
+
+_NEAREST_SITE_SQL = f"""
+    WITH s AS (
+      SELECT n_nationkey AS sid,
+             CAST((n_nationkey * 104729 % 360000) * 1000 - 180000000
+               AS BIGINT) AS sx,
+             CAST((n_nationkey * 7919 % 170000) * 1000 - 85000000
+               AS BIGINT) AS sy
+      FROM nation WHERE n_nationkey < 12),
+    p AS (
+      SELECT doc_id, {_GEOCODE_LON_E6} AS px, {_GEOCODE_LAT_E6} AS py
+      FROM documents),
+    d AS (
+      SELECT p.doc_id, s.sid,
+             (s.sx - p.px) * (s.sx - p.px)
+               + (s.sy - p.py) * (s.sy - p.py) AS d2,
+             row_number() OVER (
+               PARTITION BY p.doc_id
+               ORDER BY (s.sx - p.px) * (s.sx - p.px)
+                          + (s.sy - p.py) * (s.sy - p.py), s.sid) AS rn
+      FROM p, s)
+    SELECT doc_id, CAST(sid AS BIGINT) AS site_id, CAST(d2 AS BIGINT) AS d2
+    FROM d WHERE rn = 1
+"""
+
+
+@register("nearest_site", _NEAREST_SITE_SQL)
+def q_nearest_site(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-site assignment (geo/nearest.py): label every geocoded
+    page with the closest of 12 canonical sites — the discrete-Voronoi
+    primitive behind region routing, dedup-by-venue and "nearest
+    datacenter" partitioning.  The 100 TB shape is the point: the site
+    set is parameter-sized, so it ships as an in-row array-of-struct
+    literal and the argmin is ONE ``F.aggregate`` fold — zero joins,
+    zero shuffles, whole-stage codegen fused into the scan (contrast
+    h3_knn, whose candidate side is data-sized and must equi-join).
+    Exact int64 planar squared distance on µdeg coords, ties on the
+    smaller site id; the oracle brute-forces all point x site pairs, so
+    the hash checks the fold's argmin against the cross join."""
+    from osm_spark.geo import nearest as _nr
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pts = docs.select(
+        "doc_id",
+        F.when(d % 20 == 0, F.lit(-74006000))
+        .otherwise((d * 104729 % 360000) * 1000 - 180000000)
+        .cast("long").alias("px"),
+        F.when(d % 20 == 0, F.lit(40712000))
+        .otherwise((d * 7919 % 170000) * 1000 - 85000000)
+        .cast("long").alias("py"),
+    )
+    sites = [
+        (k, (k * 104729 % 360000) * 1000 - 180000000,
+         (k * 7919 % 170000) * 1000 - 85000000)
+        for k in range(12)
+    ]
+    out = _nr.nearest_site(pts, sites, "px", "py")
+    return out.select("doc_id", "site_id", "d2")
+
+
+# =====================================================================
+# Trajectory analytics: OD matrix + stay points (geo/trajectory.py)
+# =====================================================================
+# Per-user event positions move in EPOCHS of 4 events (deterministic
+# integer function of (user_id, epoch)), so consecutive events usually
+# share a z5 tile — runs become stay points, epoch changes become trips.
+
+_TRAJ_CELLS_SQL = f"""
+    e AS (
+      SELECT user_id, ts, event_id,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn0
+      FROM events),
+    p AS (
+      SELECT user_id, ts, event_id,
+             ((user_id * 7919 + (rn0 // 4) * 104729) % 170000) * 1000
+               - 85000000 AS lat_e6,
+             ((user_id * 104729 + (rn0 // 4) * 7919) % 360000) * 1000
+               - 180000000 AS lon_e6
+      FROM e),
+    c AS (
+      SELECT user_id, ts, event_id,
+             {tiles.tile_x_sql('(CAST(lon_e6 AS DOUBLE) / 1000000.0)', 5)}
+               AS cell_x,
+             {tiles.tile_y_sql('(CAST(lat_e6 AS DOUBLE) / 1000000.0)', 5)}
+               AS cell_y
+      FROM p)
+"""
+
+
+def _traj_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    u = F.col("user_id")
+    epoch = F.expr("(rn - 1) DIV 4")
+    lat_e6 = ((u * 7919 + epoch * 104729) % 170000) * 1000 - 85000000
+    lon_e6 = ((u * 104729 + epoch * 7919) % 360000) * 1000 - 180000000
+    return (
+        ev.select(
+            "user_id", "ts", "event_id",
+            F.row_number().over(w).alias("rn"),
+        )
+        .select(
+            "user_id", "ts", "event_id",
+            tiles.tile_x(lon_e6.cast("double") / 1000000.0, 5).alias("cell_x"),
+            tiles.tile_y(lat_e6.cast("double") / 1000000.0, 5).alias("cell_y"),
+        )
+    )
+
+
+@register(
+    "od_matrix",
+    f"""
+    WITH {_TRAJ_CELLS_SQL},
+    s AS (
+      SELECT user_id,
+             lag(cell_x) OVER w AS o_x, lag(cell_y) OVER w AS o_y,
+             cell_x AS d_x, cell_y AS d_y
+      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT o_x, o_y, d_x, d_y,
+           CAST(count(*) AS BIGINT) AS n_trips,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM s
+    WHERE o_x IS NOT NULL AND (o_x <> d_x OR o_y <> d_y)
+    GROUP BY o_x, o_y, d_x, d_y
+    """,
+)
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination matrix (geo/trajectory.py od_flows): per-user
+    event streams tile-assign at z5, every consecutive cell CHANGE is a
+    directed trip, and the matrix rolls up trips + distinct travellers
+    per (origin, destination) cell pair — the mobility-flow rollup the
+    reference's tile math exists to feed.  ONE user-keyed window
+    shuffle + ONE map-side-combinable groupBy; shuffle volume is the
+    event count once, never a self-join.  The oracle replays the
+    identical windows, so the hash pins the lag/flag/agg chain."""
+    from osm_spark.geo import trajectory as _tj
+
+    cells = _traj_cells(spark, sf_dir)
+    return _tj.od_flows(cells, "user_id", ["ts", "event_id"])
+
+
+@register(
+    "stay_points",
+    f"""
+    WITH {_TRAJ_CELLS_SQL},
+    m AS (
+      SELECT *,
+             CASE WHEN lag(cell_x) OVER w IS NULL
+                    OR lag(cell_x) OVER w <> cell_x
+                    OR lag(cell_y) OVER w <> cell_y
+                  THEN 1 ELSE 0 END AS moved
+      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    r AS (
+      SELECT *, sum(moved) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS seg
+      FROM m),
+    g AS (
+      SELECT user_id, seg,
+             min(cell_x) AS cell_x, min(cell_y) AS cell_y,
+             CAST(count(*) AS BIGINT) AS n_events,
+             min(ts) AS ent, max(ts) AS ext
+      FROM r GROUP BY user_id, seg
+      HAVING count(*) >= 3)
+    SELECT user_id,
+           CAST(row_number() OVER (
+             PARTITION BY user_id ORDER BY seg) AS BIGINT) AS stay_seq,
+           cell_x, cell_y, n_events,
+           epoch_us(ent) AS enter_us, epoch_us(ext) AS exit_us,
+           epoch_us(ext) - epoch_us(ent) AS dwell_us
+    FROM g
+    """,
+)
+def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection (geo/trajectory.py stay_points): maximal
+    same-cell runs per user collapse to one dwell row (cell, enter/exit
+    micros, dwell) and runs under 3 events are transient passes — the
+    trajectory-segmentation primitive under visit mining and home/work
+    inference.  Gaps-and-islands over ONE user-keyed window (boundary
+    flag -> running-sum island id -> one groupBy); pure column math,
+    zero Python.  The oracle replays the identical island construction
+    bit-for-bit, unconverged nothing — both engines must agree on every
+    boundary flag to hash-match."""
+    from osm_spark.geo import trajectory as _tj
+
+    cells = _traj_cells(spark, sf_dir)
+    out = _tj.stay_points(
+        cells, "user_id", ["ts", "event_id"], "ts", min_events=3
+    )
+    return out.select(
+        "user_id", "stay_seq", "cell_x", "cell_y", "n_events",
+        _us(F.col("enter_ts")).alias("enter_us"),
+        _us(F.col("exit_ts")).alias("exit_us"),
+        "dwell_us",
+    )
+
+
+# =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
 #
@@ -8542,13 +8792,24 @@ _DRIVER_WINDOW: list[str] = [
     # registered + oracle-checked locally).  Kept rows below, then the
     # rotated-in tail.
     # ------------------------------------------------------------------
-    # flagship + tile family (tile_assign kept; segment_tiles /
-    # tile_quantiles / tile_topk_terms / tile_smooth rotate in)
-    "tile_assign",
-    # hex index family
-    "h3_knn",
-    # WKB + PIP + covering family
-    "pip_polygon_covering",
+    # flagship + tile family (tile_assign, r04-green, parks for the
+    # round-5 od_matrix row; segment_tiles / tile_quantiles /
+    # tile_topk_terms / tile_smooth carry the tile math in-window and
+    # od_matrix adds the z5 assignment under driver hash)
+    "od_matrix",
+    # trajectory family (new this round, shares the tile-assignment +
+    # user-window kernels; main_content, r04-green, parks in its favor
+    # — text keeps 7+ rows in-window)
+    "stay_points",
+    # hex / spatial-knn family (h3_knn, r04-green, parks for the
+    # round-5 in-row nearest-site argmin; hex_polyfill / hex_compact /
+    # hex_cover_join keep the hex kernels in-window)
+    "nearest_site",
+    # WKB + PIP + covering family (pip_polygon_covering, r04-green,
+    # parks for the round-5 zonal rollup; zonal_stats keeps the
+    # cell-join PIP kernels in-window, hex_polyfill / hex_cover_join
+    # keep region->cells covering kernels under driver hash)
+    "zonal_stats",
     # geojson emission family
     "geojson_way_features",
     # geometry family (convex_hull / simplify_dp / resample_line /
@@ -8593,7 +8854,6 @@ _DRIVER_WINDOW: list[str] = [
     # (bm25_search, r04-green, parks for the round-5 cross-corpus
     # fuzzy-decontamination row; index_search keeps the postings/top-k
     # retrieval kernels in-window)
-    "main_content",
     "robots_filter",
     "index_search",
     "fuzzy_contamination",

@@ -191,6 +191,25 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # driver-green) parked; osmapi_notes keeps the osmapi parse kernels
     # in-window and the hex family gains its broadcast cover-join row.
     "changeset_feed_parse",
+    # round-5 od_matrix rotation: tile_assign (r04 driver-green)
+    # parked; segment_tiles / tile_quantiles / tile_topk_terms /
+    # tile_smooth keep the tile math in-window and od_matrix adds the
+    # z5 assignment + user-window flow rollup under driver hash.
+    "tile_assign",
+    # round-5 stay_points rotation: main_content (r04 driver-green)
+    # parked; the text family keeps robots_filter / index_search /
+    # fuzzy_contamination / nb_classify / semantic_dedup /
+    # neardup_clusters / pmi_collocations / phrase_merge in-window.
+    "main_content",
+    # round-5 nearest_site rotation: h3_knn (r04 driver-green) parked;
+    # hex_polyfill / hex_compact / hex_cover_join keep the hex kernels
+    # in-window and the spatial family gains the in-row Voronoi argmin.
+    "h3_knn",
+    # round-5 zonal_stats rotation: pip_polygon_covering (r04
+    # driver-green) parked; zonal_stats keeps the cell-join PIP kernels
+    # in-window, hex_polyfill / hex_cover_join keep the region->cells
+    # covering kernels under driver hash.
+    "pip_polygon_covering",
 })
 
 # Queries awaiting their first driver window slot.  Round 5: EMPTY —
