@@ -8519,6 +8519,211 @@ def q_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Int8 embedding quantization (similarity/quantize.py)
+# =====================================================================
+
+_EMBED_QUANTIZE_SQL = """
+    WITH x AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+      FROM embeddings),
+    m AS (
+      SELECT vec_id, xs,
+             list_max(list_transform(xs, v -> abs(v))) AS maxabs
+      FROM x),
+    q AS (
+      SELECT vec_id, xs, maxabs,
+             list_transform(
+               xs,
+               v -> CASE WHEN maxabs = 0 THEN 0
+                         ELSE CAST(floor(v * 127.0 / maxabs) AS BIGINT)
+                    END) AS qs
+      FROM m),
+    s AS (
+      SELECT vec_id, maxabs,
+             unnest(xs) AS xv, unnest(qs) AS qv,
+             generate_subscripts(qs, 1) AS i
+      FROM q)
+    SELECT vec_id,
+           CAST(floor(maxabs * 1e9) AS BIGINT) AS scale_e9,
+           CAST(sum(qv * i) AS BIGINT) AS qsum,
+           CAST(min(qv) AS BIGINT) AS qmin,
+           CAST(max(qv) AS BIGINT) AS qmax,
+           CAST(floor(max(abs(xv - qv * maxabs / 127.0)) * 1e9)
+             AS BIGINT) AS max_err_e9
+    FROM s GROUP BY vec_id, maxabs
+"""
+
+
+@register("embed_quantize", _EMBED_QUANTIZE_SQL)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric embedding quantization (similarity/quantize.py):
+    every vector compresses to int8 codes + one scale — the 4x storage
+    cut a 10^12-vector ANN corpus takes before serving — and the audit
+    row pins the codes exactly (position-weighted checksum, code range,
+    worst reconstruction error).  Pure in-row array HOFs: zero
+    shuffles, zero Python, only *,/ double math + floor so both engines
+    agree bit-for-bit.  The oracle re-derives the codes element-wise
+    via unnest + generate_subscripts."""
+    from osm_spark.similarity import quantize as _qz
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return _qz.quantize_int8(emb, "embedding", "vec_id")
+
+
+# =====================================================================
+# Count-Min sketch heavy hitters (text/cms.py)
+# =====================================================================
+
+
+def _countmin_oracle_sql(depth: int = 4, width: int = 16,
+                         threshold: int = 50) -> str:
+    from osm_spark.text.cms import cms_bucket_sql
+
+    b = cms_bucket_sql("token", "row_id", width)
+    rows = ", ".join(str(i) for i in range(depth))
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    tf AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS exact_n
+      FROM toks WHERE token <> '' GROUP BY token),
+    r AS (SELECT unnest([{rows}]) AS row_id),
+    cells AS (
+      SELECT row_id, {b} AS bucket,
+             CAST(sum(exact_n) AS BIGINT) AS cnt
+      FROM tf, r GROUP BY 1, 2),
+    cand AS (SELECT token, exact_n FROM tf WHERE exact_n >= {threshold}),
+    probes AS (
+      SELECT c.token, c.exact_n, r.row_id, {b} AS bucket
+      FROM cand c, r),
+    est AS (
+      SELECT p.token, p.exact_n,
+             min(coalesce(cl.cnt, 0)) AS est_n
+      FROM probes p
+      LEFT JOIN cells cl
+        ON cl.row_id = p.row_id AND cl.bucket = p.bucket
+      GROUP BY p.token, p.exact_n)
+    SELECT token, exact_n,
+           CAST(est_n AS BIGINT) AS est_n,
+           CAST(est_n - exact_n AS BIGINT) AS over_n
+    FROM est
+    """
+
+
+@register("countmin_heavy", _countmin_oracle_sql())
+def q_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters (text/cms.py): the corpus token stream
+    folds into a 4x16 mergeable counter grid (deliberately narrow so
+    collisions are REAL and the min-over-depth correction is exercised
+    — est_n >= exact_n always, strictly > where buckets collide), and
+    every token over the threshold reports exact vs estimated count.
+    Scale shape: occurrences collapse to distinct tokens FIRST (one
+    map-side-combinable shuffle), the (row, bucket) re-agg is
+    |vocab| x depth, and the estimate probe joins against the
+    BROADCAST parameter-sized grid.  The oracle rebuilds the identical
+    grid from the same md5 bucket function, so the hash pins the
+    hashing, the merge sums and the min fold."""
+    from osm_spark.text import cms as _cms
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = _persist(
+        toks.groupBy("token").agg(
+            F.count(F.lit(1)).cast("long").alias("exact_n")
+        )
+    )
+    sketch = _cms.cms_build(tf, "token", "exact_n")
+    cand = tf.where(F.col("exact_n") >= 50)
+    out = _cms.cms_estimate(cand, sketch, "token")
+    return out.select(
+        "token", "exact_n", "est_n",
+        (F.col("est_n") - F.col("exact_n")).cast("long").alias("over_n"),
+    )
+
+
+# =====================================================================
+# HITS hubs & authorities (plans/hits.py)
+# =====================================================================
+
+
+def _hits_oracle_sql(iters: int = 3) -> str:
+    """Chained-CTE DuckDB twin of plans/hits.py hits_int: closed-form
+    edges (independent of the Spark side's html link EXTRACTION), then
+    ``iters`` rounds of in-sum -> max-rescale -> out-sum -> max-rescale,
+    all integer (`//` == Spark's DIV for the all-positive scores)."""
+    parts = ["""
+    WITH n AS (SELECT doc_id FROM documents),
+    cnt AS (SELECT count(*) AS c FROM documents),
+    e AS (
+      SELECT doc_id AS src,
+             (doc_id * 7 + 3) % (SELECT c FROM cnt) AS dst FROM documents
+      UNION ALL
+      SELECT doc_id AS src,
+             (doc_id * 13 + 5) % (SELECT c FROM cnt) AS dst FROM documents),
+    h0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS h FROM n)"""]
+    for k in range(iters):
+        parts.append(f""",
+    ar{k} AS (SELECT e.dst AS node, sum(h{k}.h) AS s
+              FROM e JOIN h{k} ON e.src = h{k}.node GROUP BY 1),
+    a{k + 1} AS (SELECT n.doc_id AS node,
+                 CAST(coalesce(ar{k}.s, 0) * 1000000
+                   // greatest(coalesce((SELECT max(s) FROM ar{k}), 1), 1)
+                   AS BIGINT) AS a
+                 FROM n LEFT JOIN ar{k} ON ar{k}.node = n.doc_id),
+    hr{k} AS (SELECT e.src AS node, sum(a{k + 1}.a) AS s
+              FROM e JOIN a{k + 1} ON e.dst = a{k + 1}.node GROUP BY 1),
+    h{k + 1} AS (SELECT n.doc_id AS node,
+                 CAST(coalesce(hr{k}.s, 0) * 1000000
+                   // greatest(coalesce((SELECT max(s) FROM hr{k}), 1), 1)
+                   AS BIGINT) AS h
+                 FROM n LEFT JOIN hr{k} ON hr{k}.node = n.doc_id)""")
+    parts.append(f"""
+    SELECT a{iters}.node AS doc_id, a{iters}.a AS auth, h{iters}.h AS hub
+    FROM a{iters} JOIN h{iters} ON a{iters}.node = h{iters}.node""")
+    return "".join(parts)
+
+
+@register("hits_scores", _hits_oracle_sql(3))
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (plans/hits.py): the html link graph
+    (same column-regex extraction as link_pagerank — an extraction
+    defect changes the graph and reds the hash against the oracle's
+    closed-form edges) runs three mutual-reinforcement rounds.  Each
+    half-step is ONE edge join + ONE node-keyed sum, and the
+    normalization is max-rescale in scaled integers (monotone, so the
+    ranking is textbook-HITS; integer-exact, so no float-norm
+    divergence) — the max is a one-row broadcast, never a collect of
+    node state.  Complements PageRank's popularity with the
+    hub/authority structure signal a directory-heavy crawl needs."""
+    from osm_spark.plans import hits as _hits
+    from osm_spark.plans import pagerank as _pg
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    d = F.col("doc_id")
+    t1 = ((d * 7 + 3) % n_docs).cast("string")
+    t2 = ((d * 13 + 5) % n_docs).cast("string")
+    html_pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body><nav><a href="/doc/'), t1,
+            F.lit('">n1</a> <a href="/doc/'), t2,
+            F.lit('">n2</a></nav><p>'), F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    edges = _persist(_pg.extract_links(html_pages, "doc_id", "html"))
+    out = _hits.hits_int(
+        docs, edges, "doc_id", iters=3,
+        persist_fn=lambda df: df.localCheckpoint(),
+    )
+    return out.select(F.col("node").alias("doc_id"), "auth", "hub")
+
+
+# =====================================================================
 # Zonal statistics (geo/zonal.py — per-polygon point rollups)
 # =====================================================================
 
@@ -8857,14 +9062,19 @@ _DRIVER_WINDOW: list[str] = [
     "robots_filter",
     "index_search",
     "fuzzy_contamination",
-    "nb_classify",
+    # sketch family gains the Count-Min frequency grid alongside
+    # hll_registers (nb_classify, r04-green, parks in its favor)
+    "countmin_heavy",
     "semantic_dedup",
     "neardup_clusters",
-    # link-graph family (route_shortest rotates in alongside)
-    "link_pagerank",
+    # link-graph family (route_shortest rotates in alongside;
+    # link_pagerank, r04-green, parks for the round-5 HITS row —
+    # link_components keeps the iterative-BSP kernels in-window)
+    "hits_scores",
     "link_components",
-    # similarity family
-    "pq_topk",
+    # similarity family (pq_topk, r04-green, parks for the round-5
+    # int8-quantization row)
+    "embed_quantize",
     # ------------------------------------------------------------------
     # Round-5 rotations: the 22 queries that had zero driver rows across
     # rounds 1-4 (exactly the round-4 _ROUND5_ROTATION_QUEUE).  Parked

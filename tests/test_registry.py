@@ -210,6 +210,21 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # in-window, hex_polyfill / hex_cover_join keep the region->cells
     # covering kernels under driver hash.
     "pip_polygon_covering",
+    # round-5 hits_scores rotation: link_pagerank (r04 driver-green)
+    # parked; link_components + route_shortest keep the iterative-BSP
+    # kernels in-window and the graph family gains HITS.
+    "link_pagerank",
+    # round-5 countmin_heavy rotation: nb_classify (r04 driver-green)
+    # parked; the text family keeps robots_filter / index_search /
+    # fuzzy_contamination / semantic_dedup / neardup_clusters /
+    # pmi_collocations / phrase_merge in-window and the sketch family
+    # gains the Count-Min frequency grid next to hll_registers.
+    "nb_classify",
+    # round-5 embed_quantize rotation: pq_topk (r04 driver-green)
+    # parked; the similarity family keeps the int8-quantization row
+    # in-window (PQ/ADC + kmeans kernels stay registered + locally
+    # oracle-checked).
+    "pq_topk",
 })
 
 # Queries awaiting their first driver window slot.  Round 5: EMPTY —
