@@ -64,33 +64,26 @@ def hits_int(
     n = nodes.select(F.col(id_col).alias("node"))
     hub = n.select("node", F.lit(int(scale)).cast("long").alias("hub"))
     auth = None
+
+    def _half(scores: DataFrame, score_col: str, join_on: str,
+              emit_key: str, out_col: str) -> DataFrame:
+        # edge⋈score join + node-keyed sum, materialized ONCE via
+        # persist_fn BEFORE the rescale — the max aggregate and the
+        # rescale projection then both read the cut lineage instead of
+        # recomputing the join (this halves the per-half-step work).
+        raw = (
+            edges.join(scores, edges[join_on] == scores["node"])
+            .groupBy(edges[emit_key].alias("node"))
+            .agg(F.sum(score_col).alias("s"))
+        )
+        full = n.join(raw, "node", "left").select(
+            "node", F.coalesce("s", F.lit(0)).cast("long").alias(out_col)
+        )
+        if persist_fn is not None:
+            full = persist_fn(full)
+        return _rescale(full, out_col, scale)
+
     for _ in range(iters):
-        a_raw = (
-            edges.join(hub, edges["src"] == hub["node"])
-            .groupBy(edges["dst"].alias("node"))
-            .agg(F.sum("hub").alias("s"))
-        )
-        auth = _rescale(
-            n.join(a_raw, "node", "left").select(
-                "node", F.coalesce("s", F.lit(0)).cast("long").alias("auth")
-            ),
-            "auth",
-            scale,
-        )
-        if persist_fn is not None:
-            auth = persist_fn(auth)
-        h_raw = (
-            edges.join(auth, edges["dst"] == auth["node"])
-            .groupBy(edges["src"].alias("node"))
-            .agg(F.sum("auth").alias("s"))
-        )
-        hub = _rescale(
-            n.join(h_raw, "node", "left").select(
-                "node", F.coalesce("s", F.lit(0)).cast("long").alias("hub")
-            ),
-            "hub",
-            scale,
-        )
-        if persist_fn is not None:
-            hub = persist_fn(hub)
+        auth = _half(hub, "hub", "src", "dst", "auth")
+        hub = _half(auth, "auth", "dst", "src", "hub")
     return auth.join(hub, "node").select("node", "auth", "hub")
