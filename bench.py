@@ -113,6 +113,14 @@ HEADLINE = [
     "fuzzy_contamination",
     "hex_polyfill",
     "hex_compact",
+    "hex_cover_join",
+    "od_matrix",
+    "stay_points",
+    "nearest_site",
+    "zonal_stats",
+    "hits_scores",
+    "countmin_heavy",
+    "embed_quantize",
 ]
 
 
@@ -322,9 +330,14 @@ QUERY_GROUPS: list[list[str]] = [
     # geoparse / routing second child as the family grows (cap 5)
     ["geocode_extract", "geodesic_area", "way_crossings"],
     # round-5 session-2 suite: splittable-bz2 xml scan, cross-corpus
-    # fuzzy decontamination, hex polyfill + compact (cap 5)
+    # fuzzy decontamination, hex polyfill + compact + cover join (cap 5)
     ["xml_bz2_scan", "fuzzy_contamination", "hex_polyfill",
-     "hex_compact"],
+     "hex_compact", "hex_cover_join"],
+    # round-5 session-3 trajectory/spatial-rollup suite (cap 5):
+    # OD matrix, stay points, in-row Voronoi argmin, zonal stats
+    ["od_matrix", "stay_points", "nearest_site", "zonal_stats"],
+    # round-5 session-3 graph/sketch/embedding suite (cap 5)
+    ["hits_scores", "countmin_heavy", "embed_quantize"],
 ]
 
 
