@@ -8519,6 +8519,151 @@ def q_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# HDR-histogram quantile sketch (text/hdrhist.py)
+# =====================================================================
+
+
+def _hdr_oracle_sql() -> str:
+    from osm_spark.text.hdrhist import bucket_lo_sql
+
+    sub = " + ".join(
+        f"CASE WHEN substr(bin(val), {i + 2}, 1) = '1'"
+        f" THEN {2 ** (2 - i)} ELSE 0 END"
+        for i in range(3)
+    )
+    return f"""
+    WITH v AS (
+      SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS val
+      FROM events),
+    b AS (
+      SELECT event_type, length(bin(val)) AS o, ({sub}) AS sub FROM v),
+    h AS (
+      SELECT event_type, o, sub,
+             {bucket_lo_sql('o', 'sub')} AS lo,
+             CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY 1, 2, 3),
+    c AS (
+      SELECT *,
+             sum(n) OVER (PARTITION BY event_type ORDER BY lo
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM h),
+    qq AS (SELECT unnest([25, 50, 90, 99]) AS q)
+    SELECT event_type, qq.q AS q,
+           CAST(min(lo) AS BIGINT) AS est,
+           CAST(max(tot) AS BIGINT) AS total
+    FROM c, qq WHERE cum * 100 >= qq.q * tot
+    GROUP BY event_type, qq.q
+    """
+
+
+@register("hdr_quantiles", _hdr_oracle_sql())
+def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram quantile sketch (text/hdrhist.py): per-event-type
+    p25/p50/p90/p99 of the value column read off a log-bucketed
+    mergeable histogram — the unbounded-domain quantile sketch the
+    exact histogram (length_quantiles) can't be.  Where t-digest/KLL/GK
+    are randomized or merge-order-dependent (two cluster runs
+    disagree), this bucketing is a pure function of each value: binary-
+    string bit extraction + pow-of-two scaling, no transcendental near
+    a bucket boundary, worst-case 12.5% relative error, <=504 buckets
+    per group however many rows feed it.  ONE partial-aggregated
+    (group, bucket) shuffle + a bounded-histogram window; the oracle
+    replays bucketing, merge sums, cumsum and the integer inverted-CDF
+    pick bit-for-bit."""
+    from osm_spark.text import hdrhist as _hh
+
+    ev = _t(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("val"),
+    )
+    hist = _hh.hdr_histogram(vals, "event_type", "val")
+    return _hh.hdr_quantiles(hist, "event_type", (25, 50, 90, 99))
+
+
+# =====================================================================
+# Triangle counting / clustering coefficient (plans/triangles.py)
+# =====================================================================
+
+_TRIANGLES_SQL = """
+    WITH cnt AS (SELECT count(*) AS c FROM documents),
+    raw AS (
+      SELECT doc_id AS src, (doc_id + 1) % (SELECT c FROM cnt) AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id + 2) % (SELECT c FROM cnt) FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id * 7 + 3) % (SELECT c FROM cnt) FROM documents),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    pern AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS tri
+      FROM (SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+      GROUP BY node),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      GROUP BY node)
+    SELECT d.node AS doc_id, d.deg,
+           CAST(coalesce(p.tri, 0) AS BIGINT) AS tri,
+           CAST(CASE WHEN d.deg < 2 THEN 0
+                     ELSE (2 * coalesce(p.tri, 0) * 1000000)
+                            // (d.deg * (d.deg - 1))
+                END AS BIGINT) AS cc_e6
+    FROM deg d LEFT JOIN pern p ON p.node = d.node
+"""
+
+
+@register("link_triangles", _TRIANGLES_SQL)
+def q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient
+    (plans/triangles.py): every page links to its two successors and a
+    pseudo-random chord (extracted from the html like link_pagerank —
+    an extraction defect changes the graph and reds the hash), and the
+    degree-ORIENTED wedge join counts each triangle exactly once — a
+    node's wedge fan-out under the (degree, id) order is O(sqrt(m)),
+    so a 10^8-in-link hub enumerates ZERO wedges from its in-side and
+    the all-pairs hub blowup cannot happen; total wedge volume is the
+    m^1.5 optimum.  The oracle brute-forces the canonical a<b edge
+    table through a 3-way join, so the hash checks the orientation
+    trick against ground truth per node (degree, triangle count, exact
+    fixed-point clustering coefficient)."""
+    from osm_spark.plans import pagerank as _pg
+    from osm_spark.plans import triangles as _tr
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    d = F.col("doc_id")
+    t1 = ((d + 1) % n_docs).cast("string")
+    t2 = ((d + 2) % n_docs).cast("string")
+    t3 = ((d * 7 + 3) % n_docs).cast("string")
+    html_pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body><nav><a href="/doc/'), t1,
+            F.lit('">n1</a> <a href="/doc/'), t2,
+            F.lit('">n2</a> <a href="/doc/'), t3,
+            F.lit('">n3</a></nav><p>'), F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    edges = _persist(_pg.extract_links(html_pages, "doc_id", "html"))
+    out = _tr.clustering(edges)
+    return out.select(
+        F.col("node").alias("doc_id"), "deg", "tri", "cc_e6"
+    )
+
+
+# =====================================================================
 # Int8 embedding quantization (similarity/quantize.py)
 # =====================================================================
 
@@ -9060,18 +9205,20 @@ _DRIVER_WINDOW: list[str] = [
     # fuzzy-decontamination row; index_search keeps the postings/top-k
     # retrieval kernels in-window)
     "robots_filter",
-    "index_search",
     "fuzzy_contamination",
-    # sketch family gains the Count-Min frequency grid alongside
-    # hll_registers (nb_classify, r04-green, parks in its favor)
+    # sketch family gains the Count-Min frequency grid and the HDR
+    # quantile sketch alongside hll_registers (nb_classify and
+    # index_search, both r04-green, park in their favor)
     "countmin_heavy",
+    "hdr_quantiles",
     "semantic_dedup",
     "neardup_clusters",
     # link-graph family (route_shortest rotates in alongside;
-    # link_pagerank, r04-green, parks for the round-5 HITS row —
-    # link_components keeps the iterative-BSP kernels in-window)
+    # link_pagerank and link_components, both r04-green, park for the
+    # round-5 HITS + degree-oriented-triangles rows — the iterative-BSP
+    # kernels stay in-window via hits_scores/route_shortest/geo_cluster)
     "hits_scores",
-    "link_components",
+    "link_triangles",
     # similarity family (pq_topk, r04-green, parks for the round-5
     # int8-quantization row)
     "embed_quantize",

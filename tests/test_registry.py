@@ -225,6 +225,17 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # in-window (PQ/ADC + kmeans kernels stay registered + locally
     # oracle-checked).
     "pq_topk",
+    # round-5 link_triangles rotation: link_components (r04
+    # driver-green) parked; hits_scores / route_shortest / geo_cluster
+    # keep the iterative-BSP kernels in-window and the graph family
+    # gains the degree-oriented triangle count.
+    "link_components",
+    # round-5 hdr_quantiles rotation: index_search (r04 driver-green)
+    # parked; the text family keeps robots_filter / fuzzy_contamination
+    # / semantic_dedup / neardup_clusters / pmi_collocations /
+    # phrase_merge in-window and the sketch family gains the HDR
+    # quantile sketch.
+    "index_search",
 })
 
 # Queries awaiting their first driver window slot.  Round 5: EMPTY —
