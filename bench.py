@@ -121,6 +121,8 @@ HEADLINE = [
     "hits_scores",
     "countmin_heavy",
     "embed_quantize",
+    "link_triangles",
+    "hdr_quantiles",
 ]
 
 
@@ -337,7 +339,8 @@ QUERY_GROUPS: list[list[str]] = [
     # OD matrix, stay points, in-row Voronoi argmin, zonal stats
     ["od_matrix", "stay_points", "nearest_site", "zonal_stats"],
     # round-5 session-3 graph/sketch/embedding suite (cap 5)
-    ["hits_scores", "countmin_heavy", "embed_quantize"],
+    ["hits_scores", "countmin_heavy", "embed_quantize",
+     "link_triangles", "hdr_quantiles"],
 ]
 
 
