@@ -112,7 +112,8 @@ class SnapshotTable:
             files.append(entry)
         return {"files": files, "rows": sum(f["rows"] for f in files)}
 
-    def _commit(self, df: DataFrame, operation: str) -> dict:
+    def _commit(self, df: DataFrame, operation: str,
+                carried_files: list[dict] | None = None) -> dict:
         parent = self.current()
         snap_id = (parent["id"] + 1) if parent else 0
         snap_dir = os.path.join(self.root, "data", f"snap-{snap_id}")
@@ -127,6 +128,12 @@ class SnapshotTable:
                     f"append drops {missing}"
                 )
         manifest = self._collect_manifest(snap_dir, schema_cols)
+        if carried_files:
+            # COW merge: untouched parent data files survive into the
+            # new snapshot's manifest verbatim (their parquet is shared
+            # on disk — exactly Iceberg's file reuse)
+            manifest["files"] = carried_files + manifest["files"]
+            manifest["rows"] = sum(f["rows"] for f in manifest["files"])
         mpath = os.path.join(
             self.root, "metadata", f"manifest-{snap_id}.json"
         )
@@ -152,6 +159,86 @@ class SnapshotTable:
 
     def overwrite(self, df: DataFrame) -> dict:
         return self._commit(df, "overwrite")
+
+    def merge_upsert(self, updates: DataFrame, key_col: str) -> dict:
+        """Copy-on-write MERGE (Iceberg MERGE INTO semantics, COW
+        strategy): rows in ``updates`` REPLACE same-key rows, new keys
+        INSERT.  ``updates`` must carry the full table schema and at
+        most one row per key (last-writer semantics across duplicate
+        update keys are undefined — dedupe upstream).
+
+        File-level pruning is the scale story: only parent data files
+        whose ``key_col`` manifest bounds OVERLAP the updates' key
+        range are read + rewritten (their survivors anti-join the
+        update keys, then union the updates); every other file carries
+        into the new snapshot's manifest verbatim, zero I/O — at
+        10^12 rows a point-update rewrites one file, not the table.
+        Files without bounds for ``key_col`` always rewrite (unknown =
+        conservative, the inverse of scan pruning's unknown = keep:
+        both directions must preserve correctness).  Works with
+        numeric/string keys (manifest bounds for timestamps are stored
+        as isoformat strings — use a primitive key column).
+        """
+        parent = self.current()
+        if parent is None:
+            return self._commit(updates, "merge")
+        schema = parent["schema"]
+        up_cols = [f.name for f in updates.schema.fields]
+        if sorted(up_cols) != sorted(schema):
+            raise ValueError(
+                f"merge updates schema {sorted(up_cols)} must equal "
+                f"table schema {sorted(schema)}"
+            )
+        b = updates.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).first()
+        if b["lo"] is None:  # empty update set: nothing to commit
+            return parent
+        # per-FILE membership pruning, not global-range overlap: a
+        # single far-away insert key would otherwise stretch the range
+        # across every file and defeat pruning entirely.  The file
+        # bounds table is manifest-sized (parameter-sized) — broadcast
+        # it against the update keys, one job, and collect only the
+        # touched file indices.
+        files = self._manifest_files(parent)
+        bounded = [
+            (i, fe["bounds"][key_col][0], fe["bounds"][key_col][1])
+            for i, fe in enumerate(files)
+            if fe["bounds"].get(key_col) is not None
+        ]
+        touched_idx = {
+            i for i, fe in enumerate(files)
+            if fe["bounds"].get(key_col) is None  # unknown = rewrite
+        }
+        if bounded:
+            bdf = self.spark.createDataFrame(
+                bounded, ["__idx", "__lo", "__hi"]
+            )
+            k = updates.select(F.col(key_col).alias("__k"))
+            hit = k.join(
+                F.broadcast(bdf),
+                (F.col("__k") >= F.col("__lo"))
+                & (F.col("__k") <= F.col("__hi")),
+            )
+            touched_idx |= {
+                r["__idx"] for r in hit.select("__idx").distinct().collect()
+            }
+        touched = [fe for i, fe in enumerate(files) if i in touched_idx]
+        carried = [fe for i, fe in enumerate(files) if i not in touched_idx]
+        updates = updates.select(*schema)
+        if touched:
+            old = self.spark.read.parquet(
+                *[fe["path"] for fe in touched]
+            ).select(*schema)
+            keep = old.join(
+                updates.select(F.col(key_col).alias("__k")),
+                old[key_col] == F.col("__k"),
+                "left_anti",
+            )
+            merged = keep.unionByName(updates)
+        else:
+            merged = updates
+        return self._commit(merged, "merge", carried_files=carried)
 
     # ------------------------------------------------------------ read
     def _resolve(self, snapshot_id: int | None, as_of_ts: float | None) -> dict:

@@ -8519,6 +8519,189 @@ def q_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Event-stream rollups (temporal/events.py): TWA + funnel
+# =====================================================================
+
+_TWA_SQL = """
+    WITH s AS (
+      SELECT user_id,
+             CAST(floor(value * 1000) AS BIGINT) AS vq,
+             (coalesce(epoch_us(lead(ts) OVER w), epoch_us(ts))
+              - epoch_us(ts)) // 1000 AS held_ms
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(held_ms) AS BIGINT) AS total_ms,
+           CAST(sum(vq * held_ms) AS BIGINT) AS wsum,
+           CAST(CASE WHEN sum(held_ms) = 0 THEN min(vq)
+                     ELSE sum(vq * held_ms) // sum(held_ms)
+                END AS BIGINT) AS twa_q
+    FROM s GROUP BY user_id
+"""
+
+
+@register("time_weighted_avg", _TWA_SQL)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average (temporal/events.py): each event
+    value holds until the user's next event, and the mean weights by
+    holding duration — the honest aggregate for sampled metrics (a
+    burst of samples no longer dominates the mean).  ONE user-keyed
+    window shuffle + one aggregation; durations are int64 ms via
+    integer DIV (a float conversion would split the engines: DuckDB
+    rounds double->int casts, Spark truncates), values quantize to e3
+    BEFORE the product, and the TWA emits as exact fixed point
+    wsum DIV total — no float summation."""
+    from osm_spark.temporal import events as _ev
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("vq"),
+    )
+    return _ev.time_weighted_avg(ev, "user_id", "ts", "vq", "event_id")
+
+
+_FUNNEL_SQL = """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+    s0 AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts_us END) AS t0
+      FROM e GROUP BY user_id),
+    s1 AS (
+      SELECT e.user_id,
+             min(CASE WHEN event_type = 'click' AND ts_us > t0
+                      THEN ts_us END) AS t1
+      FROM e JOIN s0 ON s0.user_id = e.user_id GROUP BY e.user_id),
+    s2 AS (
+      SELECT e.user_id,
+             min(CASE WHEN event_type = 'purchase' AND ts_us > t1
+                      THEN ts_us END) AS t2
+      FROM e JOIN s1 ON s1.user_id = e.user_id GROUP BY e.user_id),
+    j AS (
+      SELECT s0.user_id, t0, t1, t2
+      FROM s0 JOIN s1 ON s1.user_id = s0.user_id
+              JOIN s2 ON s2.user_id = s0.user_id)
+    SELECT 0 AS stage_idx, 'view' AS stage,
+           CAST(count(t0) AS BIGINT) AS n_reached,
+           CAST(0 AS BIGINT) AS sum_latency_us
+    FROM j
+    UNION ALL
+    SELECT 1, 'click', CAST(count(t1) AS BIGINT),
+           CAST(coalesce(sum(t1 - t0), 0) AS BIGINT)
+    FROM j
+    UNION ALL
+    SELECT 2, 'purchase', CAST(count(t2) AS BIGINT),
+           CAST(coalesce(sum(t2 - t0), 0) AS BIGINT)
+    FROM j
+"""
+
+
+@register("event_funnel", _FUNNEL_SQL)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-stage funnel (temporal/events.py): view -> click ->
+    purchase conversion where stage k only counts when its event is
+    strictly AFTER the user's stage k-1 time (min over a constrained
+    window, not mere type presence — a purchase before the first view
+    does not convert).  All stage minima are conditional aggregates
+    over the SAME user partition — one exchange total — and the rollup
+    is |stages| rows with exact int64 latency sums.  The oracle chains
+    the constrained minima through per-stage CTEs; null propagation
+    (never reached k-1 => never reaches k) must agree exactly."""
+    from osm_spark.temporal import events as _ev
+
+    ev = _t(spark, sf_dir, "events")
+    out = _ev.funnel(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+    return out.select("stage_idx", "stage", "n_reached", "sum_latency_us")
+
+
+# =====================================================================
+# Snapshot-table COW merge (pipeline/table.py merge_upsert)
+# =====================================================================
+
+_TABLE_MERGE_SQL = """
+    WITH base AS (
+      SELECT event_id, user_id,
+             CAST(floor(value * 1000) AS BIGINT) AS vq
+      FROM events),
+    upd AS (
+      SELECT event_id, user_id, vq + 7000 AS vq
+      FROM base WHERE event_id >= 2000 AND event_id < 3000
+      UNION ALL
+      SELECT event_id + 1000000, user_id, vq + 1 FROM base
+      WHERE event_id < 100),
+    merged AS (
+      SELECT * FROM base
+      WHERE event_id NOT IN (SELECT event_id FROM upd)
+      UNION ALL SELECT * FROM upd)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(vq) AS BIGINT) AS vq_sum,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           TRUE AS carried
+    FROM merged GROUP BY user_id
+"""
+
+
+@register("table_merge_scan", _TABLE_MERGE_SQL)
+def q_table_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-table COW MERGE (pipeline/table.py merge_upsert —
+    Iceberg MERGE INTO, copy-on-write): events land range-partitioned
+    across 8 files with per-file event_id bounds, then ONE merge
+    commit updates a contiguous key slice and inserts brand-new keys.
+    Manifest pruning is the point: only files whose key bounds overlap
+    the update range rewrite; the rest carry into the new snapshot's
+    manifest verbatim with zero I/O (the `carried` column asserts the
+    planner really did carry parent files — at 10^12 rows this is a
+    point-update rewriting one file, not the table).  The oracle
+    computes the post-merge state directly from events, so the hash
+    checks upsert semantics (replace + insert + untouched) through the
+    storage layer."""
+    import tempfile
+
+    from osm_spark.pipeline.table import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("vq"),
+    )
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="osm_spark_merge_"),
+        stats_cols=("event_id",),
+    )
+    t.append(base.repartitionByRange(8, "event_id"))
+    updates = (
+        base.where((F.col("event_id") >= 2000) & (F.col("event_id") < 3000))
+        .select("event_id", "user_id", (F.col("vq") + 7000).alias("vq"))
+        .unionByName(
+            base.where(F.col("event_id") < 100).select(
+                (F.col("event_id") + 1000000).alias("event_id"),
+                "user_id",
+                (F.col("vq") + 1).alias("vq"),
+            )
+        )
+    )
+    t.merge_upsert(updates, "event_id")
+    snap = t.current()
+    files = t._manifest_files(snap)
+    carried = any("snap-0" in fe["path"] for fe in files)
+    rewrote_all = all("snap-1" in fe["path"] for fe in files)
+    return (
+        t.scan()
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("vq").cast("long").alias("vq_sum"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+        )
+        .withColumn("carried", F.lit(bool(carried and not rewrote_all)))
+    )
+
+
+# =====================================================================
 # HDR-histogram quantile sketch (text/hdrhist.py)
 # =====================================================================
 
@@ -9167,8 +9350,12 @@ _DRIVER_WINDOW: list[str] = [
     # multipolygon_assembly, r04-green, parks for the round-5
     # segment-intersection join row)
     "way_crossings",
-    # temporal / history family
-    "asof_annotate",
+    # temporal / history family (asof_annotate, r04-green, parks for
+    # the round-5 time-weighted-average row; stay_points / event_funnel
+    # keep the user-window temporal kernels in-window and the annotate
+    # cogroup kernels stay registered + locally oracle-checked)
+    "time_weighted_avg",
+    "event_funnel",
     # ids / stats family (length_quantiles rotates in alongside)
     "ids_pack_roundtrip",
     # PBF wire format
@@ -9191,8 +9378,10 @@ _DRIVER_WINDOW: list[str] = [
     # parks to make room for the round-5 splittable-bzip2 source row)
     "xml_scan",
     "xml_bz2_scan",
-    # snapshot-table stats pruning
-    "table_prune_scan",
+    # snapshot-table family (table_prune_scan, r04-green, parks for
+    # the round-5 COW-merge row, which exercises append + manifest
+    # stats + carried-file planning + scan in one chain)
+    "table_merge_scan",
     # WARC container source (warc_cdx_fetch, r04-green, parks for the
     # round-5 hex-polyfill row; warc_scan keeps the container kernels)
     "warc_scan",
@@ -9211,7 +9400,8 @@ _DRIVER_WINDOW: list[str] = [
     # index_search, both r04-green, park in their favor)
     "countmin_heavy",
     "hdr_quantiles",
-    "semantic_dedup",
+    # (semantic_dedup, r04-green, parks for the round-5 event_funnel
+    # row; neardup_clusters keeps the LSH/components dedup kernels)
     "neardup_clusters",
     # link-graph family (route_shortest rotates in alongside;
     # link_pagerank and link_components, both r04-green, park for the

@@ -236,6 +236,19 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # phrase_merge in-window and the sketch family gains the HDR
     # quantile sketch.
     "index_search",
+    # round-5 time_weighted_avg + event_funnel rotation: asof_annotate
+    # and semantic_dedup (both r04 driver-green) park; stay_points /
+    # event_funnel / time_weighted_avg keep the user-window temporal
+    # kernels in-window, neardup_clusters keeps the LSH dedup kernels,
+    # and the annotate cogroup kernels stay registered + locally
+    # oracle-checked.
+    "asof_annotate",
+    "semantic_dedup",
+    # round-5 table_merge_scan rotation: table_prune_scan (r04
+    # driver-green) parked; the COW-merge row exercises append +
+    # manifest stats + carried-file planning + pruned scan in one
+    # chain, so the storage family's kernels stay under driver hash.
+    "table_prune_scan",
 })
 
 # Queries awaiting their first driver window slot.  Round 5: EMPTY —

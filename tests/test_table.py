@@ -95,3 +95,53 @@ def test_expire_and_gc(spark, tmp_path):
     assert sorted(os.listdir(os.path.join(t.root, "data"))) == ["snap-2"]
     assert t.scan().count() == 10
     assert sorted(r.k for r in t.scan().collect())[0] == 20
+
+
+def test_merge_upsert_replaces_inserts_and_carries_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 400))
+    # update a narrow key slice + insert beyond the max key
+    upd = spark.createDataFrame(
+        [(10, 999), (11, 998), (1000, 5)], "k long, v long"
+    )
+    s1 = t.merge_upsert(upd, "k")
+    assert s1["operation"] == "merge" and s1["id"] == 1
+
+    got = {r.k: r.v for r in t.scan().collect()}
+    assert len(got) == 401                      # 400 originals + 1 insert
+    assert got[10] == 999 and got[11] == 998    # replaced
+    assert got[1000] == 5                       # inserted
+    assert got[12] == 24                        # untouched row intact
+
+    # pruning: only the file(s) whose k-bounds overlap [10, 1000]
+    # rewrote; at least one parent file carried forward verbatim
+    files = t._manifest_files(t.current())
+    assert any("snap-0" in fe["path"] for fe in files)
+    assert any("snap-1" in fe["path"] for fe in files)
+
+    # time travel still sees the pre-merge state
+    assert {r.k: r.v for r in t.scan(snapshot_id=0).collect()}[10] == 20
+
+
+def test_merge_upsert_guards(spark, tmp_path):
+    import pytest
+
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 40))
+    # schema mismatch raises
+    bad = spark.createDataFrame([(1, 2, 3)], "k long, v long, extra long")
+    with pytest.raises(ValueError, match="schema"):
+        t.merge_upsert(bad, "k")
+    # empty update set commits nothing
+    empty = spark.createDataFrame([], "k long, v long")
+    assert t.merge_upsert(empty, "k")["id"] == t.current()["id"]
+    assert len(t.log()) == 1
+
+
+def test_merge_upsert_on_empty_table_is_append(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    s = t.merge_upsert(
+        spark.createDataFrame([(1, 2)], "k long, v long"), "k"
+    )
+    assert s["id"] == 0 and s["operation"] == "merge"
+    assert t.scan().count() == 1
