@@ -123,6 +123,9 @@ HEADLINE = [
     "embed_quantize",
     "link_triangles",
     "hdr_quantiles",
+    "time_weighted_avg",
+    "event_funnel",
+    "table_merge_scan",
 ]
 
 
@@ -341,6 +344,8 @@ QUERY_GROUPS: list[list[str]] = [
     # round-5 session-3 graph/sketch/embedding suite (cap 5)
     ["hits_scores", "countmin_heavy", "embed_quantize",
      "link_triangles", "hdr_quantiles"],
+    # round-5 session-3 event-analytics / storage suite (cap 5)
+    ["time_weighted_avg", "event_funnel", "table_merge_scan"],
 ]
 
 
