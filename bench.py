@@ -126,6 +126,7 @@ HEADLINE = [
     "time_weighted_avg",
     "event_funnel",
     "table_merge_scan",
+    "tile_coverage",
 ]
 
 
@@ -344,8 +345,9 @@ QUERY_GROUPS: list[list[str]] = [
     # round-5 session-3 graph/sketch/embedding suite (cap 5)
     ["hits_scores", "countmin_heavy", "embed_quantize",
      "link_triangles", "hdr_quantiles"],
-    # round-5 session-3 event-analytics / storage suite (cap 5)
-    ["time_weighted_avg", "event_funnel", "table_merge_scan"],
+    # round-5 session-3 event-analytics / storage / rasterization suite
+    ["time_weighted_avg", "event_funnel", "table_merge_scan",
+     "tile_coverage"],
 ]
 
 

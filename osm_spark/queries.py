@@ -8519,6 +8519,69 @@ def q_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Polygon->tile coverage fractions (geo/coverage.py)
+# =====================================================================
+
+
+def _tile_coverage_oracle_sql(zoom: int = 6) -> str:
+    n = 1 << zoom
+    q = 1 << 20
+    fx = lambda e: f"floor(({tiles.fraction_x_sql(e, zoom)}) * {float(q)!r})"  # noqa: E731
+    fy = lambda e: f"floor(({tiles.fraction_y_sql(e, zoom)}) * {float(q)!r})"  # noqa: E731
+    return f"""
+    WITH {_RECT_SQL},
+    qr AS (
+      SELECT poly_id,
+             {fx('r.clon - r.hlon + 0.0005')} AS qx0,
+             {fx('r.clon + r.hlon + 0.0005')} AS qx1,
+             {fy('r.clat + r.hlat + 0.0005')} AS qy0,
+             {fy('r.clat - r.hlat + 0.0005')} AS qy1
+      FROM rect r),
+    cells AS (
+      SELECT poly_id, qx0, qx1, qy0, qy1, tx.tile_x, ty.tile_y
+      FROM qr,
+           LATERAL (SELECT unnest(generate_series(
+             CAST(greatest(floor(qx0 / {q}), 0) AS BIGINT),
+             CAST(least(floor(qx1 / {q}), {n - 1}) AS BIGINT))) AS tile_x) tx,
+           LATERAL (SELECT unnest(generate_series(
+             CAST(greatest(floor(qy0 / {q}), 0) AS BIGINT),
+             CAST(least(floor(qy1 / {q}), {n - 1}) AS BIGINT))) AS tile_y) ty),
+    ov AS (
+      SELECT poly_id, tile_x, tile_y,
+             greatest(least(qx1, (tile_x + 1) * {q}) -
+                      greatest(qx0, tile_x * {q}), 0) AS w,
+             greatest(least(qy1, (tile_y + 1) * {q}) -
+                      greatest(qy0, tile_y * {q}), 0) AS h
+      FROM cells)
+    SELECT poly_id, tile_x, tile_y,
+           CAST(floor((2.0 * w * h) / {float(1 << 41)!r}
+                      * 1000000000.0) AS BIGINT) AS cov_e9
+    FROM ov WHERE w > 0 AND h > 0
+    """
+
+
+@register("tile_coverage", _tile_coverage_oracle_sql(6))
+def q_tile_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon->tile coverage fractions (geo/coverage.py): the
+    anti-aliased half of raster<->vector — every covered z6 tile gets
+    the exact fraction of it the zone polygon occupies (partial edge
+    tiles must not count as full).  Sutherland-Hodgman clipping per
+    (polygon, tile) as PURE in-row column math: vertices quantize ONCE
+    through the Mercator projection to integer µtile units (the single
+    guarded transcendental floor), the cover range derives from the
+    same quantized bbox so cover and clip can never disagree, and each
+    half-plane intersection pins the boundary axis EXACTLY — for the
+    rectangle fixtures the whole chain is float-error-free, which is
+    what lets the oracle check it by exact interval arithmetic
+    (general polygons are pytest-covered, the engine-side kernel is
+    the same four passes).  One explode, zero joins, zero Python."""
+    from osm_spark.geo import coverage as _cov
+
+    polys = _rect_polygons_df(spark, sf_dir)
+    return _cov.tile_coverage(polys, 6)
+
+
+# =====================================================================
 # Event-stream rollups (temporal/events.py): TWA + funnel
 # =====================================================================
 
@@ -9393,7 +9456,10 @@ _DRIVER_WINDOW: list[str] = [
     # (bm25_search, r04-green, parks for the round-5 cross-corpus
     # fuzzy-decontamination row; index_search keeps the postings/top-k
     # retrieval kernels in-window)
-    "robots_filter",
+    # (robots_filter, r04-green, parks for the round-5 tile-coverage
+    # rasterization row; the text family keeps fuzzy_contamination /
+    # neardup_clusters / pmi_collocations / phrase_merge in-window)
+    "tile_coverage",
     "fuzzy_contamination",
     # sketch family gains the Count-Min frequency grid and the HDR
     # quantile sketch alongside hll_registers (nb_classify and

@@ -249,6 +249,12 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # manifest stats + carried-file planning + pruned scan in one
     # chain, so the storage family's kernels stay under driver hash.
     "table_prune_scan",
+    # round-5 tile_coverage rotation: robots_filter (r04 driver-green)
+    # parked; the text family keeps fuzzy_contamination /
+    # neardup_clusters / pmi_collocations / phrase_merge in-window and
+    # the tile family gains the Sutherland-Hodgman coverage-fraction
+    # rasterization row.
+    "robots_filter",
 })
 
 # Queries awaiting their first driver window slot.  Round 5: EMPTY —
