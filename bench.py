@@ -127,6 +127,8 @@ HEADLINE = [
     "event_funnel",
     "table_merge_scan",
     "tile_coverage",
+    "tile_skew_profile",
+    "hll_pyramid",
 ]
 
 
@@ -348,6 +350,8 @@ QUERY_GROUPS: list[list[str]] = [
     # round-5 session-3 event-analytics / storage / rasterization suite
     ["time_weighted_avg", "event_funnel", "table_merge_scan",
      "tile_coverage"],
+    # round-5 session-3 diagnostics / sketch-cube suite
+    ["tile_skew_profile", "hll_pyramid"],
 ]
 
 

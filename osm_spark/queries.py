@@ -8519,6 +8519,162 @@ def q_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# HLL register pyramid (sketch-cube rollup along the tile hierarchy)
+# =====================================================================
+
+_HLL_PYR_SQL = f"""
+    WITH h AS (
+      SELECT {tiles.tile_x_sql(pages.GEO_LON_SQL, 6)} AS tx,
+             {tiles.tile_y_sql(pages.GEO_LAT_SQL, 6)} AS ty,
+             md5(text) AS dig
+      FROM documents),
+    v AS (SELECT tx, ty, {{dig_poly}} AS v FROM h),
+    r AS (
+      SELECT tx, ty, v >> 54 AS bucket,
+             v & {(1 << 54) - 1} AS w
+      FROM v),
+    rho AS (
+      SELECT tx, ty, bucket,
+             CASE WHEN strpos(lpad(bin(w), 54, '0'), '1') = 0 THEN 55
+                  ELSE strpos(lpad(bin(w), 54, '0'), '1') END AS rho
+      FROM r),
+    l6 AS (
+      SELECT tx, ty, bucket, CAST(max(rho) AS BIGINT) AS rho
+      FROM rho GROUP BY 1, 2, 3),
+    l5 AS (
+      SELECT tx // 2 AS tx, ty // 2 AS ty, bucket, max(rho) AS rho
+      FROM l6 GROUP BY 1, 2, 3),
+    l4 AS (
+      SELECT tx // 2 AS tx, ty // 2 AS ty, bucket, max(rho) AS rho
+      FROM l5 GROUP BY 1, 2, 3)
+    SELECT 6 AS zoom, tx AS tile_x, ty AS tile_y, bucket, rho FROM l6
+    UNION ALL
+    SELECT 5, tx, ty, bucket, rho FROM l5
+    UNION ALL
+    SELECT 4, tx, ty, bucket, rho FROM l4
+"""
+
+
+@register("hll_pyramid", _HLL_PYR_SQL.replace("{dig_poly}", _HLL_DIG_POLY))
+def q_hll_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register pyramid (the sketch-cube pattern — Druid/
+    DataSketches-style pre-aggregated rollup): distinct-content
+    registers build once per z6 tile, then roll to z5 and z4 by
+    REGISTER-WISE MAX under the tile child->parent map (tx DIV 2) —
+    merge without touching the raw data, the property that lets a
+    10^12-row scan materialize every zoom level of a distinct-count
+    dashboard from the finest level's sketches.  Each rollup level is
+    one |tiles|x64-row groupBy, corpus-independent.  Same
+    string-op rho as hll_registers (no float log2 boundary); the
+    oracle replays all three levels."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    from osm_spark.text.sketch import _hex15_to_long
+
+    v = docs.select(
+        tiles.tile_x(pages.geo_lon("doc_id"), 6).alias("tx"),
+        tiles.tile_y(pages.geo_lat("doc_id"), 6).alias("ty"),
+        _hex15_to_long(F.md5("text")).alias("v"),
+    )
+    r = v.select(
+        "tx", "ty",
+        F.shiftright("v", 54).alias("bucket"),
+        F.col("v").bitwiseAND(F.lit((1 << 54) - 1)).alias("w"),
+    )
+    pos = F.instr(F.lpad(F.bin("w"), 54, "0"), "1")
+    rho = r.select(
+        "tx", "ty", "bucket",
+        F.when(pos == 0, F.lit(55)).otherwise(pos).alias("rho"),
+    )
+    l6 = rho.groupBy("tx", "ty", "bucket").agg(
+        F.max("rho").cast("long").alias("rho")
+    )
+    def up(lvl: DataFrame) -> DataFrame:
+        return (
+            lvl.groupBy(
+                F.expr("tx DIV 2").alias("tx"),
+                F.expr("ty DIV 2").alias("ty"),
+                F.col("bucket"),
+            )
+            .agg(F.max("rho").cast("long").alias("rho"))
+        )
+    l5 = up(l6)
+    l4 = up(l5)
+    out = (
+        l6.select(F.lit(6).alias("zoom"), "tx", "ty", "bucket", "rho")
+        .unionAll(l5.select(F.lit(5).alias("zoom"), "tx", "ty", "bucket", "rho"))
+        .unionAll(l4.select(F.lit(4).alias("zoom"), "tx", "ty", "bucket", "rho"))
+    )
+    return out.select(
+        "zoom",
+        F.col("tx").alias("tile_x"),
+        F.col("ty").alias("tile_y"),
+        "bucket",
+        "rho",
+    )
+
+
+# =====================================================================
+# Hot-key skew profiling (plans/skew.py)
+# =====================================================================
+
+_SKEW_PROFILE_SQL = f"""
+    WITH t AS (
+      SELECT {tiles.tile_x_sql(pages.GEO_LON_SQL, 8)} AS tile_x,
+             {tiles.tile_y_sql(pages.GEO_LAT_SQL, 8)} AS tile_y
+      FROM documents),
+    counts AS (
+      SELECT tile_x, tile_y, CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS total
+      FROM counts),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        ORDER BY n DESC, tile_x ASC, tile_y ASC) AS rank
+      FROM counts),
+    top AS (SELECT * FROM ranked WHERE rank <= 10),
+    hist AS (SELECT n, count(*) AS f FROM counts GROUP BY n),
+    cum AS (
+      SELECT n,
+             sum(f) OVER (ORDER BY n ROWS UNBOUNDED PRECEDING) AS cum,
+             (SELECT sum(f) FROM hist) AS tot
+      FROM hist),
+    p50 AS (SELECT CAST(min(n) AS BIGINT) AS p50_n FROM cum
+            WHERE cum * 100 >= 50 * tot),
+    p99 AS (SELECT CAST(min(n) AS BIGINT) AS p99_n FROM cum
+            WHERE cum * 100 >= 99 * tot)
+    SELECT CAST(rank AS BIGINT) AS rank, tile_x, tile_y, n,
+           CAST((n * 1000000) // total AS BIGINT) AS share_ppm,
+           n_keys, total, p50_n, p99_n,
+           CAST((n * n_keys * 1000) // total AS BIGINT) AS skew_x_e3
+    FROM top, stats, p50, p99
+"""
+
+
+@register("tile_skew_profile", _SKEW_PROFILE_SQL)
+def q_tile_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew profile (plans/skew.py) over the z8 tile
+    assignment — the diagnostic that MEASURES the skew every operator
+    in this engine documents a mitigation for (the fixture's hot city
+    holds 5% of all pages in one tile, and rank 1 must say so, with
+    skew_x_e3 telling the operator owner what salt factor the cell
+    joins need).  Per-key counts are one map-side shuffle; the top-k
+    is the salted two-level ranking so no reducer sorts the key
+    population; count-of-count quantiles ride the bounded histogram.
+    The oracle replays counts, ranking (deterministic tie-break),
+    shares, and inverted-CDF picks exactly."""
+    from osm_spark.plans import skew as _sk
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        tiles.tile_x(pages.geo_lon("doc_id"), 8).alias("tile_x"),
+        tiles.tile_y(pages.geo_lat("doc_id"), 8).alias("tile_y"),
+    )
+    return _sk.skew_profile(t, ["tile_x", "tile_y"], k=10)
+
+
+# =====================================================================
 # Polygon->tile coverage fractions (geo/coverage.py)
 # =====================================================================
 
@@ -9439,7 +9595,10 @@ _DRIVER_WINDOW: list[str] = [
     "hex_cover_join",
     # XML file source + diff codec family (diff_roundtrip, r04-green,
     # parks to make room for the round-5 splittable-bzip2 source row)
-    "xml_scan",
+    # (xml_scan, r04-green, parks for the round-5 HLL-pyramid row;
+    # xml_bz2_scan routes through the same element-scan kernels, so
+    # the XML family stays under driver hash)
+    "hll_pyramid",
     "xml_bz2_scan",
     # snapshot-table family (table_prune_scan, r04-green, parks for
     # the round-5 COW-merge row, which exercises append + manifest
@@ -9466,9 +9625,11 @@ _DRIVER_WINDOW: list[str] = [
     # index_search, both r04-green, park in their favor)
     "countmin_heavy",
     "hdr_quantiles",
-    # (semantic_dedup, r04-green, parks for the round-5 event_funnel
-    # row; neardup_clusters keeps the LSH/components dedup kernels)
-    "neardup_clusters",
+    # (semantic_dedup and neardup_clusters, both r04-green, park for
+    # the round-5 event_funnel + skew-profile rows; fuzzy_contamination
+    # keeps the minhash/band kernels in-window and geo_cluster /
+    # route_shortest keep the pointer-jump components kernels)
+    "tile_skew_profile",
     # link-graph family (route_shortest rotates in alongside;
     # link_pagerank and link_components, both r04-green, park for the
     # round-5 HITS + degree-oriented-triangles rows — the iterative-BSP

@@ -255,6 +255,16 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # the tile family gains the Sutherland-Hodgman coverage-fraction
     # rasterization row.
     "robots_filter",
+    # round-5 hll_pyramid rotation: xml_scan (r04 driver-green) parked;
+    # xml_bz2_scan routes through the same element-scan kernels, and
+    # the sketch family gains the register-max pyramid rollup.
+    "xml_scan",
+    # round-5 tile_skew_profile rotation: neardup_clusters (r04
+    # driver-green) parked; fuzzy_contamination keeps the minhash/band
+    # kernels in-window, geo_cluster / route_shortest keep the
+    # pointer-jump components kernels, and the engine gains the hot-key
+    # diagnostics row.
+    "neardup_clusters",
 })
 
 # Queries awaiting their first driver window slot.  Round 5: EMPTY —
