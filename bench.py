@@ -129,6 +129,8 @@ HEADLINE = [
     "tile_coverage",
     "tile_skew_profile",
     "hll_pyramid",
+    "window_rollup",
+    "weighted_sample",
 ]
 
 
@@ -350,8 +352,9 @@ QUERY_GROUPS: list[list[str]] = [
     # round-5 session-3 event-analytics / storage / rasterization suite
     ["time_weighted_avg", "event_funnel", "table_merge_scan",
      "tile_coverage"],
-    # round-5 session-3 diagnostics / sketch-cube suite
-    ["tile_skew_profile", "hll_pyramid"],
+    # round-5 session-3 diagnostics / sketch-cube / sampling suite
+    ["tile_skew_profile", "hll_pyramid", "window_rollup",
+     "weighted_sample"],
 ]
 
 

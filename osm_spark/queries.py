@@ -8519,6 +8519,131 @@ def q_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Weighted sampling without replacement (webprep.weighted_sample)
+# =====================================================================
+
+_WSAMPLE_SQL = """
+    WITH d AS (
+      SELECT doc_id, lang, n_chars,
+             md5('w|' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    v AS (
+      SELECT doc_id, lang, n_chars,
+             ( (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * CAST(16 ** 12 AS BIGINT)
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * CAST(16 ** 11 AS BIGINT)
+             + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * CAST(16 ** 10 AS BIGINT)
+             + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * CAST(16 ** 9 AS BIGINT)
+             + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * CAST(16 ** 8 AS BIGINT)
+             + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * CAST(16 ** 7 AS BIGINT)
+             + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * CAST(16 ** 6 AS BIGINT)
+             + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) * CAST(16 ** 5 AS BIGINT)
+             + (strpos('0123456789abcdef', substr(h, 9, 1)) - 1) * CAST(16 ** 4 AS BIGINT)
+             + (strpos('0123456789abcdef', substr(h, 10, 1)) - 1) * CAST(16 ** 3 AS BIGINT)
+             + (strpos('0123456789abcdef', substr(h, 11, 1)) - 1) * CAST(16 ** 2 AS BIGINT)
+             + (strpos('0123456789abcdef', substr(h, 12, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 13, 1)) - 1)
+             ) AS hv
+      FROM d),
+    p AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(floor(-ln((hv + 1) / 4503599627370496.0)
+                        / CAST(n_chars AS DOUBLE) * 1e12) AS BIGINT)
+               AS pq
+      FROM v),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY pq ASC, doc_id ASC) AS rank
+      FROM p)
+    SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id,
+           CAST(n_chars AS BIGINT) AS weight, pq
+    FROM r WHERE rank <= 20
+"""
+
+
+@register("weighted_sample", _WSAMPLE_SQL)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (webprep.weighted_sample —
+    Efraimidis-Spirakis): the 20 docs per language a quality-weighted
+    corpus mix keeps, with n_chars as the weight, priorities
+    -ln(u)/w from md5-derived uniforms — deterministic across engines,
+    runs and cluster sizes, unlike rand()-based A-ES.  The single ln
+    quantizes to e12 BEFORE ranking so a 1-ulp libm divergence cannot
+    reorder candidates (ties break on doc_id); the ranking is the
+    salted two-level top-k.  The oracle replays hash, uniform,
+    priority and ranking bit-for-bit."""
+    from osm_spark.text import webprep as _wpp
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = _wpp.weighted_sample(docs, "doc_id", "lang", "n_chars", k=20)
+    return out.select(
+        "lang", "rank", "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.col("_pq").alias("pq"),
+    )
+
+
+# =====================================================================
+# Hopping time-window rollup (native F.window)
+# =====================================================================
+
+_WINDOW_ROLLUP_SQL = """
+    WITH e AS (
+      SELECT event_type, user_id,
+             CAST(floor(value * 1000) AS BIGINT) AS vq,
+             epoch_us(ts) AS tu
+      FROM events),
+    k AS (SELECT unnest([0, 1]) AS off),
+    s AS (
+      SELECT event_type, user_id, vq,
+             (tu // 1800000000) * 1800000000
+               - off * 1800000000 AS window_start_us
+      FROM e, k)
+    SELECT event_type, window_start_us,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(vq) AS BIGINT) AS vq_sum,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM s GROUP BY event_type, window_start_us
+"""
+
+
+@register("window_rollup", _WINDOW_ROLLUP_SQL)
+def q_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping time-window rollup via the NATIVE Spark window
+    expression (F.window, 1 h length / 30 min hop — every event lands
+    in exactly two windows): per (event_type, window) event count,
+    quantized value sum, distinct users.  This is the same operator a
+    Structured Streaming job runs incrementally with a watermark
+    (streaming/replication.py runs the engine's streams); here the
+    batch form pins the window ASSIGNMENT semantics — epoch-aligned
+    start times, half-open [start, end) intervals — against an oracle
+    that derives both hop offsets arithmetically.  One shuffle with
+    map-side partials (the window expr is a generator, |windows/event|
+    = len/hop rows)."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 hour", "30 minutes")
+    out = (
+        ev.select(
+            "event_type", "user_id",
+            F.floor(F.col("value") * 1000).cast("long").alias("vq"),
+            w.alias("w"),
+        )
+        .groupBy("event_type", "w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vq").cast("long").alias("vq_sum"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+    return out.select(
+        "event_type",
+        _us(F.col("w.start")).alias("window_start_us"),
+        "n", "vq_sum", "n_users",
+    )
+
+
+# =====================================================================
 # HLL register pyramid (sketch-cube rollup along the tile hierarchy)
 # =====================================================================
 
@@ -9562,8 +9687,13 @@ _DRIVER_WINDOW: list[str] = [
     # cell-join PIP kernels in-window, hex_polyfill / hex_cover_join
     # keep region->cells covering kernels under driver hash)
     "zonal_stats",
-    # geojson emission family
-    "geojson_way_features",
+    # geojson emission family: geojson_way_features (r04-green,
+    # UNTOUCHED this round) parks for the round-5 hopping-window
+    # rollup — the window is saturated with never-attested round-5
+    # rows, and cross-round union coverage (every registered query
+    # driver-attested at least once, VERDICT_r04 Next #1's criterion)
+    # outranks re-attesting an unchanged green row
+    "window_rollup",
     # geometry family (convex_hull / simplify_dp / resample_line /
     # wkt_codec / mvt_encode / geodesic_area rotate in alongside;
     # multipolygon_assembly, r04-green, parks for the round-5
@@ -9575,8 +9705,11 @@ _DRIVER_WINDOW: list[str] = [
     # cogroup kernels stay registered + locally oracle-checked)
     "time_weighted_avg",
     "event_funnel",
-    # ids / stats family (length_quantiles rotates in alongside)
-    "ids_pack_roundtrip",
+    # ids / stats family: ids_pack_roundtrip (r04-green, UNTOUCHED
+    # this round) parks for the round-5 weighted-sampling row, same
+    # union-coverage rationale as window_rollup above
+    # (length_quantiles keeps the stats family in-window)
+    "weighted_sample",
     # PBF wire format
     "pbf_scan",
     # media family (media_jpeg swapped in for round 5: its behavior

@@ -409,6 +409,48 @@ def stratified_sample(docs: DataFrame, id_col: str, stratum_col: str,
     return docs.where(sample_hash(F.col(id_col)) < rate_e3)
 
 
+def es_priority_q(key, weight, salt: str = "w") -> Column:
+    """Efraimidis-Spirakis weighted-sampling priority, deterministic
+    and quantized: priority = -ln(u) / w with u an md5-derived uniform
+    in (0, 1] — the k SMALLEST priorities are an exact weighted sample
+    without replacement (ES 2006), and because u is a pure hash of the
+    key the sample is reproducible across engines, runs, and cluster
+    sizes (rand()-based A-ES is none of those).  The single ln (the
+    discipline's guarded transcendental) quantizes to int64 e12 BEFORE
+    any ranking, so a 1-ulp libm divergence cannot reorder candidates;
+    quantization ties break on the key downstream.  ``weight`` must be
+    a positive integer column."""
+    h = F.md5(F.concat(F.lit(f"{salt}|"), _c(key).cast("string")))
+    v = F.conv(F.substring(h, 1, 13), 16, 10).cast("long")  # 52 bits
+    u = (v + F.lit(1).cast("long")).cast("double") / F.lit(float(1 << 52))
+    return F.floor(-F.log(u) / _c(weight).cast("double") * 1e12).cast("long")
+
+
+def weighted_sample(docs: DataFrame, id_col: str, stratum_col: str,
+                    weight_col: str, k: int, salt_buckets: int = 8) -> DataFrame:
+    """Top-k weighted sample per stratum: rank by (priority_q, id) and
+    keep the k smallest — heavier rows exponentially more likely, the
+    exact ES scheme a quality-weighted corpus mix uses.  Salted
+    two-level ranking like every top-k in this repo (a mega-stratum
+    never funnels one reducer); adds ``rank`` 1..k per stratum."""
+    p = docs.withColumn("_pq", es_priority_q(id_col, weight_col))
+    order = [F.col("_pq").asc(), F.col(id_col).asc()]
+    salted = p.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)).cast("int")
+    )
+    w1 = Window.partitionBy(stratum_col, "_salt").orderBy(*order)
+    pruned = (
+        salted.withColumn("_lr", F.row_number().over(w1))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr", "_salt")
+    )
+    w2 = Window.partitionBy(stratum_col).orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # ---------------------------------------------------------------------
 # Sequence packing (context-window construction)
 # ---------------------------------------------------------------------

@@ -265,6 +265,14 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # pointer-jump components kernels, and the engine gains the hot-key
     # diagnostics row.
     "neardup_clusters",
+    # round-5 window_rollup + weighted_sample rotation:
+    # geojson_way_features and ids_pack_roundtrip (both r04
+    # driver-green and UNTOUCHED this round) park — the 50-slot window
+    # is saturated with never-attested round-5 rows, and cross-round
+    # union coverage (every registered query driver-attested at least
+    # once) outranks re-attesting unchanged green rows.
+    "geojson_way_features",
+    "ids_pack_roundtrip",
 })
 
 # Queries awaiting their first driver window slot.  Round 5: EMPTY —
