@@ -280,3 +280,38 @@ def test_geocode_extract_zero_shuffle_no_python(spark):
     for py_node in ("ArrowEvalPython", "MapInPandas",
                     "BatchEvalPython", "FlatMapGroupsInPandas"):
         assert py_node not in plan, py_node
+
+
+def test_round5_session3_plan_shapes(spark):
+    """Session-3 operators: the PLANS.md shuffle/Python claims."""
+    # trajectory: od_matrix = user window + cell-pair rollup (2
+    # exchanges); stay_points' island groupBy + rank reuse the window
+    # partitioning (exactly 1 exchange); both zero Python
+    od = _plan(spark, "od_matrix")
+    assert _count(od, "Exchange") == 2
+    st = _plan(spark, "stay_points")
+    assert _count(st, "Exchange") == 1
+    for p in (od, st):
+        for py_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+            assert py_node not in p
+
+    # nearest_site: in-row argmin — no join, no exchange, no Python
+    ns = _plan(spark, "nearest_site")
+    assert "Exchange" not in ns and "Join" not in ns
+    for py_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert py_node not in ns
+
+    # embed_quantize: scan-side projection only
+    eq = _plan(spark, "embed_quantize")
+    assert "Exchange" not in eq and "Join" not in eq
+
+    # zonal_stats: exactly the designated ray-cast kernel, nothing else
+    zs = _plan(spark, "zonal_stats")
+    assert _count(zs, "MapInPandas") == 1
+    assert "BatchEvalPython" not in zs
+
+    # window_rollup / weighted_sample / hdr_quantiles: zero Python
+    for name in ("window_rollup", "weighted_sample", "hdr_quantiles"):
+        p = _plan(spark, name)
+        for py_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+            assert py_node not in p, name
