@@ -131,6 +131,8 @@ HEADLINE = [
     "hll_pyramid",
     "window_rollup",
     "weighted_sample",
+    "asof_join_dim",
+    "interval_join_rollup",
 ]
 
 
@@ -355,6 +357,8 @@ QUERY_GROUPS: list[list[str]] = [
     # round-5 session-3 diagnostics / sketch-cube / sampling suite
     ["tile_skew_profile", "hll_pyramid", "window_rollup",
      "weighted_sample"],
+    # round-5 session-3 temporal-join suite (as-of + interval)
+    ["asof_join_dim", "interval_join_rollup"],
 ]
 
 

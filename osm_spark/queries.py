@@ -8519,6 +8519,130 @@ def q_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Generic as-of + interval joins (temporal/asof.py)
+# =====================================================================
+
+_ASOF_DIM_SQL = """
+    WITH f AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type <> 'purchase'),
+    d0 AS (
+      SELECT user_id, ts,
+             arg_max(CAST(floor(value * 1000) AS BIGINT), event_id)
+               AS price_vq
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts)
+    SELECT f.event_id, f.user_id, epoch_us(f.ts) AS ts_us,
+           CAST(coalesce(
+             (SELECT price_vq FROM d0
+              WHERE d0.user_id = f.user_id AND d0.ts <= f.ts
+              ORDER BY d0.ts DESC LIMIT 1), -1) AS BIGINT) AS price_vq
+    FROM f
+"""
+
+
+@register("asof_join_dim", _ASOF_DIM_SQL)
+def q_asof_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic as-of join (temporal/asof.py asof_join — the
+    pandas-merge_asof / KDB-aj / Flink-temporal-table primitive the
+    task brief names): every non-purchase event annotates with the
+    user's latest purchase price at-or-before its timestamp.  The
+    scale-correct shape is UNION + WINDOW, not a range join: tag both
+    sides, sort per key by (ts, side), carry the last dim attributes
+    with last(ignoreNulls) — ONE key-keyed shuffle, NO join node, hot
+    keys cost a sort instead of a |facts|x|dims| product.  The oracle
+    is the correlated argmax subquery (the definitional form); dim
+    ties at equal (key, ts) are pre-collapsed with max_by/arg_max so
+    both engines see the identical dimension."""
+    from osm_spark.temporal import asof as _as
+
+    ev = _t(spark, sf_dir, "events")
+    facts = ev.where(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    dim = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by(
+                F.floor(F.col("value") * 1000).cast("long"), "event_id"
+            ).alias("price_vq")
+        )
+    )
+    out = _as.asof_join(facts, dim, "user_id", "ts", ["price_vq"])
+    return out.select(
+        "event_id", "user_id",
+        _us(F.col("ts")).alias("ts_us"),
+        F.coalesce("price_vq", F.lit(-1)).cast("long").alias("price_vq"),
+    )
+
+
+_IV_START = "1704067200000000 + n_nationkey * 68400000000"
+_IV_END = f"{_IV_START} + (3 + n_nationkey % 5) * 3600000000"
+
+_INTERVAL_JOIN_SQL = f"""
+    WITH iv AS (
+      SELECT n_nationkey AS iv_id,
+             CAST({_IV_START} AS BIGINT) AS start_us,
+             CAST({_IV_END} AS BIGINT) AS end_us
+      FROM nation),
+    f AS (
+      SELECT epoch_us(ts) AS ts_us,
+             CAST(floor(value * 1000) AS BIGINT) AS vq
+      FROM events)
+    SELECT iv.iv_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(f.vq) AS BIGINT) AS vq_sum,
+           CAST(min(f.ts_us) AS BIGINT) AS first_us,
+           CAST(max(f.ts_us) AS BIGINT) AS last_us
+    FROM iv JOIN f
+      ON f.ts_us >= iv.start_us AND f.ts_us < iv.end_us
+    GROUP BY iv.iv_id
+"""
+
+
+@register("interval_join_rollup", _INTERVAL_JOIN_SQL)
+def q_interval_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join (temporal/asof.py interval_join — the
+    other temporal join the task brief names): events match every
+    maintenance window containing their timestamp.  The theta
+    predicate becomes a BUCKETED EQUI JOIN — intervals explode to the
+    hour buckets they overlap, each event computes its single bucket,
+    and the bucket join + residual refine is exactly-once with no
+    dedup (the time-domain rotation of the engine's spatial cell
+    joins).  A naive Spark range join here is a broadcast-nested-loop
+    over |events| x |intervals|; this is |events| + |interval-hours|
+    shuffled once.  The oracle runs the definitional theta join."""
+    from osm_spark.temporal import asof as _as
+
+    ev = _t(spark, sf_dir, "events")
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    iv = n.select(
+        k.alias("iv_id"),
+        (F.lit(1704067200000000) + k * 68400000000)
+        .cast("long").alias("start_us"),
+        (F.lit(1704067200000000) + k * 68400000000
+         + (F.lit(3) + k % 5) * 3600000000)
+        .cast("long").alias("end_us"),
+    )
+    facts = ev.select(
+        _us(F.col("ts")).alias("ts_us"),
+        F.floor(F.col("value") * 1000).cast("long").alias("vq"),
+    )
+    hits = _as.interval_join(
+        facts, iv, "ts_us", "start_us", "end_us",
+        bucket=3_600_000_000,
+    )
+    return hits.groupBy("iv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("vq").cast("long").alias("vq_sum"),
+        F.min("ts_us").cast("long").alias("first_us"),
+        F.max("ts_us").cast("long").alias("last_us"),
+    )
+
+
+# =====================================================================
 # Weighted sampling without replacement (webprep.weighted_sample)
 # =====================================================================
 
@@ -9719,12 +9843,14 @@ _DRIVER_WINDOW: list[str] = [
     # in its favor, the latter making room for hex_compact)
     "media_jpeg",
     "hex_compact",
-    # streaming / replication family
-    "replication_actions",
-    # osmapi family (changeset_feed_parse, r04-green, parks for the
-    # round-5 hex cover-join row; osmapi_notes keeps the notes/user/
-    # changeset parse kernels in-window)
-    "osmapi_notes",
+    # streaming family: replication_actions (r04-green; replication.py
+    # untouched this round) parks for the round-5 generic as-of join —
+    # union-coverage rationale, same as window_rollup
+    "asof_join_dim",
+    # osmapi family: osmapi_notes (r04-green; round-5 only added
+    # transport glue around the unchanged parse kernels) parks for the
+    # round-5 bucketed interval join
+    "interval_join_rollup",
     "hex_cover_join",
     # XML file source + diff codec family (diff_roundtrip, r04-green,
     # parks to make room for the round-5 splittable-bzip2 source row)

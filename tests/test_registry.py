@@ -273,6 +273,14 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
     # once) outranks re-attesting unchanged green rows.
     "geojson_way_features",
     "ids_pack_roundtrip",
+    # round-5 asof_join_dim + interval_join_rollup rotation:
+    # replication_actions and osmapi_notes (both r04 driver-green;
+    # replication.py untouched this round, osmapi round-5 changes are
+    # transport glue around unchanged parse kernels) park — same
+    # union-coverage rationale; the engine gains the two temporal
+    # joins the task brief names (as-of, range).
+    "replication_actions",
+    "osmapi_notes",
 })
 
 # Queries awaiting their first driver window slot.  Round 5: EMPTY —
