@@ -133,6 +133,7 @@ HEADLINE = [
     "weighted_sample",
     "asof_join_dim",
     "interval_join_rollup",
+    "table_zorder_scan",
 ]
 
 
@@ -359,6 +360,8 @@ QUERY_GROUPS: list[list[str]] = [
      "weighted_sample"],
     # round-5 session-3 temporal-join suite (as-of + interval)
     ["asof_join_dim", "interval_join_rollup"],
+    # round-5 session-4 suite: storage-layout clustering (cap 5)
+    ["table_zorder_scan"],
 ]
 
 
