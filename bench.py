@@ -134,6 +134,8 @@ HEADLINE = [
     "asof_join_dim",
     "interval_join_rollup",
     "table_zorder_scan",
+    "kcore_filter",
+    "cdc_chunk_dedup",
 ]
 
 
@@ -360,8 +362,8 @@ QUERY_GROUPS: list[list[str]] = [
      "weighted_sample"],
     # round-5 session-3 temporal-join suite (as-of + interval)
     ["asof_join_dim", "interval_join_rollup"],
-    # round-5 session-4 suite: storage-layout clustering (cap 5)
-    ["table_zorder_scan"],
+    # round-5 session-4 suite: storage layout, graph peeling, CDC
+    ["table_zorder_scan", "kcore_filter", "cdc_chunk_dedup"],
 ]
 
 

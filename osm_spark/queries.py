@@ -9770,6 +9770,214 @@ def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# k-core decomposition (plans/kcore.py)
+# =====================================================================
+
+
+def _kcore_sql() -> str:
+    from osm_spark.plans.kcore import kcore_membership_sql
+
+    ctes, final = kcore_membership_sql("sym", k=5, rounds=4)
+    return f"""
+    WITH cnt AS (SELECT count(*) AS c FROM documents),
+    raw AS (
+      SELECT src, dst FROM (
+        SELECT doc_id AS src,
+               CASE WHEN doc_id < 100 THEN (doc_id + 1) % 100
+                    WHEN doc_id < 200 THEN
+                      CASE WHEN doc_id + 1 < 200 THEN doc_id + 1 END
+                    ELSE CASE WHEN doc_id + 1 < (SELECT c FROM cnt)
+                              THEN doc_id + 1 END END AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               CASE WHEN doc_id < 100 THEN (doc_id + 2) % 100
+                    WHEN doc_id < 200 THEN
+                      CASE WHEN doc_id + 2 < 200 THEN doc_id + 2 END
+               END
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               CASE WHEN doc_id < 100 THEN (doc_id + 3) % 100
+                    WHEN doc_id < 200 THEN doc_id - 100
+                    ELSE doc_id % 200 END
+        FROM documents
+      ) WHERE dst IS NOT NULL),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+    sym AS (
+      SELECT a AS src, b AS dst FROM und
+      UNION ALL SELECT b, a FROM und),
+    {ctes}
+    SELECT node AS doc_id, core_deg FROM ({final}) t
+    """
+
+
+@register("kcore_filter", _kcore_sql())
+def q_kcore_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (plans/kcore.py): a three-tier link graph — a
+    dense 100-page circulant community (links to the next 3, mod 100),
+    a 100-page path band each linking down into the community, and a
+    chain tail each linking back to band/community — extracted from
+    the html like link_pagerank (an extraction defect changes the
+    graph and reds the hash), then peeled to its 5-core over 4 rounds.
+    Degree alone is spoofable (a farm points links at doomed nodes);
+    coreness is not, because each round removes sub-k nodes and
+    RE-CHECKS the survivors.  The tiers force the real cascade: the
+    tail dies in round 1, which strips the band's in-links, and the
+    band then peels inward from its endpoints one step per round
+    while the dense community (internal degree 6) survives every
+    round.  Each round is ONE node-keyed degree agg + TWO semi-joins
+    on a strictly-shrinking edge frame, lineage cut per round
+    (localCheckpoint); membership after R rounds is a pure integer
+    function of the edge set, so the chained-CTE oracle agrees
+    bit-for-bit whether or not the peel has converged."""
+    from osm_spark.plans import components as _cc
+    from osm_spark.plans import pagerank as _pg
+    from osm_spark.plans.kcore import kcore_membership
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    d = F.col("doc_id")
+    dst1 = (
+        F.when(d < 100, (d + 1) % 100)
+        .when(d < 200, F.when(d + 1 < 200, d + 1))
+        .otherwise(F.when(d + 1 < n_docs, d + 1))
+    )
+    dst2 = (
+        F.when(d < 100, (d + 2) % 100)
+        .when(d < 200, F.when(d + 2 < 200, d + 2))
+    )
+    dst3 = (
+        F.when(d < 100, (d + 3) % 100)
+        .when(d < 200, d - 100)
+        .otherwise(d % 200)
+    )
+
+    def _anchor(dst):
+        return F.when(
+            dst.isNotNull(),
+            F.concat(
+                F.lit(' <a href="/doc/'), dst.cast("string"),
+                F.lit('">n</a>'),
+            ),
+        ).otherwise(F.lit(""))
+
+    html_pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><nav>"),
+            _anchor(dst1), _anchor(dst2), _anchor(dst3),
+            F.lit("</nav><p>"), F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    links = _pg.extract_links(html_pages, "doc_id", "html")
+    pairs = (
+        links.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    edges = _persist(_cc.symmetrize(pairs))
+    out = kcore_membership(
+        edges, k=5, rounds=4, persist_fn=lambda df: df.localCheckpoint()
+    )
+    return out.select(F.col("node").alias("doc_id"), "core_deg")
+
+
+# =====================================================================
+# Content-defined chunking (text/cdc.py)
+# =====================================================================
+
+
+def _cdc_sql() -> str:
+    from osm_spark.text.cdc import window_hash_sql
+
+    h = window_hash_sql("d.text", "t.i", w=8, base=33)
+    return f"""
+    WITH b AS (
+      SELECT d.doc_id, t.i AS p
+      FROM documents d,
+           LATERAL (SELECT unnest(range(8, length(d.text) + 1)) AS i) t
+      WHERE {h} % 32 = 17),
+    bb AS (
+      SELECT doc_id, 0 AS p FROM documents WHERE length(text) > 0
+      UNION
+      SELECT doc_id, p FROM b
+      UNION
+      SELECT doc_id, length(text) FROM documents WHERE length(text) > 0),
+    c AS (
+      SELECT doc_id, p AS endp,
+             lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS startp
+      FROM bb),
+    chunks AS (
+      SELECT c.doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY c.doc_id ORDER BY c.startp) - 1
+             AS BIGINT) AS chunk_idx,
+             CAST(c.startp AS BIGINT) AS start,
+             CAST(c.endp - c.startp AS BIGINT) AS chunk_len,
+             md5(substr(d.text, c.startp + 1, c.endp - c.startp))
+               AS digest
+      FROM c JOIN documents d ON d.doc_id = c.doc_id
+      WHERE c.startp IS NOT NULL)
+    SELECT doc_id, chunk_idx, start, chunk_len, digest,
+           (row_number() OVER (
+              PARTITION BY digest ORDER BY doc_id, chunk_idx) = 1)
+             AS is_first
+    FROM chunks
+    """
+
+
+@register("cdc_chunk_dedup", _cdc_sql())
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + corpus dedup (text/cdc.py): every
+    document splits at positions where the trailing-8-gram polynomial
+    hash hits a target residue (~32-char expected chunks), and the
+    corpus keeps the first occurrence per chunk digest.  Where
+    chunk_dedup's fixed blocks lose ALL downstream matches after one
+    insertion, CDC boundaries are a pure function of local content —
+    they re-synchronize within 8 characters of an edit, which is what
+    makes chunk-level dedup survive near-duplicate page revisions
+    (the rsync/LBFS/FastCDC family).  Chunking is entirely in-row as
+    ONE linear aggregate fold whose accumulator carries the sliding
+    w-window and the boundary list — the shape matters: HOF lambdas
+    get no common-subexpression elimination and CollapseProject
+    inlines single-use aliases into lambda bodies, so both the nested
+    and the staged-withColumn per-position-hash formulations
+    re-evaluate inner arrays per element (O(len^3)/doc, measured
+    minutes vs sub-second here; text/cdc.py header).  The only
+    shuffle is the digest-keyed first-occurrence window, exact
+    dedup's audited shape.  The oracle replays the identical windowed
+    hash per position via substr arithmetic, so the hash pins every
+    boundary decision, every chunk byte-range and the retention
+    choice."""
+    from osm_spark.text import cdc as _cdc
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.posexplode(
+            _cdc.cdc_chunks("text", w=8, base=33, mod=32, rem=17)
+        ).alias("chunk_idx", "c"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.start").cast("long").alias("start"),
+        F.col("c.chunk_len").cast("long").alias("chunk_len"),
+        F.col("c.digest").alias("digest"),
+    )
+    w = Window.partitionBy("digest").orderBy("doc_id", "chunk_idx")
+    return ch.withColumn(
+        "is_first", F.row_number().over(w) == 1
+    )
+
+
+# =====================================================================
 # Z-order table clustering (pipeline/zorder.py + pipeline/table.py)
 # =====================================================================
 

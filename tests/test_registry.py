@@ -300,6 +300,8 @@ _LEGACY_OUT_OF_WINDOW = frozenset({
 # the same evidence class VERDICT_r04 accepted for the 22-query tail.
 _ROUND5_ROTATION_QUEUE = frozenset({
     "table_zorder_scan",
+    "kcore_filter",
+    "cdc_chunk_dedup",
 })
 
 
