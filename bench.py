@@ -136,6 +136,8 @@ HEADLINE = [
     "table_zorder_scan",
     "kcore_filter",
     "cdc_chunk_dedup",
+    "dsir_weights",
+    "map_match_viterbi",
 ]
 
 
@@ -362,8 +364,10 @@ QUERY_GROUPS: list[list[str]] = [
      "weighted_sample"],
     # round-5 session-3 temporal-join suite (as-of + interval)
     ["asof_join_dim", "interval_join_rollup"],
-    # round-5 session-4 suite: storage layout, graph peeling, CDC
-    ["table_zorder_scan", "kcore_filter", "cdc_chunk_dedup"],
+    # round-5 session-4 suite: storage layout, graph peeling, CDC,
+    # DSIR selection, Viterbi map matching (cap 5)
+    ["table_zorder_scan", "kcore_filter", "cdc_chunk_dedup",
+     "dsir_weights", "map_match_viterbi"],
 ]
 
 

@@ -154,21 +154,23 @@ def _seg_dist2(px, py, ax, ay, bx, by) -> tuple[Column, Column, Column]:
     return d2, sx, sy
 
 
-def snap_points(
+def snap_candidates(
     points: DataFrame,
     segs: DataFrame,
     shift: int = 19,
     max_d2: float = float(400_000**2),
     point_id: str = "pid",
 ) -> DataFrame:
-    """Snap each (pid, px, py) to the nearest (seg_id, ax, ay, bx, by)
-    within sqrt(max_d2) µdeg.  Requires sqrt(max_d2) <= 2^shift (the
-    3x3 completeness bound; asserted).  Returns one row per point:
-    (pid, seg_id, matched, d2_q, snap_x, snap_y) — unmatched points
-    keep their own coordinates and carry seg_id = -1, d2_q = -1."""
+    """ALL (pid, seg_id, d2, sx, sy) candidate matches within
+    sqrt(max_d2) µdeg — the complete within-radius candidate set the
+    3x3 cell probe guarantees for radius <= 2^shift (raised
+    otherwise; a bare assert would be stripped under python -O and
+    return silently-wrong matches).  One row per (point, segment)
+    pair (segments spanning several probed cells are deduplicated);
+    ``sx``/``sy`` are the floor-quantized snapped coordinates.
+    :func:`snap_points` reduces this to the per-point argmin; the
+    Viterbi map matcher (geo/matching.py) consumes it whole."""
     if max_d2 > float((1 << shift)) ** 2:
-        # load-bearing completeness invariant (a bare assert would be
-        # stripped under python -O and return silently-wrong matches)
         raise ValueError(
             f"snap radius sqrt({max_d2}) exceeds the 2^{shift} µdeg cell "
             "size: the 3x3 probe would return incomplete nearest-segment "
@@ -209,7 +211,30 @@ def snap_points(
             F.floor(sy).cast("long").alias("sy"),
         )
         .where(F.col("d2") <= F.lit(max_d2))
+        # a segment crossing several probed cells appears once per
+        # cell; candidates are (point, segment) pairs
+        .groupBy(point_id, "seg_id")
+        .agg(
+            F.first("d2").alias("d2"),
+            F.first("sx").alias("sx"),
+            F.first("sy").alias("sy"),
+        )
     )
+    return cand
+
+
+def snap_points(
+    points: DataFrame,
+    segs: DataFrame,
+    shift: int = 19,
+    max_d2: float = float(400_000**2),
+    point_id: str = "pid",
+) -> DataFrame:
+    """Snap each (pid, px, py) to the nearest (seg_id, ax, ay, bx, by)
+    within sqrt(max_d2) µdeg.  Returns one row per point:
+    (pid, seg_id, matched, d2_q, snap_x, snap_y) — unmatched points
+    keep their own coordinates and carry seg_id = -1, d2_q = -1."""
+    cand = snap_candidates(points, segs, shift, max_d2, point_id)
     best = cand.groupBy(point_id).agg(
         F.min(F.struct("d2", "seg_id", "sx", "sy")).alias("b")
     )

@@ -9978,6 +9978,225 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# HMM map matching — Viterbi (geo/matching.py)
+# =====================================================================
+
+
+def _viterbi_sql() -> str:
+    from osm_spark.geo.matching import viterbi_sql
+
+    ctes, final = viterbi_sql("cand", n_steps=4)
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey AS vid, t.s AS step,
+             CAST(((c_custkey % 7 + 1) * 7919 % 340000) * 1000
+                  - 170000000
+                  + (c_custkey * 13 % 21 - 10) * 5000
+                  + t.s * (c_custkey * 29 % 160000 - 80000)
+                  AS BIGINT) AS px,
+             CAST(((c_custkey % 7 + 1) * 4567 % 140000) * 1000
+                  - 70000000
+                  + (c_custkey * 17 % 21 - 10) * 5000
+                  + t.s * (c_custkey * 37 % 160000 - 80000)
+                  AS BIGINT) AS py
+      FROM customer,
+           LATERAL (SELECT unnest(range(0, 4)) AS s) t
+      WHERE c_custkey % 10 = 0),
+    base AS (
+      SELECT s_suppkey AS k,
+             CAST((s_suppkey * 7919 % 340000) * 1000 - 170000000
+                  AS BIGINT) AS x0,
+             CAST((s_suppkey * 4567 % 140000) * 1000 - 70000000
+                  AS BIGINT) AS y0,
+             CAST(s_suppkey * 31 % 800000 - 400000 AS BIGINT) AS d1x,
+             CAST(s_suppkey * 53 % 800000 - 400000 AS BIGINT) AS d1y,
+             CAST(s_suppkey * 71 % 800000 - 400000 AS BIGINT) AS d2x,
+             CAST(s_suppkey * 97 % 800000 - 400000 AS BIGINT) AS d2y
+      FROM supplier),
+    segs AS (
+      SELECT k * 2 AS seg_id, x0 AS ax, y0 AS ay,
+             x0 + d1x AS bx, y0 + d1y AS "by" FROM base
+      UNION ALL
+      SELECT k * 2 + 1, x0 + d1x, y0 + d1y,
+             x0 + d1x + d2x, y0 + d1y + d2y FROM base),
+    pairs AS (
+      SELECT p.vid, p.step, s.seg_id,
+             CAST(p.px AS DOUBLE) AS pxd, CAST(p.py AS DOUBLE) AS pyd,
+             CAST(s.ax AS DOUBLE) AS axd, CAST(s.ay AS DOUBLE) AS ayd,
+             CAST(s.bx AS DOUBLE) AS bxd, CAST(s."by" AS DOUBLE) AS byd
+      FROM pts p CROSS JOIN segs s),
+    proj AS (
+      SELECT vid, step, seg_id, pxd, pyd, axd, ayd,
+             bxd - axd AS dx, byd - ayd AS dy,
+             (bxd - axd) * (bxd - axd) + (byd - ayd) * (byd - ayd)
+               AS len2
+      FROM pairs),
+    tt AS (
+      SELECT vid, step, seg_id, pxd, pyd, axd, ayd, dx, dy, len2,
+             CASE WHEN len2 = 0.0 THEN 0.0
+                  ELSE least(greatest(
+                    ((pxd - axd) * dx + (pyd - ayd) * dy) / len2,
+                    0.0), 1.0) END AS t
+      FROM proj),
+    sc AS (
+      SELECT vid, step, seg_id,
+             (pxd - sxx) * (pxd - sxx) + (pyd - syy) * (pyd - syy)
+               AS d2,
+             sxx, syy
+      FROM (SELECT vid, step, seg_id, pxd, pyd,
+                   CASE WHEN len2 = 0.0 THEN axd
+                        ELSE axd + t * dx END AS sxx,
+                   CASE WHEN len2 = 0.0 THEN ayd
+                        ELSE ayd + t * dy END AS syy
+            FROM tt)),
+    cand AS (
+      SELECT vid, step, seg_id,
+             CAST(floor(sqrt(d2)) AS BIGINT) AS emis,
+             CAST(floor(sxx) AS BIGINT) AS sx,
+             CAST(floor(syy) AS BIGINT) AS sy
+      FROM sc WHERE d2 <= 160000000000.0),
+    {ctes}
+    {final}
+    """
+
+
+@register("map_match_viterbi", _viterbi_sql())
+def q_map_match_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HMM map matching (geo/matching.py — Newson–Krakauer Viterbi):
+    4-point vehicle traces match onto the supplier road graph as state
+    PATHS, not pointwise nearest segments — emission cost is the
+    audited snap projection distance, transitions penalize jumps
+    between consecutive snapped positions, and the DP picks the
+    min-cost segment sequence (the OSRM/Valhalla `match` semantic over
+    the reference's planar segment-project primitive).  Candidates
+    come from the supercover cell index + 3x3 probe (complete for
+    radius <= cell size — never points x all-segments); each DP step
+    is ONE vid equi-join + one (vid, segment)-keyed argmin over
+    |V| x K^2 rows, path carried forward inside the argmin struct.
+    Integer-exact (emission = floor(sqrt(d2)) — linear distance,
+    commensurate with L1 transitions; IEEE sqrt is correctly rounded
+    so the floor is engine-exact; predecessor-id tie-breaks), so the
+    chained-CTE oracle —
+    which brute-forces the candidate set index-free — replays every
+    DP cell bit-for-bit AND re-checks the snap index's completeness."""
+    from osm_spark.geo import matching as _mm
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    k = F.col("vid")
+    st = F.col("step")
+    # vehicles start near their anchor supplier's road chain (vid % 7
+    # + 1) with a per-vehicle offset, then drift up to 80k µdeg/step —
+    # inside the 400k snap radius for most steps, so most traces stay
+    # matchable while some honestly drop out
+    traj = (
+        cust.where(F.col("c_custkey") % 10 == 0)
+        .select(F.col("c_custkey").alias("vid"))
+        .select("vid", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("step"))
+        .select(
+            "vid", "step",
+            (((k % 7 + 1) * 7919 % 340000) * 1000 - 170000000
+             + (k * 13 % 21 - 10) * 5000
+             + st * (k * 29 % 160000 - 80000))
+            .cast("long").alias("px"),
+            (((k % 7 + 1) * 4567 % 140000) * 1000 - 70000000
+             + (k * 17 % 21 - 10) * 5000
+             + st * (k * 37 % 160000 - 80000))
+            .cast("long").alias("py"),
+        )
+    )
+    s = F.col("s_suppkey")
+    base = supp.select(
+        s.alias("k"),
+        ((s * 7919 % 340000) * 1000 - 170000000).cast("long").alias("x0"),
+        ((s * 4567 % 140000) * 1000 - 70000000).cast("long").alias("y0"),
+        (s * 31 % 800000 - 400000).cast("long").alias("d1x"),
+        (s * 53 % 800000 - 400000).cast("long").alias("d1y"),
+        (s * 71 % 800000 - 400000).cast("long").alias("d2x"),
+        (s * 97 % 800000 - 400000).cast("long").alias("d2y"),
+    )
+    x0, y0 = F.col("x0"), F.col("y0")
+    d1x, d1y = F.col("d1x"), F.col("d1y")
+    seg1 = base.select(
+        (F.col("k") * 2).alias("seg_id"),
+        x0.alias("ax"), y0.alias("ay"),
+        (x0 + d1x).alias("bx"), (y0 + d1y).alias("by"),
+    )
+    seg2 = base.select(
+        (F.col("k") * 2 + 1).alias("seg_id"),
+        (x0 + d1x).alias("ax"), (y0 + d1y).alias("ay"),
+        (x0 + d1x + F.col("d2x")).alias("bx"),
+        (y0 + d1y + F.col("d2y")).alias("by"),
+    )
+    return _mm.viterbi_match(
+        traj, seg1.unionAll(seg2), n_steps=4, shift=19,
+        max_d2=float(400_000**2),
+        persist_fn=lambda df: df.localCheckpoint(),
+    )
+
+
+# =====================================================================
+# DSIR importance weights (text/dsir.py)
+# =====================================================================
+
+
+def _dsir_sql() -> str:
+    from osm_spark.text.dsir import hashed_bucket_sql
+
+    b = hashed_bucket_sql("w", n_buckets=256, salt="dsir")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, (lang = 'en') AS is_t,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    tb AS (SELECT doc_id, is_t, {b} AS b FROM tok),
+    counts AS (
+      SELECT b, count(*) AS cr,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+      FROM tb GROUP BY b),
+    tot AS (
+      SELECT count(*) AS tr,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tt
+      FROM tb),
+    lam AS (
+      SELECT b,
+             CAST(floor(ln((ct + 1) / CAST(tt + 256 AS DOUBLE)) * 1e6)
+                - floor(ln((cr + 1) / CAST(tr + 256 AS DOUBLE)) * 1e6)
+              AS BIGINT) AS lam_e6
+      FROM counts, tot)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(lam_e6) AS BIGINT) AS score_e6,
+           (sum(lam_e6) > 0) AS selected
+    FROM tb JOIN lam USING (b)
+    GROUP BY doc_id
+    """
+
+
+@register("dsir_weights", _dsir_sql())
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (text/dsir.py — Xie et al. 2023): every
+    document scored by the log-likelihood ratio of a hashed-unigram
+    target model (English slice) over the raw-pool model — the
+    principled "more like the target domain" selector that replaces
+    binary quality classifiers in training-mix construction.  Feature
+    hashing is the scale story: both models are 256-bucket tables
+    REGARDLESS of corpus size, so they broadcast and the scoring pass
+    is one explode + broadcast join + doc-keyed integer sum (no
+    vocabulary-sized shuffle anywhere).  Per-bucket ln-probabilities
+    floor-quantize to int64 at 1e-6 independently before subtraction
+    and summation (house float discipline), so the hash pins the md5
+    bucket assignment, both model estimates and every document's
+    selection decision."""
+    from osm_spark.text import dsir as _ds
+
+    docs = _t(spark, sf_dir, "documents")
+    return _ds.dsir_scores(
+        docs, F.col("lang") == "en", "doc_id", "text", n_buckets=256
+    )
+
+
+# =====================================================================
 # Z-order table clustering (pipeline/zorder.py + pipeline/table.py)
 # =====================================================================
 

@@ -302,6 +302,8 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "table_zorder_scan",
     "kcore_filter",
     "cdc_chunk_dedup",
+    "dsir_weights",
+    "map_match_viterbi",
 })
 
 
