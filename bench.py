@@ -138,6 +138,7 @@ HEADLINE = [
     "cdc_chunk_dedup",
     "dsir_weights",
     "map_match_viterbi",
+    "tile_delta_counts",
 ]
 
 
@@ -368,6 +369,8 @@ QUERY_GROUPS: list[list[str]] = [
     # DSIR selection, Viterbi map matching (cap 5)
     ["table_zorder_scan", "kcore_filter", "cdc_chunk_dedup",
      "dsir_weights", "map_match_viterbi"],
+    # round-5 session-4 suite 2: incremental view maintenance
+    ["tile_delta_counts"],
 ]
 
 

@@ -9978,6 +9978,127 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Incremental tile-count maintenance (pipeline/incremental.py)
+# =====================================================================
+
+
+def _ivm_sql() -> str:
+    z = 7
+    lat = pages.GEO_LAT_SQL
+    lon = pages.GEO_LON_SQL
+    lat_m = lat.replace("doc_id", "(doc_id + 250000)")
+    lon_m = lon.replace("doc_id", "(doc_id + 250000)")
+    lat_c = lat.replace("doc_id", "(doc_id + 123)")
+    lon_c = lon.replace("doc_id", "(doc_id + 123)")
+    return f"""
+    WITH post AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0
+                  THEN {tiles.tile_x_sql(lon_m, z)}
+                  ELSE {tiles.tile_x_sql(lon, z)} END AS x,
+             CASE WHEN doc_id % 17 = 0
+                  THEN {tiles.tile_y_sql(lat_m, z)}
+                  ELSE {tiles.tile_y_sql(lat, z)} END AS y
+      FROM documents WHERE doc_id % 31 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000,
+             {tiles.tile_x_sql(lon_c, z)}, {tiles.tile_y_sql(lat_c, z)}
+      FROM documents WHERE doc_id % 13 = 0)
+    SELECT x AS tile_x, y AS tile_y,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE AS matches
+    FROM post GROUP BY x, y
+    """
+
+
+@register("tile_delta_counts", _ivm_sql())
+def q_tile_delta_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (pipeline/incremental.py): a
+    materialized per-tile page-count view absorbs one replication
+    batch — deletes (doc_id % 31), moves (% 17, new geocode), creates
+    (% 13, brand-new pages) — as SIGNED DELTAS: each change emits -1
+    at its old tile and/or +1 at its new tile, the delta aggregates to
+    |touched tiles| rows, and one full-outer merge updates the view.
+    Cost is O(|batch|) per cycle, never O(|corpus|) — the only way a
+    minutely-updated tile index exists at 10^12 pages (the
+    reference's replication loop feeding maptile rollups).  The
+    ``matches`` column ATTESTS the IVM identity in-query: the merged
+    view is recomputed from the post-change corpus and every row must
+    agree (an anti-join in both directions must be empty); the oracle
+    derives the post-change counts independently, so the hash checks
+    delta construction, merge arithmetic, zero-row dropout and the
+    attestation itself."""
+    from osm_spark.pipeline import incremental as _ivm
+
+    z = 7
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def tile(idc):
+        return [
+            tiles.tile_x(pages.geo_lon(idc), z).alias("tile_x"),
+            tiles.tile_y(pages.geo_lat(idc), z).alias("tile_y"),
+        ]
+
+    base = docs.select(*tile(d))
+    counts = base.groupBy("tile_x", "tile_y").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    deletes = docs.where(d % 31 == 0).select(
+        *tile(d), F.lit(-1).alias("sign")
+    )
+    moved = docs.where((d % 17 == 0) & (d % 31 != 0))
+    moves = moved.select(*tile(d), F.lit(-1).alias("sign")).unionByName(
+        moved.select(*tile(d + 250000), F.lit(1).alias("sign"))
+    )
+    creates = docs.where(d % 13 == 0).select(
+        *tile(d + 123), F.lit(1).alias("sign")
+    )
+    delta = _ivm.count_delta(
+        deletes.unionByName(moves).unionByName(creates),
+        ["tile_x", "tile_y"],
+    )
+    view = _persist(
+        _ivm.apply_count_delta(counts, delta, ["tile_x", "tile_y"])
+    )
+
+    # attestation: full recompute must equal the incrementally
+    # maintained view row-for-row (fixture-sized second aggregation;
+    # production trusts the IVM identity this query exists to prove)
+    post = (
+        docs.where(d % 31 != 0)
+        .select(
+            F.when(d % 17 == 0, tiles.tile_x(pages.geo_lon(d + 250000), z))
+            .otherwise(tiles.tile_x(pages.geo_lon(d), z)).alias("tile_x"),
+            F.when(d % 17 == 0, tiles.tile_y(pages.geo_lat(d + 250000), z))
+            .otherwise(tiles.tile_y(pages.geo_lat(d), z)).alias("tile_y"),
+        )
+        .unionByName(docs.where(d % 13 == 0).select(*tile(d + 123)))
+    )
+    recomp = post.groupBy("tile_x", "tile_y").agg(
+        F.count(F.lit(1)).cast("long").alias("n2")
+    )
+    diff_a = view.join(
+        recomp,
+        (view["tile_x"] == recomp["tile_x"])
+        & (view["tile_y"] == recomp["tile_y"])
+        & (view["n"] == recomp["n2"]),
+        "left_anti",
+    ).count()
+    diff_b = recomp.join(
+        view,
+        (view["tile_x"] == recomp["tile_x"])
+        & (view["tile_y"] == recomp["tile_y"])
+        & (view["n"] == recomp["n2"]),
+        "left_anti",
+    ).count()
+    return view.select(
+        "tile_x", "tile_y", "n",
+        F.lit(bool(diff_a == 0 and diff_b == 0)).alias("matches"),
+    )
+
+
+# =====================================================================
 # HMM map matching — Viterbi (geo/matching.py)
 # =====================================================================
 

@@ -315,3 +315,36 @@ def test_round5_session3_plan_shapes(spark):
         p = _plan(spark, name)
         for py_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
             assert py_node not in p, name
+
+
+def test_round5_session4_plan_shapes(spark):
+    """Session-4 operators: the PLANS.md shuffle/Python claims."""
+    # cdc: chunking is in-row (one fold), the ONLY exchange is the
+    # digest-keyed first-occurrence window; zero Python nodes
+    cdc = _plan(spark, "cdc_chunk_dedup")
+    assert _count(cdc, "Exchange") == 1
+    for py_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert py_node not in cdc
+
+    # dsir: model tables broadcast (never a vocab-sized sort-merge
+    # join against the token stream); zero Python nodes
+    ds = _plan(spark, "dsir_weights")
+    assert "BroadcastHashJoin" in ds
+    assert "SortMergeJoin" not in ds
+    for py_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert py_node not in ds
+
+    # kcore / viterbi: BSP rounds behind localCheckpoint, final stage
+    # pure JVM
+    for name in ("kcore_filter", "map_match_viterbi"):
+        p = _plan(spark, name)
+        for py_node in ("ArrowEvalPython", "MapInPandas",
+                        "BatchEvalPython"):
+            assert py_node not in p, (name, py_node)
+
+    # zorder: the pruned scan pushes the bbox predicates into parquet
+    zo = _plan(spark, "table_zorder_scan")
+    # (the plan string truncates the PushedFilters list, so pin the
+    # x-axis pair; the y pair is the same code path)
+    assert "GreaterThanOrEqual(tile_x" in zo
+    assert "LessThanOrEqual(tile_x" in zo

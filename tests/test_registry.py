@@ -304,6 +304,7 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "cdc_chunk_dedup",
     "dsir_weights",
     "map_match_viterbi",
+    "tile_delta_counts",
 })
 
 
