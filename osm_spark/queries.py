@@ -9958,7 +9958,10 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice."""
     from osm_spark.text import cdc as _cdc
 
-    docs = _t(spark, sf_dir, "documents")
+    # pre-spread: the fold is O(len * w) interpreted-HOF work per row
+    # and the seed parquet is ONE split — unspread, the whole chunking
+    # stage runs in a single task (measured 53.8s -> 2s at sf0.1)
+    docs = _t_spread(spark, sf_dir, "documents")
     ch = docs.select(
         "doc_id",
         F.posexplode(

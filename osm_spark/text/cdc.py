@@ -89,31 +89,39 @@ def cdc_chunks(
         F.array().cast("array<int>").alias("bounds"),
         F.lit(0).cast("int").alias("p"),
     )
-    bpos = F.aggregate(codes, zero, merge, lambda acc: acc["bounds"])
-    # 0 and len bracket the chunks; array_distinct collapses len
-    # doubling as a boundary and the empty-text degenerate (split("")
-    # yields [""] with ascii 0, but size(win) == w gates boundaries,
-    # so [0, 0] -> [0] -> zero chunks)
-    barr = F.array_sort(
-        F.array_distinct(
-            F.concat(F.array(F.lit(0)), bpos, F.array(n))
-        )
-    )
-    chunks = F.zip_with(
-        F.slice(barr, 1, F.size(barr) - 1),
-        F.slice(barr, 2, F.size(barr) - 1),
-        lambda s, e: F.struct(
-            s.cast("long").alias("start"),
-            (e - s).cast("long").alias("chunk_len"),
-            F.md5(F.encode(t.substr(s + 1, e - s), "UTF-8")).alias(
-                "digest"
-            ),
-        ),
-    )
+
+    # Bracketing + chunk extraction live in the FINISH lambda, where
+    # ``acc`` is the fold's materialized result: referencing
+    # acc["bounds"] several times re-reads a value, while referencing
+    # the aggregate EXPRESSION several times would re-run the whole
+    # fold per reference (measured ~7x per row in the expression-level
+    # formulation).  0 and len bracket the chunks; array_distinct
+    # collapses len doubling as a boundary and the empty-text
+    # degenerate ([0, 0] -> [0] -> zero chunks).
     empty = F.array().cast(
         "array<struct<start:bigint,chunk_len:bigint,digest:string>>"
     )
-    return F.when(F.size(barr) >= 2, chunks).otherwise(empty)
+
+    def finish(acc):
+        barr = F.array_sort(
+            F.array_distinct(
+                F.concat(F.array(F.lit(0)), acc["bounds"], F.array(n))
+            )
+        )
+        chunks = F.zip_with(
+            F.slice(barr, 1, F.size(barr) - 1),
+            F.slice(barr, 2, F.size(barr) - 1),
+            lambda s, e: F.struct(
+                s.cast("long").alias("start"),
+                (e - s).cast("long").alias("chunk_len"),
+                F.md5(F.encode(t.substr(s + 1, e - s), "UTF-8")).alias(
+                    "digest"
+                ),
+            ),
+        )
+        return F.when(F.size(barr) >= 2, chunks).otherwise(empty)
+
+    return F.aggregate(codes, zero, merge, finish)
 
 
 def window_hash_sql(text: str, i: str, w: int = 8, base: int = 33) -> str:
