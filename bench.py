@@ -139,6 +139,8 @@ HEADLINE = [
     "dsir_weights",
     "map_match_viterbi",
     "tile_delta_counts",
+    "url_editdist_join",
+    "label_prop_classify",
 ]
 
 
@@ -369,8 +371,9 @@ QUERY_GROUPS: list[list[str]] = [
     # DSIR selection, Viterbi map matching (cap 5)
     ["table_zorder_scan", "kcore_filter", "cdc_chunk_dedup",
      "dsir_weights", "map_match_viterbi"],
-    # round-5 session-4 suite 2: incremental view maintenance
-    ["tile_delta_counts"],
+    # round-5 session-4 suite 2: incremental view maintenance,
+    # edit-distance join, label propagation
+    ["tile_delta_counts", "url_editdist_join", "label_prop_classify"],
 ]
 
 

@@ -9981,6 +9981,143 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Semi-supervised label propagation (plans/labelprop.py)
+# =====================================================================
+
+
+def _labelprop_sql() -> str:
+    from osm_spark.plans.labelprop import label_propagation_sql
+
+    ctes, final = label_propagation_sql("nd", "sym", rounds=3)
+    return f"""
+    WITH cnt AS (SELECT count(*) AS c FROM documents),
+    nd AS (
+      SELECT doc_id AS node,
+             CASE WHEN doc_id % 25 = 0 THEN doc_id END AS seed
+      FROM documents),
+    raw AS (
+      SELECT doc_id AS src, (doc_id + 1) % (SELECT c FROM cnt) AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id + 2) % (SELECT c FROM cnt) FROM documents),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+    sym AS (
+      SELECT a AS src, b AS dst FROM und
+      UNION ALL SELECT b, a FROM und),
+    {ctes}
+    SELECT node AS doc_id,
+           CAST(coalesce(lbl, -1) AS BIGINT) AS lbl,
+           (lbl IS NOT NULL) AS labeled
+    FROM ({final}) t
+    """
+
+
+@register("label_prop_classify", _labelprop_sql())
+def q_label_prop_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (plans/labelprop.py): every
+    25th page is a curated seed (label = its own id) and three
+    propagation rounds spread topic labels over the ring+chord link
+    graph — unlabeled nodes adopt the MAJORITY label among labeled
+    neighbors (ties -> smallest label, no votes -> keep state), seeds
+    never move.  The web-scale semi-supervised classifier that turns
+    a small curated set into corpus-wide topic labels.  Per round ONE
+    edge join against the labeled frontier + ONE vote count with
+    map-side partials + ONE node-keyed integer argmax
+    (min over (-count, label) struct); node-sized state behind
+    localCheckpoint.  After 3 rounds the spread is deliberately
+    UNconverged (labels reach <= 3+2 hops); parity holds on the
+    partial state — the chained-CTE oracle replays every vote and
+    tie-break bit-for-bit."""
+    from osm_spark.plans import components as _cc
+    from osm_spark.plans.labelprop import label_propagation
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    d = F.col("doc_id")
+    nodes = docs.select(
+        d.alias("node"),
+        F.when(d % 25 == 0, d).alias("seed"),
+    )
+    raw = docs.select(
+        d.alias("src"), ((d + 1) % n_docs).alias("dst")
+    ).unionByName(
+        docs.select(d.alias("src"), ((d + 2) % n_docs).alias("dst"))
+    )
+    pairs = (
+        raw.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    edges = _persist(_cc.symmetrize(pairs))
+    out = label_propagation(
+        nodes, edges, rounds=3,
+        persist_fn=lambda df: df.localCheckpoint(),
+    )
+    return out.select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("lbl", F.lit(-1)).cast("long").alias("lbl"),
+        F.col("lbl").isNotNull().alias("labeled"),
+    )
+
+
+# =====================================================================
+# Edit-distance similarity join (text/editjoin.py)
+# =====================================================================
+
+_EDITJOIN_SQL = """
+    WITH s AS (
+      SELECT doc_id AS sid,
+             'page-' || lpad(CAST(doc_id // 5 AS VARCHAR), 4, '0')
+                     || '-' || CAST(doc_id % 5 AS VARCHAR) AS s
+      FROM documents)
+    SELECT l.sid AS a, r.sid AS b,
+           CAST(levenshtein(l.s, r.s) AS BIGINT) AS dist
+    FROM s l JOIN s r ON l.sid < r.sid
+    WHERE levenshtein(l.s, r.s) <= 2
+"""
+
+
+@register("url_editdist_join", _EDITJOIN_SQL)
+def q_url_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (text/editjoin.py): every url-key
+    pair within Levenshtein distance 2 — typosquat/variant detection,
+    the metric MinHash can't express for short keys.  Exact recall
+    without all-pairs: each key joins only on its 5 globally-RAREST
+    distinct 2-grams (any pair within distance 2 provably shares one;
+    the hot template grams every url carries are the most frequent,
+    so they never enter a prefix and the bucket join tracks the rare
+    tail, not the corpus).  One gram-frequency aggregation
+    (broadcast), one per-key rank window, one bucket equi-join, exact
+    JVM Levenshtein verify.  The oracle brute-forces ALL pairs with
+    DuckDB's levenshtein — same classic unit-cost DP — so the hash
+    checks the prefix filter's completeness, not just the verify."""
+    from osm_spark.text import editjoin as _ej
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    strs = docs.select(
+        d.alias("sid"),
+        F.concat(
+            F.lit("page-"),
+            F.lpad(F.floor(d / 5).cast("string"), 4, "0"),
+            F.lit("-"),
+            (d % 5).cast("string"),
+        ).alias("s"),
+    )
+    out = _ej.edit_distance_join(strs, "sid", "s", d=2, q=2)
+    return out.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+# =====================================================================
 # Incremental tile-count maintenance (pipeline/incremental.py)
 # =====================================================================
 

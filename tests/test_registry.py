@@ -305,6 +305,8 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "dsir_weights",
     "map_match_viterbi",
     "tile_delta_counts",
+    "url_editdist_join",
+    "label_prop_classify",
 })
 
 
