@@ -141,6 +141,8 @@ HEADLINE = [
     "tile_delta_counts",
     "url_editdist_join",
     "label_prop_classify",
+    "quadtree_bins",
+    "embed_jl_project",
 ]
 
 
@@ -373,7 +375,8 @@ QUERY_GROUPS: list[list[str]] = [
      "dsir_weights", "map_match_viterbi"],
     # round-5 session-4 suite 2: incremental view maintenance,
     # edit-distance join, label propagation
-    ["tile_delta_counts", "url_editdist_join", "label_prop_classify"],
+    ["tile_delta_counts", "url_editdist_join", "label_prop_classify",
+     "quadtree_bins", "embed_jl_project"],
 ]
 
 

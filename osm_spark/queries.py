@@ -9981,6 +9981,94 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Adaptive quadtree binning (geo/quadtree.py)
+# =====================================================================
+
+
+def _quadtree_sql() -> str:
+    from osm_spark.geo.quadtree import adaptive_bins_sql
+
+    x = tiles.tile_x_sql(pages.GEO_LON_SQL, 6)
+    y = tiles.tile_y_sql(pages.GEO_LAT_SQL, 6)
+    ctes, final = adaptive_bins_sql("pts", z_min=3, z_max=6, cap=10)
+    return f"""
+    WITH pts AS (SELECT {x} AS x, {y} AS y FROM documents),
+    {ctes}
+    {final}
+    """
+
+
+@register("quadtree_bins", _quadtree_sql())
+def q_quadtree_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree binning (geo/quadtree.py): occupied z3 cells
+    over 10 pages recurse toward z6, so the hot-city cell splits all
+    the way down while ocean stays coarse — the equi-depth leaf
+    layout a skew-aware partitioner wants (each leaf ~<= cap rows, no
+    10^9-row hot tile next to empty neighbors).  ONE point-level
+    aggregation at z_max; every coarser count is a 4-to-1 parent-sum
+    roll-up and every split/leaf decision a cell-sized semi-join —
+    points are never rescanned.  Leaves tile occupied space exactly:
+    sum(n) over leaves equals the corpus count (pytest-pinned
+    conservation); the oracle replays counts, eligibility chain and
+    leaf predicate per level."""
+    from osm_spark.geo import quadtree as _qt
+
+    docs = _t(spark, sf_dir, "documents")
+    pts = docs.select(
+        tiles.tile_x(pages.geo_lon("doc_id"), 6).alias("x"),
+        tiles.tile_y(pages.geo_lat("doc_id"), 6).alias("y"),
+    )
+    return _qt.adaptive_bins(pts, z_min=3, z_max=6, cap=10)
+
+
+# =====================================================================
+# Johnson-Lindenstrauss projection (similarity/jl.py)
+# =====================================================================
+
+
+def _jl_sql() -> str:
+    from osm_spark.similarity.jl import sign_matrix
+
+    mat = sign_matrix(64, 16)
+    outs = []
+    for j in range(16):
+        acc = "0.0"
+        for i in range(64):
+            s = "+" if mat[i][j] > 0 else "-"
+            acc = f"({acc} {s} CAST(embedding[{i + 1}] AS DOUBLE))"
+        outs.append(
+            f"SELECT vec_id, CAST({j} AS BIGINT) AS out_dim,"
+            f" CAST(floor({acc} * 1e6) AS BIGINT) AS y_e6"
+            f" FROM embeddings"
+        )
+    return "\n    UNION ALL ".join(outs)
+
+
+@register("embed_jl_project", _jl_sql())
+def q_embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection (similarity/jl.py): 64-dim
+    embeddings compress to 16 dims through a deterministic Rademacher
+    (+-1) sign matrix — the JL lemma's distance-preserving reduction
+    that halves-and-halves ANN cost before LSH/IVF/PQ ever run.  The
+    sign matrix derives from md5(i|j) parity in PYTHON and embeds as
+    a literal in both engines' plans (parameter-sized — 64x16 — so
+    the projection is in-row zip_with+fold arithmetic: zero shuffle,
+    zero Python at execution, whole-stage codegen).  Both engines sum
+    in ascending-dimension order with +-1.0 multiplies (exact), so
+    floor(y * 1e6) is bit-identical; the oracle writes the 64-term
+    chain out longhand per output dimension."""
+    from osm_spark.similarity import jl as _jl
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = _jl.project(emb, "vec_id", "embedding", in_dims=64, out_dims=16)
+    return proj.select(
+        "vec_id",
+        F.col("out_dim").cast("long").alias("out_dim"),
+        "y_e6",
+    )
+
+
+# =====================================================================
 # Semi-supervised label propagation (plans/labelprop.py)
 # =====================================================================
 

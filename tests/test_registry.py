@@ -307,6 +307,8 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "tile_delta_counts",
     "url_editdist_join",
     "label_prop_classify",
+    "quadtree_bins",
+    "embed_jl_project",
 })
 
 
