@@ -143,6 +143,8 @@ HEADLINE = [
     "label_prop_classify",
     "quadtree_bins",
     "embed_jl_project",
+    "bpe_apply",
+    "phrase_search",
 ]
 
 
@@ -377,6 +379,8 @@ QUERY_GROUPS: list[list[str]] = [
     # edit-distance join, label propagation
     ["tile_delta_counts", "url_editdist_join", "label_prop_classify",
      "quadtree_bins", "embed_jl_project"],
+    # round-5 session-4 suite 3: tokenizer apply + phrase retrieval
+    ["bpe_apply", "phrase_search"],
 ]
 
 

@@ -9981,6 +9981,136 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Positional phrase search (text/index.py)
+# =====================================================================
+
+_PHRASES = ["slow hash batch", "window fast query", "part filter scan"]
+
+
+def _phrase_sql() -> str:
+    parts = []
+    for pi, ph in enumerate(_PHRASES):
+        terms = ph.split(" ")
+        conds = " AND ".join(
+            f"w[u.i + {j}] = '{t}'" for j, t in enumerate(terms)
+        )
+        parts.append(f"""
+    SELECT {pi} AS phrase_id, doc_id,
+           CAST(u.i - 1 AS BIGINT) AS pos
+    FROM t, UNNEST(range(1, len(w) - {len(terms) - 1})) AS u(i)
+    WHERE {conds}""")
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w"
+        " FROM documents)" + "\n    UNION ALL".join(parts)
+    )
+
+
+@register("phrase_search", _phrase_sql())
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search (text/index.py): exact-phrase
+    occurrences ("slow hash batch") located through a positional
+    inverted index — term i of the phrase anchors at (doc, pos - i),
+    so a |phrase|-term match is a chain of equi-joins on (doc,
+    normalized position) over single-term postings slices, and
+    document text is never rescanned after the one index build (the
+    Lucene phrase-query shape; AND-search and BM25 already cover the
+    bag-of-words side).  The oracle re-derives every occurrence from
+    the raw token arrays with windowed conjunctions, so the hash
+    checks index construction, position normalization and the join
+    chain."""
+    from osm_spark.text import index as _ix
+
+    docs = _t(spark, sf_dir, "documents")
+    post = _persist(_ix.positional_postings(docs, "doc_id", "text"))
+    out = None
+    for pi, ph in enumerate(_PHRASES):
+        m = _ix.phrase_match(post, ph).select(
+            F.lit(pi).alias("phrase_id"),
+            F.col("doc").alias("doc_id"),
+            F.col("pos").cast("long").alias("pos"),
+        )
+        out = m if out is None else out.unionByName(m)
+    return out
+
+
+# =====================================================================
+# BPE merge application (text/vocab.py apply side)
+# =====================================================================
+
+
+def _bpe_apply_sql(k: int = 10) -> str:
+    pat = (
+        "(SELECT ' ' || substr(pair, 1, 1) || '\u00b7 ' || "
+        "substr(pair, 2, 1) || '\u00b7' FROM m WHERE rk = {r})"
+    )
+    rep = "(SELECT ' ' || pair || '\u00b7' FROM m WHERE rk = {r})"
+    expr = "e"
+    for r in range(1, k + 1):
+        expr = (
+            f"replace({expr}, coalesce({pat.format(r=r)}, chr(1)), "
+            f"coalesce({rep.format(r=r)}, chr(1)))"
+        )
+    return f"""
+    WITH wf AS (
+      SELECT word, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      GROUP BY word),
+    pc AS (
+      SELECT substr(word, t.i, 2) AS pair, sum(freq) AS n
+      FROM wf,
+           LATERAL (SELECT unnest(range(1, length(word))) AS i) t
+      GROUP BY pair),
+    m AS (
+      SELECT pair, rk FROM (
+        SELECT pair,
+               row_number() OVER (ORDER BY n DESC, pair ASC) AS rk
+        FROM pc) WHERE rk <= {k}),
+    enc AS (
+      SELECT word, freq,
+             regexp_replace(word, '(.)', ' \\1\u00b7', 'g') AS e
+      FROM wf),
+    ap AS (SELECT word, freq, {expr} AS e2 FROM enc),
+    tok AS (
+      SELECT replace(t.tok, '\u00b7', '') AS token, freq
+      FROM ap,
+           LATERAL (SELECT unnest(string_split(trim(e2), ' ')) AS tok) t
+      WHERE t.tok <> '')
+    SELECT token, CAST(sum(freq) AS BIGINT) AS n
+    FROM tok GROUP BY token
+    """
+
+
+@register("bpe_apply", _bpe_apply_sql())
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge application (text/vocab.py apply side): the top-10
+    trained merges (bpe_pair_counts' ranking) apply to the corpus in
+    rank order — the merges.txt mechanics every BPE tokenizer ships,
+    completing the induction half already registered.  The encoding
+    is the operator: symbols render as ' a\u00b7 b\u00b7' (space pins
+    symbol START, marker pins symbol END), which makes each merge ONE
+    literal boundary-safe replace, the whole list a fixed-depth
+    expression chain — zero iteration, zero Python, and left-to-right
+    non-overlapping replace handles back-to-back occurrences exactly
+    the same in both engines.  The apply pass runs over the DISTINCT
+    word table weighted by frequency (training's two-level trick), so
+    it is vocabulary-sized at any corpus scale; merges are a
+    parameter-sized driver collect embedded as plan literals, the
+    oracle re-derives them as scalar subqueries."""
+    from osm_spark.text import vocab as _vb
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = _vb.word_freq(docs, "text")
+    merges = [
+        r["pair"]
+        for r in _vb.top_merges(_vb.pair_counts(wf), k=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    return _vb.bpe_token_counts(wf, merges).select("token", "n")
+
+
+# =====================================================================
 # Adaptive quadtree binning (geo/quadtree.py)
 # =====================================================================
 

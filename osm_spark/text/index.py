@@ -193,3 +193,39 @@ def search(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", id_col, "score")
     )
+
+
+# ---------------------------------------------------------- phrase search
+def positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (doc, pos, term): the positional inverted index.  One
+    explode; at rest this is the postings layout every phrase-capable
+    engine (Lucene) stores — positions make adjacency a JOIN
+    predicate instead of a re-scan of document bytes."""
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
+    )
+
+
+def phrase_match(post: DataFrame, phrase: str) -> DataFrame:
+    """-> (doc, pos) start positions of exact phrase occurrences.
+
+    Term i of the phrase anchors at (doc, pos - i): the match is a
+    chain of |phrase| - 1 equi-joins on (doc, normalized position) —
+    each join's build side is ONE term's postings (selectivity of the
+    rarest term dominates; a planner would reorder, and AQE's runtime
+    stats do it for free), and document text is never touched after
+    the index build."""
+    terms = phrase.split(" ")
+    out = post.where(F.col("term") == terms[0]).select("doc", "pos")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = post.where(F.col("term") == t).select(
+            F.col("doc").alias("d2"), (F.col("pos") - i).alias("p2")
+        )
+        out = out.join(
+            nxt,
+            (out["doc"] == F.col("d2")) & (out["pos"] == F.col("p2")),
+        ).select("doc", "pos")
+    return out

@@ -63,3 +63,58 @@ def top_merges(pc: DataFrame, k: int = 20) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("rank", "pair", "n")
     )
+
+
+# ------------------------------------------------------------------ apply
+# Applying a learned merge list (the merges.txt mechanics every BPE
+# tokenizer ships).  Words encode as " a· b· c·" — every symbol gets a
+# leading space and a trailing '·' marker, so the merge (a,b) is the
+# literal replace " a· b·" -> " ab·": the leading space pins the symbol
+# START (no suffix of a longer symbol can match) and the marker pins
+# the symbol END (no symbol that is a proper prefix of another can
+# match), and because patterns start with a space but end without one,
+# left-to-right non-overlapping replace handles back-to-back
+# occurrences ("x y x y") exactly.  Both engines' replace() share
+# those semantics, so the chain is engine-portable.
+
+_MARK = "·"
+
+
+def encode_word(word) -> "F.Column":
+    """word -> ' a· b· c·' spaced-symbol encoding (Spark side)."""
+    c = F.col(word) if isinstance(word, str) else word
+    return F.regexp_replace(c, "(.)", " $1" + _MARK)
+
+
+def apply_merges(enc, merges: list[str]) -> "F.Column":
+    """Apply ranked 2-char merges to an encoded word column: one
+    literal replace per merge, in rank order — a fixed-depth
+    expression chain, zero iteration, zero Python."""
+    c = F.col(enc) if isinstance(enc, str) else enc
+    for pair in merges:
+        a, b = pair[0], pair[1]
+        c = F.replace(
+            c,
+            F.lit(f" {a}{_MARK} {b}{_MARK}"),
+            F.lit(f" {a}{b}{_MARK}"),
+        )
+    return c
+
+
+def bpe_token_counts(
+    wf: DataFrame, merges: list[str]
+) -> DataFrame:
+    """(word, freq) -> (token, n): corpus token counts after applying
+    the ranked merge list.  Runs over the DISTINCT word table weighted
+    by frequency — the same two-level trick as training, so the apply
+    pass is vocabulary-sized at any corpus size."""
+    enc = apply_merges(encode_word("word"), merges)
+    toks = F.transform(
+        F.filter(F.split(F.trim(enc), " "), lambda t: t != ""),
+        lambda t: F.replace(t, F.lit(_MARK), F.lit("")),
+    )
+    return (
+        wf.select(F.explode(toks).alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("n"))
+    )

@@ -106,3 +106,27 @@ def test_bm25_or_semantics_and_longer_docs_penalized(spark):
     ranks = {r.doc_id: r.rank for r in out}
     # same tf for "rare", but doc 1 is longer -> penalized below doc 2
     assert ranks[2] == 1 and ranks[1] == 2
+
+
+def test_phrase_match_positions_and_adjacency(spark):
+    from osm_spark.text.index import phrase_match, positional_postings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),
+            (2, "a b x b c"),
+            (3, "c b a"),
+        ],
+        ["doc_id", "text"],
+    )
+    post = positional_postings(docs, "doc_id", "text")
+    got = {
+        (r["doc"], r["pos"])
+        for r in phrase_match(post, "a b c").collect()
+    }
+    assert got == {(1, 0), (1, 3)}  # adjacency required, both hits
+    got2 = {
+        (r["doc"], r["pos"])
+        for r in phrase_match(post, "b c").collect()
+    }
+    assert got2 == {(1, 1), (1, 4), (2, 3)}

@@ -309,6 +309,8 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "label_prop_classify",
     "quadtree_bins",
     "embed_jl_project",
+    "bpe_apply",
+    "phrase_search",
 })
 
 

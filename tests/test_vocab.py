@@ -31,3 +31,34 @@ def test_top_merges_deterministic_ties(spark):
     got = [(r.rank, r.pair, r.n) for r in vb.top_merges(pc, k=2).collect()]
     # count desc, then pair asc breaks the 7-7 tie
     assert sorted(got) == [(1, "mm", 9), (2, "aa", 7)]
+
+
+def test_bpe_apply_boundary_safety(spark):
+    """Merge (b,c) must not fire inside symbol 'ab' or before symbol
+    'cd' — the marker encoding's whole job."""
+    from osm_spark.text.vocab import (apply_merges, bpe_token_counts,
+                                      encode_word)
+
+    wf = spark.createDataFrame(
+        [("abc", 1), ("xbcx", 1), ("bcbc", 1)], ["word", "freq"]
+    )
+    # merges in rank order: 'ab' first (consumes the b of "abc"),
+    # then 'bc'
+    out = {
+        r["token"]: r["n"]
+        for r in bpe_token_counts(wf, ["ab", "bc"]).collect()
+    }
+    # abc -> ab c (ab merged first, so bc cannot fire)
+    # xbcx -> x bc x ; bcbc -> bc bc (back-to-back occurrences)
+    assert out == {"ab": 1, "c": 1, "x": 2, "bc": 3}
+
+
+def test_bpe_apply_is_noop_without_matches(spark):
+    from osm_spark.text.vocab import bpe_token_counts
+
+    wf = spark.createDataFrame([("hello", 2)], ["word", "freq"])
+    out = {
+        r["token"]: r["n"]
+        for r in bpe_token_counts(wf, ["zq"]).collect()
+    }
+    assert out == {"h": 2, "e": 2, "l": 4, "o": 2}
