@@ -145,6 +145,7 @@ HEADLINE = [
     "embed_jl_project",
     "bpe_apply",
     "phrase_search",
+    "table_bloom_scan",
 ]
 
 
@@ -379,8 +380,9 @@ QUERY_GROUPS: list[list[str]] = [
     # edit-distance join, label propagation
     ["tile_delta_counts", "url_editdist_join", "label_prop_classify",
      "quadtree_bins", "embed_jl_project"],
-    # round-5 session-4 suite 3: tokenizer apply + phrase retrieval
-    ["bpe_apply", "phrase_search"],
+    # round-5 session-4 suite 3: tokenizer apply + phrase retrieval,
+    # bloom-indexed point lookups
+    ["bpe_apply", "phrase_search", "table_bloom_scan"],
 ]
 
 

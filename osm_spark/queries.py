@@ -9981,6 +9981,98 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Per-file Bloom index point lookups (pipeline/bloomindex.py)
+# =====================================================================
+
+_BLOOM_PROBES = [
+    "https://page.example/p7",
+    "https://page.example/p123",
+    "https://page.example/p999999",
+]
+
+
+def _bloom_scan_sql() -> str:
+    parts = []
+    for i, v in enumerate(_BLOOM_PROBES):
+        parts.append(f"""
+    SELECT {i} AS probe_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(coalesce(min(doc_id), -1) AS BIGINT) AS doc_id,
+           CAST(coalesce(min(n_chars), -1) AS BIGINT) AS n_chars,
+           TRUE AS pruned
+    FROM u WHERE url = '{v}'""")
+    return (
+        "WITH u AS (SELECT doc_id, n_chars,"
+        " 'https://page.example/p' || CAST(doc_id AS VARCHAR) AS url"
+        " FROM documents)" + "\n    UNION ALL".join(parts)
+    )
+
+
+@register("table_bloom_scan", _bloom_scan_sql())
+def q_table_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom point lookups (pipeline/bloomindex.py): url is
+    high-cardinality and UNSORTED across the table's 16 files, so
+    min/max stats keep every file and even Z-order can't help a point
+    probe — the Iceberg/Parquet answer is a per-file Bloom bitmap in
+    a manifest sidecar, consulted before any data I/O.  Built with
+    ONE aggregation over the written files (keys -> 4 md5 bit
+    positions -> (file, word) bit_or; text/bloom.py's engine-portable
+    hash); planning is driver-side arithmetic, zero Spark jobs.  Two
+    present urls and one absent url probe the index: no false
+    negatives ever (containing files always survive — the value
+    columns hash-check that), and the ``pruned`` flag attests files
+    were actually skipped for every probe (the absent url prunes all
+    16).  The oracle answers the same lookups straight off the
+    documents table."""
+    import tempfile
+
+    from osm_spark.pipeline import bloomindex as _bx
+    from osm_spark.pipeline.table import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents")
+    data = docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("https://page.example/p"), F.col("doc_id").cast("string")
+        ).alias("url"),
+    )
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="osm_spark_bloomidx_")
+    )
+    t.append(data.repartition(16, "doc_id"))
+    blooms = _bx.build_file_blooms(t, "url")
+    n_total = len(t.plan_files())
+    out = None
+    for i, v in enumerate(_BLOOM_PROBES):
+        files = _bx.plan_point_lookup(t, blooms, v)
+        if files:
+            part = (
+                spark.read.parquet(*[fe["path"] for fe in files])
+                .where(F.col("url") == v)
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.coalesce(F.min("doc_id"), F.lit(-1))
+                    .cast("long").alias("doc_id"),
+                    F.coalesce(F.min("n_chars"), F.lit(-1))
+                    .cast("long").alias("n_chars"),
+                )
+            )
+        else:
+            part = spark.range(1).select(
+                F.lit(0).cast("long").alias("n"),
+                F.lit(-1).cast("long").alias("doc_id"),
+                F.lit(-1).cast("long").alias("n_chars"),
+            )
+        part = part.select(
+            F.lit(i).alias("probe_id"), "n", "doc_id", "n_chars",
+            F.lit(bool(len(files) < n_total)).alias("pruned"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# =====================================================================
 # Positional phrase search (text/index.py)
 # =====================================================================
 

@@ -311,6 +311,7 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "embed_jl_project",
     "bpe_apply",
     "phrase_search",
+    "table_bloom_scan",
 })
 
 
