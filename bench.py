@@ -146,6 +146,7 @@ HEADLINE = [
     "bpe_apply",
     "phrase_search",
     "table_bloom_scan",
+    "media_gif",
 ]
 
 
@@ -382,7 +383,7 @@ QUERY_GROUPS: list[list[str]] = [
      "quadtree_bins", "embed_jl_project"],
     # round-5 session-4 suite 3: tokenizer apply + phrase retrieval,
     # bloom-indexed point lookups
-    ["bpe_apply", "phrase_search", "table_bloom_scan"],
+    ["bpe_apply", "phrase_search", "table_bloom_scan", "media_gif"],
 ]
 
 

@@ -124,6 +124,8 @@ def sniff(buf: bytes) -> str | None:
         return "png"
     if buf[:2] == b"\xff\xd8":
         return "jpeg"
+    if buf[:6] in (b"GIF89a", b"GIF87a"):
+        return "gif"
     return None
 
 
@@ -273,3 +275,178 @@ def decode_png(buf: bytes) -> np.ndarray:
         prev = rec
     img = out.reshape(h, w, ch)
     return img[:, :, 0] if ch == 1 else img
+
+
+# ------------------------------------------------------------------- GIF
+# Dependency-free GIF89a, single image frame, global color table,
+# non-interlaced — with a REAL LZW codec (variable code width 3..12
+# bits LSB-first, clear/EOI codes, dictionary growth, 4096-entry
+# overflow reset).  GIF is the palette-indexed member of the codec
+# family: BMP/PNG carry truecolor, WAV carries PCM, GIF carries the
+# LZW-compressed index stream ubiquitous in crawl image payloads.
+
+
+def _lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
+    """GIF LZW: emit CLEAR, encode with a growing dictionary, emit
+    EOI.  Width bumps when the next code to assign no longer fits;
+    dictionary resets via CLEAR at 4096 entries (the 12-bit cap)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = mcs + 1
+    emit(clear, width)
+    w: tuple = ()
+    for k in map(int, indices):
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4097:  # table full: reset
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+        w = (k,)
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int) -> np.ndarray:
+    """Inverse of :func:`_lzw_encode`, including the KwKwK case."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    # one linear pass over the bitstream
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = mcs + 1
+
+    def read() -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return eoi  # truncated stream: treat as end
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    table: list[tuple] = []
+    out: list[int] = []
+    prev: tuple | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [(i,) for i in range(clear)] + [(), ()]
+        width = mcs + 1
+        prev = None
+
+    reset()
+    while True:
+        code = read()
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):  # KwKwK
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return np.asarray(out, dtype=np.uint8)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(h, w) uint8 palette indices + (n, 3) palette -> GIF89a bytes.
+    Palette size must be a power of two in [2, 256]."""
+    h, w = indices.shape
+    n = len(palette)
+    bits = max(1, int(n - 1).bit_length())
+    if (1 << bits) != n:
+        raise ValueError(f"palette size {n} not a power of two")
+    mcs = max(2, bits)  # GIF spec: LZW min code size >= 2
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    out += palette.astype(np.uint8).tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(mcs)
+    comp = _lzw_encode(indices.reshape(-1), mcs)
+    for i in range(0, len(comp), 255):
+        block = comp[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """GIF89a/87a bytes -> ((h, w) uint8 indices, (n, 3) palette)."""
+    buf = bytes(buf)
+    if buf[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", buf[6:13])
+    pos = 13
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table")
+    n = 2 << (packed & 0x07)
+    palette = np.frombuffer(buf[pos : pos + n * 3], dtype=np.uint8).reshape(
+        n, 3
+    )
+    pos += n * 3
+    while buf[pos] == 0x21:  # skip extension blocks
+        pos += 2
+        while buf[pos] != 0:
+            pos += 1 + buf[pos]
+        pos += 1
+    if buf[pos] != 0x2C:
+        raise ValueError(f"expected image descriptor, got {buf[pos]:#x}")
+    _l, _t, iw, ih, ipacked = struct.unpack("<HHHHB", buf[pos + 1 : pos + 10])
+    if ipacked & 0xC0:
+        raise ValueError("local color tables / interlace not supported")
+    pos += 10
+    mcs = buf[pos]
+    pos += 1
+    comp = bytearray()
+    while buf[pos] != 0:
+        ln = buf[pos]
+        comp += buf[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    idx = _lzw_decode(bytes(comp), mcs)
+    if len(idx) < iw * ih:
+        raise ValueError(f"short pixel stream: {len(idx)} < {iw * ih}")
+    return idx[: iw * ih].reshape(ih, iw), palette

@@ -9981,6 +9981,101 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# GIF / LZW codec (multimodal/codecs.py)
+# =====================================================================
+
+_MEDIA_GIF_SQL = """
+    WITH img AS (
+      SELECT doc_id AS media_id, doc_id % 20 + 5 AS w, doc_id % 14 + 4 AS h
+      FROM documents WHERE doc_id % 3 = 0),
+    ib AS (
+      SELECT media_id, w, h, (media_id * 31 + t.x * 7) % 8 AS idx
+      FROM img, LATERAL (SELECT unnest(range(0, w * h)) AS x) t)
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(CASE WHEN idx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+           CAST(sum(CASE WHEN idx = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(sum(CASE WHEN idx = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+           CAST(sum(CASE WHEN idx = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+           CAST(sum(CASE WHEN idx = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+           CAST(sum(CASE WHEN idx = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+           CAST(sum(CASE WHEN idx = 6 THEN 1 ELSE 0 END) AS BIGINT) AS c6,
+           CAST(sum(CASE WHEN idx = 7 THEN 1 ELSE 0 END) AS BIGINT) AS c7,
+           CAST(sum(idx) AS BIGINT) AS pix_sum
+    FROM ib GROUP BY media_id, w, h
+"""
+
+
+@register("media_gif", _MEDIA_GIF_SQL)
+def q_media_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF codec (multimodal/codecs.py): deterministic 8-color
+    indexed images encode to genuine GIF89a blobs — header, logical
+    screen descriptor, global color table, and an actual LZW stream
+    (variable 4..12-bit codes LSB-first, clear/EOI, dictionary
+    growth, 4096-entry reset) — travel as a binary column, then the
+    decoder parses the real bytes back (sub-block reassembly, LZW
+    with the KwKwK case) and histograms the recovered palette
+    indices.  Arrow-batched kernels on both sides (the designated
+    Python boundary for media, as with BMP/PNG/WAV/JPEG).  The oracle
+    recomputes dims + index histogram + pixel sum closed-form, so any
+    bit-packing, width-bump or sub-block defect shifts the hash."""
+    import pandas as pd
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from osm_spark.multimodal import codecs as C
+
+    _pal = (np.arange(8 * 3) * 9 % 256).astype(np.uint8).reshape(8, 3)
+
+    def _mk_fn(ids):
+        blobs = []
+        for mid in ids:
+            mid = int(mid)
+            w, h = mid % 20 + 5, mid % 14 + 4
+            idx = ((mid * 31 + np.arange(w * h) * 7) % 8).astype(
+                np.uint8
+            ).reshape(h, w)
+            blobs.append(C.encode_gif(idx, _pal))
+        return pd.Series(blobs)
+
+    def _st_fn(blobs):
+        rows = []
+        for b in blobs:
+            idx, _pal2 = C.decode_gif(bytes(b))
+            h, w = idx.shape
+            counts = np.bincount(idx.reshape(-1), minlength=8)
+            rows.append(
+                (w, h, *[int(c) for c in counts[:8]], int(idx.sum()))
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["width", "height"]
+            + [f"c{i}" for i in range(8)]
+            + ["pix_sum"],
+        )
+
+    _mk = pandas_udf(_mk_fn, "binary")
+    _st = pandas_udf(
+        _st_fn,
+        "width int, height int, c0 long, c1 long, c2 long, c3 long,"
+        " c4 long, c5 long, c6 long, c7 long, pix_sum long",
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"), _mk("doc_id").alias("blob")
+    )
+    out = media.select("media_id", _st("blob").alias("s"))
+    return out.select(
+        "media_id",
+        F.col("s.width").alias("width"),
+        F.col("s.height").alias("height"),
+        *[F.col(f"s.c{i}").alias(f"c{i}") for i in range(8)],
+        F.col("s.pix_sum").alias("pix_sum"),
+    )
+
+
+# =====================================================================
 # Per-file Bloom index point lookups (pipeline/bloomindex.py)
 # =====================================================================
 

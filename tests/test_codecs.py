@@ -246,3 +246,41 @@ def test_jpeg_progressive_matches_baseline():
     # block-uniform fixtures stay bit-exact through the progressive path
     u = np.full((16, 24), 137, dtype=np.uint8)
     assert (J.decode_jpeg(J.encode_jpeg_progressive(u)) == u).all()
+
+
+def test_gif_lzw_roundtrip_and_growth():
+    import numpy as np
+
+    from osm_spark.multimodal.codecs import decode_gif, encode_gif, sniff
+
+    rng = np.random.RandomState(3)
+    for _ in range(15):
+        h, w = rng.randint(1, 30), rng.randint(1, 30)
+        nbits = int(rng.choice([1, 2, 4, 8]))
+        pal = (np.arange((1 << nbits) * 3) % 256).astype(
+            np.uint8
+        ).reshape(-1, 3)
+        img = rng.randint(0, 1 << nbits, (h, w)).astype(np.uint8)
+        blob = encode_gif(img, pal)
+        assert sniff(blob) == "gif"
+        idx, p2 = decode_gif(blob)
+        assert (idx == img).all() and (p2 == pal).all()
+
+
+def test_gif_overflow_reset_and_kwkwk():
+    import numpy as np
+
+    from osm_spark.multimodal.codecs import decode_gif, encode_gif
+
+    pal = (np.arange(256 * 3) % 256).astype(np.uint8).reshape(-1, 3)
+    # 90k pixels force the 4096-entry table reset (12-bit cap)
+    img = (np.arange(300 * 300) * 7919 % 256).astype(
+        np.uint8
+    ).reshape(300, 300)
+    idx, _ = decode_gif(encode_gif(img, pal))
+    assert (idx == img).all()
+    # runs of a single symbol drive the KwKwK (code == next_code) case
+    pal2 = (np.arange(2 * 3) % 256).astype(np.uint8).reshape(-1, 3)
+    img2 = np.zeros((5, 40), dtype=np.uint8)
+    idx2, _ = decode_gif(encode_gif(img2, pal2))
+    assert (idx2 == img2).all()

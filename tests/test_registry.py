@@ -312,6 +312,7 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "bpe_apply",
     "phrase_search",
     "table_bloom_scan",
+    "media_gif",
 })
 
 
