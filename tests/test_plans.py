@@ -319,10 +319,12 @@ def test_round5_session3_plan_shapes(spark):
 
 def test_round5_session4_plan_shapes(spark):
     """Session-4 operators: the PLANS.md shuffle/Python claims."""
-    # cdc: chunking is in-row (one fold), the ONLY exchange is the
-    # digest-keyed first-occurrence window; zero Python nodes
+    # cdc: chunking is in-row (one fold); exactly TWO exchanges — the
+    # deliberate single-split scan pre-spread (queries.py _t_spread,
+    # 53.8s -> 13.7s at sf0.1) and the digest-keyed first-occurrence
+    # window; zero Python nodes
     cdc = _plan(spark, "cdc_chunk_dedup")
-    assert _count(cdc, "Exchange") == 1
+    assert _count(cdc, "Exchange") == 2
     for py_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
         assert py_node not in cdc
 
