@@ -147,6 +147,8 @@ HEADLINE = [
     "phrase_search",
     "table_bloom_scan",
     "media_gif",
+    "jaccard_exact_join",
+    "scd2_build",
 ]
 
 
@@ -384,6 +386,8 @@ QUERY_GROUPS: list[list[str]] = [
     # round-5 session-4 suite 3: tokenizer apply + phrase retrieval,
     # bloom-indexed point lookups
     ["bpe_apply", "phrase_search", "table_bloom_scan", "media_gif"],
+    # round-5 session-4 suite 4: exact set-similarity + SCD2
+    ["jaccard_exact_join", "scd2_build"],
 ]
 
 

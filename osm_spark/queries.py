@@ -9981,6 +9981,150 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# SCD Type-2 dimension build (temporal/scd.py)
+# =====================================================================
+
+_SCD2_SQL = """
+    WITH c AS (
+      SELECT user_id AS key, epoch_us(ts) AS ts_us,
+             min(CAST(floor(value * 10) AS BIGINT) % 5) AS attr
+      FROM events GROUP BY user_id, epoch_us(ts)),
+    f AS (
+      SELECT *, CASE WHEN lag(attr) OVER w IS NULL
+                       OR lag(attr) OVER w <> attr
+                     THEN 1 ELSE 0 END AS chg
+      FROM c WINDOW w AS (PARTITION BY key ORDER BY ts_us)),
+    i AS (
+      SELECT *, sum(chg) OVER (
+        PARTITION BY key ORDER BY ts_us
+        ROWS UNBOUNDED PRECEDING) AS isl
+      FROM f),
+    g AS (
+      SELECT key, isl, min(attr) AS attr,
+             min(ts_us) AS valid_from_us
+      FROM i GROUP BY key, isl)
+    SELECT key AS user_id, CAST(attr AS BIGINT) AS attr,
+           CAST(valid_from_us AS BIGINT) AS valid_from_us,
+           CAST(coalesce(lead(valid_from_us) OVER w2, -1) AS BIGINT)
+             AS valid_to_us,
+           CAST(row_number() OVER w2 AS BIGINT) AS version_seq,
+           (lead(valid_from_us) OVER w2 IS NULL) AS is_current
+    FROM g WINDOW w2 AS (PARTITION BY key ORDER BY valid_from_us)
+"""
+
+
+@register("scd2_build", _SCD2_SQL)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build (temporal/scd.py): the per-user
+    attribute stream (quantized event value) becomes validity
+    intervals with NO-OP COLLAPSE — a recrawl observing the same
+    value extends the current interval instead of opening a version,
+    so the dimension grows with the CHANGE rate, not the observation
+    rate (the reference's element-version model generalized:
+    FindVisible's "which version at time t" becomes a plain
+    BETWEEN over [valid_from, valid_to)).  Gaps-and-islands + lead()
+    over the SAME key partitioning — one exchange, zero Python, zero
+    joins; half-open integer micro-second intervals, open intervals
+    surfaced as is_current/-1.  The oracle replays flag, island,
+    collapse and interval close bit-for-bit."""
+    from osm_spark.temporal import scd as _scd
+
+    ev = _t(spark, sf_dir, "events")
+    changes = (
+        ev.select(
+            F.col("user_id").alias("key"),
+            _us(F.col("ts")).alias("ts_us"),
+            (F.floor(F.col("value") * 10).cast("long") % 5).alias("attr"),
+        )
+        .groupBy("key", "ts_us")
+        .agg(F.min("attr").alias("attr"))
+    )
+    out = _scd.scd2_build(changes, "key", "ts_us", "attr")
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.col("attr").cast("long").alias("attr"),
+        "valid_from_us", "valid_to_us", "version_seq", "is_current",
+    )
+
+
+# =====================================================================
+# Exact Jaccard set-similarity join (text/setjoin.py)
+# =====================================================================
+
+_JACCARD_SQL = """
+    WITH grp AS (
+      SELECT d.doc_id AS sid, d.doc_id % 3 AS variant, b.text AS btext
+      FROM documents d
+      JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 3),
+    toks AS (
+      SELECT sid,
+             list_sort(list_filter(
+               list_distinct(string_split(btext, ' ')),
+               w -> substr(md5(w), 1, 1)
+                      <> CAST(variant AS VARCHAR))) AS toks
+      FROM grp),
+    pairs AS (
+      SELECT l.sid AS a, r.sid AS b,
+             len(list_intersect(l.toks, r.toks)) AS inter,
+             len(l.toks) + len(r.toks)
+               - len(list_intersect(l.toks, r.toks)) AS uni
+      FROM toks l JOIN toks r ON l.sid < r.sid)
+    SELECT a, b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(uni AS BIGINT) AS uni,
+           CAST(floor(inter * 1000000.0 / uni) AS BIGINT) AS jacc_e6
+    FROM pairs
+    WHERE inter * 1000000 >= 900000 * uni
+"""
+
+
+@register("jaccard_exact_join", _JACCARD_SQL)
+def q_jaccard_exact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join (text/setjoin.py — AllPairs/PPJoin
+    prefix filter): EVERY document pair with token-set Jaccard >= 0.9,
+    guaranteed recall — the compliance-grade companion to MinHash-LSH,
+    whose banded recall is < 1 by construction.  Each set joins only
+    on its |X| - ceil(0.9|X|) + 1 rarest tokens under a global
+    (frequency, token) order: the smallest common token of any
+    qualifying pair provably falls in BOTH prefixes, and frequent
+    stopword-class tokens never enter one, so buckets track the rare
+    tail (the editjoin skew armor, generalized to sets).  Verification
+    is the integer cross-multiplied Jaccard test — no float
+    thresholds.  The fixture derives per-variant perturbed copies of
+    each 3-group's base document (drop words whose md5 leads with the
+    variant digit, ~1/16 each), giving true positives within groups
+    and true negatives across; the oracle brute-forces ALL pairs, so
+    the hash checks the prefix filter's completeness."""
+    from osm_spark.text import setjoin as _sj
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("d.doc_id")
+    grp = (
+        docs.alias("d")
+        .join(
+            docs.select(
+                F.col("doc_id").alias("b_id"), F.col("text").alias("btext")
+            ),
+            F.col("b_id") == d - d % 3,
+        )
+        .select(
+            d.alias("sid"), (d % 3).alias("variant"), F.col("btext")
+        )
+    )
+    toks = grp.select(
+        "sid",
+        F.array_sort(
+            F.filter(
+                F.array_distinct(F.split("btext", " ")),
+                lambda w: F.substring(F.md5(w), 1, 1)
+                != F.col("variant").cast("string"),
+            )
+        ).alias("toks"),
+    )
+    return _sj.jaccard_join(toks, "sid", "toks", tau_e6=900_000)
+
+
+# =====================================================================
 # GIF / LZW codec (multimodal/codecs.py)
 # =====================================================================
 

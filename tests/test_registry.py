@@ -313,6 +313,8 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "phrase_search",
     "table_bloom_scan",
     "media_gif",
+    "jaccard_exact_join",
+    "scd2_build",
 })
 
 
