@@ -149,6 +149,8 @@ HEADLINE = [
     "media_gif",
     "jaccard_exact_join",
     "scd2_build",
+    "bot_cadence",
+    "langid_eval",
 ]
 
 
@@ -386,8 +388,9 @@ QUERY_GROUPS: list[list[str]] = [
     # round-5 session-4 suite 3: tokenizer apply + phrase retrieval,
     # bloom-indexed point lookups
     ["bpe_apply", "phrase_search", "table_bloom_scan", "media_gif"],
-    # round-5 session-4 suite 4: exact set-similarity + SCD2
-    ["jaccard_exact_join", "scd2_build"],
+    # round-5 session-4 suite 4: exact set-similarity + SCD2 +
+    # traffic/eval analytics
+    ["jaccard_exact_join", "scd2_build", "bot_cadence", "langid_eval"],
 ]
 
 

@@ -9981,6 +9981,150 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Bot-cadence detection (temporal/events.py family)
+# =====================================================================
+
+_BOT_SQL = """
+    WITH g AS (
+      SELECT user_id,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id))
+               // 1000000 AS gap_s
+      FROM events),
+    s AS (
+      SELECT user_id,
+             count(gap_s) AS n_gaps,
+             sum(gap_s) AS sg,
+             sum(gap_s * gap_s) AS sg2
+      FROM g WHERE gap_s IS NOT NULL GROUP BY user_id)
+    SELECT user_id,
+           CAST(n_gaps AS BIGINT) AS n_gaps,
+           CAST(sg // n_gaps AS BIGINT) AS mean_gap_s,
+           CAST(CASE WHEN sg = 0 THEN -1
+                ELSE ((n_gaps * sg2 - sg * sg) * 1000) // (sg * sg)
+                END AS BIGINT) AS cv2_e3,
+           (n_gaps >= 5 AND sg > 0
+            AND ((n_gaps * sg2 - sg * sg) * 1000) // (sg * sg) < 250)
+             AS is_bot
+    FROM s
+"""
+
+
+@register("bot_cadence", _BOT_SQL)
+def q_bot_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-cadence detection: per-user inter-event gap statistics —
+    scripted clients fire on timers, so a LOW squared coefficient of
+    variation over enough events (cv^2 < 0.25, n >= 5) flags robotic
+    regularity where human traffic is bursty.  The whole statistic is
+    exact integer arithmetic: gaps floor to seconds, and
+    cv^2 = (n*sum(g^2) - sum(g)^2) / sum(g)^2 cross-multiplies into
+    one integer floor-division at 1e-3 scale — no float variance, no
+    engine divergence, overflow headroom verified against the
+    fixture's magnitudes.  ONE user-keyed window + ONE aggregation;
+    the traffic-hygiene sibling of web_sessions/frontier_schedule."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        F.floor(
+            (_us(F.col("ts")) - F.lag(_us(F.col("ts"))).over(w)) / 1_000_000
+        ).cast("long").alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    s = g.groupBy("user_id").agg(
+        F.count("gap_s").cast("long").alias("n_gaps"),
+        F.sum("gap_s").cast("long").alias("sg"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("long").alias("sg2"),
+    )
+    return s.select(
+        "user_id",
+        "n_gaps",
+        F.expr("sg div n_gaps").cast("long").alias("mean_gap_s"),
+        F.expr(
+            "CASE WHEN sg = 0 THEN -1 "
+            "ELSE ((n_gaps * sg2 - sg * sg) * 1000) div (sg * sg) END"
+        ).cast("long").alias("cv2_e3"),
+        F.expr(
+            "n_gaps >= 5 AND sg > 0 AND "
+            "((n_gaps * sg2 - sg * sg) * 1000) div (sg * sg) < 250"
+        ).alias("is_bot"),
+    )
+
+
+# =====================================================================
+# Language-ID evaluation harness (text/quality.py eval side)
+# =====================================================================
+
+
+def _langid_eval_sql() -> str:
+    return f"""
+    WITH m AS (SELECT doc_id, lang, {_LANG_COUNTS} FROM documents),
+    p AS (
+      SELECT doc_id, lang AS true_lang,
+             CASE
+               WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr
+                    AND c_en >= c_es THEN 'en'
+               WHEN c_de > 0 AND c_de > c_en AND c_de >= c_fr
+                    AND c_de >= c_es THEN 'de'
+               WHEN c_fr > 0 AND c_fr > c_en AND c_fr > c_de
+                    AND c_fr >= c_es THEN 'fr'
+               WHEN c_es > 0 AND c_es > c_en AND c_es > c_de
+                    AND c_es > c_fr THEN 'es'
+               ELSE 'und'
+             END AS pred_lang
+      FROM m),
+    cm AS (
+      SELECT true_lang, pred_lang, count(*) AS n
+      FROM p GROUP BY true_lang, pred_lang),
+    tt AS (SELECT true_lang, sum(n) AS t_tot FROM cm GROUP BY true_lang),
+    pt AS (SELECT pred_lang, sum(n) AS p_tot FROM cm GROUP BY pred_lang)
+    SELECT cm.true_lang, cm.pred_lang, CAST(cm.n AS BIGINT) AS n,
+           CAST((cm.n * 1000000) // tt.t_tot AS BIGINT) AS recall_e6,
+           CAST((cm.n * 1000000) // pt.p_tot AS BIGINT) AS precision_e6
+    FROM cm JOIN tt USING (true_lang) JOIN pt USING (pred_lang)
+    """
+
+
+@register("langid_eval", _langid_eval_sql())
+def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation harness: the lang_id classifier scored
+    against the corpus's ground-truth labels as a confusion matrix
+    with per-cell recall (n / true-class total) and precision
+    (n / predicted-class total) in exact integer fixed point — the
+    eval loop every filter in a training pipeline needs BEFORE it
+    gates data (zh pages have no marker list, so they land in 'und'
+    or a false class: the matrix shows exactly where the classifier
+    is blind, which is the point of shipping the harness).  One
+    prediction projection + one (true, pred) count + two marginal
+    roll-ups joined back — marginals are class-count-sized, so both
+    joins broadcast at any corpus scale."""
+    from osm_spark.text import quality as _ql
+
+    docs = _t(spark, sf_dir, "documents")
+    preds = _ql.lang_id(docs, "doc_id", "text").select(
+        "doc_id", "pred_lang"
+    )
+    p = docs.select("doc_id", F.col("lang").alias("true_lang")).join(
+        preds, "doc_id"
+    )
+    cm = p.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tt = cm.groupBy("true_lang").agg(F.sum("n").alias("t_tot"))
+    pt = cm.groupBy("pred_lang").agg(F.sum("n").alias("p_tot"))
+    return (
+        cm.join(F.broadcast(tt), "true_lang")
+        .join(F.broadcast(pt), "pred_lang")
+        .select(
+            "true_lang", "pred_lang", "n",
+            F.expr("(n * 1000000) div t_tot").cast("long")
+            .alias("recall_e6"),
+            F.expr("(n * 1000000) div p_tot").cast("long")
+            .alias("precision_e6"),
+        )
+    )
+
+
+# =====================================================================
 # SCD Type-2 dimension build (temporal/scd.py)
 # =====================================================================
 

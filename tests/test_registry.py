@@ -315,6 +315,8 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "media_gif",
     "jaccard_exact_join",
     "scd2_build",
+    "bot_cadence",
+    "langid_eval",
 })
 
 
