@@ -350,3 +350,48 @@ def test_round5_session4_plan_shapes(spark):
     # x-axis pair; the y pair is the same code path)
     assert "GreaterThanOrEqual(tile_x" in zo
     assert "LessThanOrEqual(tile_x" in zo
+
+
+def test_round5_session4_late_plan_shapes(spark):
+    """Batches 5-10: the PLANS.md shuffle/Python claims."""
+    # editjoin: gram-frequency table broadcasts; no vocab-sized
+    # sort-merge join; zero Python
+    ej = _plan(spark, "url_editdist_join")
+    assert "BroadcastHashJoin" in ej
+    for py_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert py_node not in ej
+
+    # jl projection: in-row literal arithmetic — no exchange, no
+    # join, no Python
+    jl = _plan(spark, "embed_jl_project")
+    assert "Exchange" not in jl and "Join" not in jl
+    for py_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert py_node not in jl
+
+    # scd2: the (key, ts) pre-collapse aggregation exchanges once,
+    # then both window passes + the island groupBy share ONE key
+    # exchange — 2 total; zero joins, zero Python
+    scd = _plan(spark, "scd2_build")
+    assert _count(scd, "Exchange") == 2
+    assert "Join" not in scd
+    for py_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert py_node not in scd
+
+    # bot cadence: one user-key exchange feeding window + agg
+    bc = _plan(spark, "bot_cadence")
+    assert _count(bc, "Exchange") == 1
+    for py_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert py_node not in bc
+
+    # langid eval: marginal tables broadcast back onto the matrix
+    le = _plan(spark, "langid_eval")
+    assert _count(le, "BroadcastHashJoin") >= 2
+    for py_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert py_node not in le
+
+    # media_gif: the encode+decode kernels are the only Python — and
+    # Catalyst fuses the chained pandas UDFs into ONE ArrowEvalPython
+    # node (a single Arrow round trip, better than two)
+    mg = _plan(spark, "media_gif")
+    assert 1 <= _count(mg, "ArrowEvalPython") <= 2
+    assert "BatchEvalPython" not in mg
