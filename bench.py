@@ -151,6 +151,7 @@ HEADLINE = [
     "scd2_build",
     "bot_cadence",
     "langid_eval",
+    "link_reciprocity",
 ]
 
 
@@ -390,7 +391,8 @@ QUERY_GROUPS: list[list[str]] = [
     ["bpe_apply", "phrase_search", "table_bloom_scan", "media_gif"],
     # round-5 session-4 suite 4: exact set-similarity + SCD2 +
     # traffic/eval analytics
-    ["jaccard_exact_join", "scd2_build", "bot_cadence", "langid_eval"],
+    ["jaccard_exact_join", "scd2_build", "bot_cadence", "langid_eval",
+     "link_reciprocity"],
 ]
 
 

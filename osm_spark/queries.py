@@ -9981,6 +9981,91 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Link reciprocity (web-graph hygiene)
+# =====================================================================
+
+_RECIP_SQL = """
+    WITH cnt AS (SELECT count(*) AS c FROM documents),
+    raw AS (
+      SELECT doc_id AS src, (doc_id + 1) % (SELECT c FROM cnt) AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id * 7 + 3) % (SELECT c FROM cnt)
+      FROM documents),
+    e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    r AS (
+      SELECT e.src, count(*) AS out_deg,
+             sum(CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_recip
+      FROM e LEFT JOIN e b ON b.src = e.dst AND b.dst = e.src
+      GROUP BY e.src)
+    SELECT src AS doc_id, CAST(out_deg AS BIGINT) AS out_deg,
+           CAST(n_recip AS BIGINT) AS n_recip,
+           CAST((n_recip * 1000000) // out_deg AS BIGINT) AS recip_e6
+    FROM r
+"""
+
+
+@register("link_reciprocity", _RECIP_SQL)
+def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link reciprocity (web-graph hygiene): per page, the fraction
+    of out-links that link BACK — organic links are largely one-way
+    (reciprocity on the open web is low), so a high mutual-link rate
+    flags link rings and exchange schemes; the structural complement
+    of PageRank (popularity), HITS (roles) and k-core (robust
+    density).  ONE self-join of the deduped directed edge list on the
+    reversed pair + one src-keyed count — |E| join keys, never a
+    matrix; the fixture's successor links are one-way while the
+    doc_id*7+3 chord occasionally closes mutual pairs, so the rate
+    column is non-trivial in both directions.  Exact integer fixed
+    point; the oracle replays the reversed-pair left join."""
+    from osm_spark.plans import pagerank as _pg
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    d = F.col("doc_id")
+    t1 = ((d + 1) % n_docs).cast("string")
+    t2 = ((d * 7 + 3) % n_docs).cast("string")
+    html_pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body><nav><a href="/doc/'), t1,
+            F.lit('">n1</a> <a href="/doc/'), t2,
+            F.lit('">n2</a></nav><p>'), F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    e = (
+        _pg.extract_links(html_pages, "doc_id", "html")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    b = e.select(F.col("src").alias("b_src"), F.col("dst").alias("b_dst"))
+    r = (
+        e.join(
+            b,
+            (F.col("b_src") == F.col("dst"))
+            & (F.col("b_dst") == F.col("src")),
+            "left",
+        )
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("out_deg"),
+            F.sum(
+                F.when(F.col("b_src").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_recip"),
+        )
+    )
+    return r.select(
+        F.col("src").alias("doc_id"),
+        "out_deg",
+        "n_recip",
+        F.expr("(n_recip * 1000000) div out_deg").cast("long")
+        .alias("recip_e6"),
+    )
+
+
+# =====================================================================
 # Bot-cadence detection (temporal/events.py family)
 # =====================================================================
 

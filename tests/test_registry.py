@@ -317,6 +317,7 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "scd2_build",
     "bot_cadence",
     "langid_eval",
+    "link_reciprocity",
 })
 
 
