@@ -152,6 +152,7 @@ HEADLINE = [
     "bot_cadence",
     "langid_eval",
     "link_reciprocity",
+    "vocab_coverage",
 ]
 
 
@@ -393,6 +394,8 @@ QUERY_GROUPS: list[list[str]] = [
     # traffic/eval analytics
     ["jaccard_exact_join", "scd2_build", "bot_cadence", "langid_eval",
      "link_reciprocity"],
+    # round-5 session-4 suite 5: corpus statistics
+    ["vocab_coverage"],
 ]
 
 

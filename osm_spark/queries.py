@@ -9981,6 +9981,82 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Vocabulary coverage curve (text/vocab.py analytics side)
+# =====================================================================
+
+_VOCAB_COVERAGE_SQL = """
+    WITH wf AS (
+      SELECT word, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      GROUP BY word),
+    r AS (
+      SELECT word, freq,
+             row_number() OVER (ORDER BY freq DESC, word ASC) AS rk,
+             sum(freq) OVER (ORDER BY freq DESC, word ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(freq) OVER () AS tot
+      FROM wf),
+    ks AS (SELECT unnest([5, 10, 20, 40]) AS k)
+    SELECT ks.k,
+           CAST(max(cum) AS BIGINT) AS covered,
+           CAST(max(tot) AS BIGINT) AS total,
+           CAST((max(cum) * 1000000) // max(tot) AS BIGINT)
+             AS share_e6
+    FROM r JOIN ks ON r.rk <= ks.k
+    GROUP BY ks.k
+"""
+
+
+@register("vocab_coverage", _VOCAB_COVERAGE_SQL)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of corpus tokens the
+    top-k word types cover, at k in {5, 10, 20, 40} — the diagnostic
+    every tokenizer-vocabulary and stopword-list decision reads first
+    (Zipfian corpora saturate fast; the curve's knee sizes the vocab).
+    ONE word-keyed count (vocabulary-sized from then on), one global
+    rank/cumsum window over the distinct-word table — a bounded frame
+    at any corpus size, the same single-partition-window-over-tiny-
+    frame discipline as BPE's merge ranking — and a 4-row k join.
+    Deterministic (freq desc, word asc) total order; integer
+    fixed-point shares; the oracle replays rank, running sum and the
+    per-k max."""
+    wf = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    r = wf.select(
+        "word", "freq",
+        F.row_number().over(w).alias("rk"),
+        F.sum("freq").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+    ).crossJoin(
+        F.broadcast(wf.agg(F.sum("freq").alias("tot")))
+    )
+    ks = F.broadcast(
+        spark.createDataFrame([(5,), (10,), (20,), (40,)], ["k"])
+    )
+    return (
+        r.join(ks, r["rk"] <= ks["k"])
+        .groupBy("k")
+        .agg(
+            F.max("cum").cast("long").alias("covered"),
+            F.max("tot").cast("long").alias("total"),
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "covered", "total",
+            F.expr("(covered * 1000000) div total").cast("long")
+            .alias("share_e6"),
+        )
+    )
+
+
+# =====================================================================
 # Link reciprocity (web-graph hygiene)
 # =====================================================================
 

@@ -318,6 +318,7 @@ _ROUND5_ROTATION_QUEUE = frozenset({
     "bot_cadence",
     "langid_eval",
     "link_reciprocity",
+    "vocab_coverage",
 })
 
 
